@@ -1,0 +1,85 @@
+package graft.kernel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** §2.7 steps 3–6 — cost derivations, per-account extra discount, and the
+  * 4-mode external-consumption dispatch (ref: calculate/service.py:45-100,
+  * 150-161, 187-209). One `when` tree per derived column: a single codegen'd
+  * projection, no UDFs, no shuffles.
+  */
+object Modes {
+
+  /** Default per-account extra-discount rates
+    * (ref: calculate/service.py:189-199). Config data, not code: callers
+    * pass their own map; the default mirrors the reference. */
+  val DefaultExtraDiscount: Map[String, Double] = {
+    val tiers: Seq[(Double, Seq[String])] = Seq(
+      0.975 -> Seq(
+        "01F0DC-F91DC5-0F0CAB", "0143DC-442DB6-FDE892", "01FEE2-46994F-B32CB9",
+        "01D111-877AA6-FC9006", "01368B-077E67-C11E2D", "01EB13-0127DF-324A48",
+        "013EEC-7ED413-0F0733", "018D1D-AEDA58-9E382C"),
+      0.965 -> Seq("01ACBD-4B4CE4-2D688D"),
+      0.95 -> Seq(
+        "01281B-3D24E6-B4D363", "01587C-263C61-84FBDB", "015C37-EF4FBF-AE3E2C",
+        "015336-4C0FAA-732523"),
+      0.88 -> Seq(
+        "01BE65-4D6A90-81C9C9", "01AEFA-0E57C7-5D22AF", "012980-39DCA3-6B08CF",
+        "01D80B-3126BB-D0C7C1", "01D977-BDDE3C-14BE03", "01EFBF-FE25D9-1F8A1C",
+        "01B528-640F36-FF1F84", "013A21-83F145-1DE13D", "0134F7-148D6A-A3E367",
+        "016577-4C47C6-43BEE5"),
+      (28.5 / 27.2) -> Seq("010EDC-72FE2A-79D4CC"))
+    tiers.flatMap { case (rate, accounts) => accounts.map(_ -> rate) }.toMap
+  }
+
+  /** mode-4 credit part: Σ (selected credit column / price), selection by the
+    * slash-delimited `credit_fields` (ref: calculate/service.py:84-100).
+    * Guards: price=0 ⇒ term dropped; null price ⇒ 1.0; null discount ⇒ 1.0. */
+  private def mode4CreditPart: Column = {
+    val priceEff = coalesce(col("price"), lit(1.0))
+    val selected = split(coalesce(col("credit_fields"), lit("")), "/")
+    val selectedSum = BillingSchema.CreditColumns
+      .map(c => when(array_contains(selected, c), col(c)).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    when(priceEff =!= 0.0, selectedSum / priceEff).otherwise(lit(0.0))
+  }
+
+  /** Applies steps 3–6 to a rule-tagged fact. Expects the fact measures plus
+    * the 6 payload columns from [[RuleMatch.addRuleTag]].
+    *
+    * Deviation from the live Python (documented): mode 4 computes
+    * `discount_amount = credit_part` per the SQL template
+    * (calculate/sql_template.py:184-190) and the comment intent; the live
+    * pandas path drops that assignment on the apply-result projection
+    * (calculate/service.py:77-81). Extra discount multiplies `internal_cost`
+    * (the live-path behavior, calculate/service.py:209), not the SQL twin's
+    * consumption base — SURVEY.md §4 resolves both in this direction.
+    */
+  def apply(tagged: DataFrame,
+            extraDiscount: Map[String, Double] = DefaultExtraDiscount): DataFrame = {
+    val rate: Column =
+      if (extraDiscount.isEmpty) lit(1.0)
+      else coalesce(
+        element_at(typedlit(extraDiscount), col("billing_account_id")), lit(1.0))
+
+    val m4Part = mode4CreditPart
+    val discEff = coalesce(col("discount"), lit(1.0))
+
+    tagged
+      .withColumn("internal_cost", (col("cost") + col("internal_credits_cost")) * rate)
+      .withColumn("internal_consumption", col("cost") + col("internal_credits_consumption"))
+      .withColumn(
+        "external_consumption",
+        when(col("mode") === 1, col("internal_consumption") * col("discount"))
+          .when(col("mode") === 2, col("usage_amount_in_pricing_units") * col("price"))
+          .when(col("mode") === 3,
+            col("usage_amount_in_pricing_units") * col("price") * col("discount"))
+          .when(col("mode") === 4, col("cost_at_list") * discEff + m4Part * discEff)
+          .otherwise(lit(0.0)))
+      .withColumn(
+        "discount_amount",
+        when(col("mode") === 1, col("internal_credits_consumption"))
+          .when(col("mode") === 4, m4Part)
+          .otherwise(lit(0.0)))
+  }
+}

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** Deterministic billing-shaped fact/dim derived from the TPC-H testdata, so
+  * the billing kernel (graft.kernel) can be oracle-checked end-to-end: the
+  * driver has no billing tables, so we derive them — identically — in both
+  * Spark (DataFrame API) and DuckDB SQL. Every expression here must have a
+  * bit-identical twin in the SQL strings below; keep them in lockstep.
+  *
+  * Mapping: lineitem → fact rows (l_suppkey%20 → 20 billing accounts,
+  * l_partkey → project/service/sku attributes, l_discount-scaled credits);
+  * a synthetic 60-rule × month dim covering all 8 null-pattern families,
+  * all 5 modes, null/zero price and discount guards, and null credit_fields.
+  */
+object BillingDemo {
+
+  // ---------- raw per-row fact (with credit arrays) ----------
+
+  val rawFactSql: String =
+    """SELECT
+      |  l_orderkey, l_linenumber,
+      |  strftime(l_shipdate, '%Y%m')                             AS invoice_month,
+      |  'A' || lpad(cast(l_suppkey % 20 AS VARCHAR), 3, '0')     AS billing_account_id,
+      |  cast(l_shipdate AS DATE)                                 AS usage_day,
+      |  'p' || cast(l_partkey % 3 AS VARCHAR)                    AS project_id,
+      |  'proj ' || cast(l_partkey % 3 AS VARCHAR)                AS project_name,
+      |  'svc' || cast(l_partkey % 4 AS VARCHAR)                  AS service_id,
+      |  'service ' || cast(l_partkey % 4 AS VARCHAR)             AS service_description,
+      |  'sku' || cast(l_partkey % 5 AS VARCHAR)                  AS sku_id,
+      |  'sku desc ' || cast(l_partkey % 5 AS VARCHAR)            AS sku_description,
+      |  'unit'                                                   AS usage_pricing_unit,
+      |  'USD'                                                    AS currency,
+      |  1.0                                                      AS currency_conversion_rate,
+      |  l_returnflag                                             AS cost_type,
+      |  l_quantity                                               AS usage_amount_in_pricing_units,
+      |  l_extendedprice * (1 - l_discount)                       AS cost,
+      |  l_extendedprice                                          AS cost_at_list,
+      |  l_extendedprice * l_discount * 0.4                       AS c_cud,
+      |  0.0                                                      AS c_cud_db,
+      |  l_extendedprice * l_discount * 0.3                       AS c_discount,
+      |  0.0                                                      AS c_free_tier,
+      |  l_extendedprice * l_discount * 0.2                       AS c_promotion,
+      |  l_extendedprice * l_discount * 0.1                       AS c_rm,
+      |  0.0                                                      AS c_sub_benefit,
+      |  0.0                                                      AS c_sud,
+      |  l_extendedprice * l_discount * 0.4 + l_extendedprice * l_discount * 0.3
+      |    + l_extendedprice * l_discount * 0.2 + l_extendedprice * l_discount * 0.1
+      |                                                           AS internal_credits_cost,
+      |  l_extendedprice * l_discount * 0.4 + l_extendedprice * l_discount * 0.3
+      |    + l_extendedprice * l_discount * 0.2
+      |                                                           AS internal_credits_consumption,
+      |  ['COMMITTED_USAGE_DISCOUNT', 'DISCOUNT', 'PROMOTION', 'RESELLER_MARGIN', 'MYSTERY_TYPE']
+      |                                                           AS credits_type,
+      |  [l_extendedprice * l_discount * 0.4, l_extendedprice * l_discount * 0.3,
+      |   l_extendedprice * l_discount * 0.2, l_extendedprice * l_discount * 0.1, l_tax]
+      |                                                           AS credits_amount
+      |FROM lineitem""".stripMargin
+
+  def rawFact(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("l_discount"); val p = col("l_extendedprice")
+    Tables.lineitem(spark, dir).select(
+      col("l_orderkey"), col("l_linenumber"),
+      date_format(col("l_shipdate"), "yyyyMM").as("invoice_month"),
+      concat(lit("A"), lpad((col("l_suppkey") % 20).cast("string"), 3, "0"))
+        .as("billing_account_id"),
+      col("l_shipdate").cast("date").as("usage_day"),
+      concat(lit("p"), (col("l_partkey") % 3).cast("string")).as("project_id"),
+      concat(lit("proj "), (col("l_partkey") % 3).cast("string")).as("project_name"),
+      concat(lit("svc"), (col("l_partkey") % 4).cast("string")).as("service_id"),
+      concat(lit("service "), (col("l_partkey") % 4).cast("string")).as("service_description"),
+      concat(lit("sku"), (col("l_partkey") % 5).cast("string")).as("sku_id"),
+      concat(lit("sku desc "), (col("l_partkey") % 5).cast("string")).as("sku_description"),
+      lit("unit").as("usage_pricing_unit"),
+      lit("USD").as("currency"),
+      lit(1.0).as("currency_conversion_rate"),
+      col("l_returnflag").as("cost_type"),
+      col("l_quantity").as("usage_amount_in_pricing_units"),
+      (p * (lit(1) - d)).as("cost"),
+      p.as("cost_at_list"),
+      (p * d * 0.4).as("c_cud"),
+      lit(0.0).as("c_cud_db"),
+      (p * d * 0.3).as("c_discount"),
+      lit(0.0).as("c_free_tier"),
+      (p * d * 0.2).as("c_promotion"),
+      (p * d * 0.1).as("c_rm"),
+      lit(0.0).as("c_sub_benefit"),
+      lit(0.0).as("c_sud"),
+      (p * d * 0.4 + p * d * 0.3 + p * d * 0.2 + p * d * 0.1).as("internal_credits_cost"),
+      (p * d * 0.4 + p * d * 0.3 + p * d * 0.2).as("internal_credits_consumption"),
+      array(
+        lit("COMMITTED_USAGE_DISCOUNT"), lit("DISCOUNT"), lit("PROMOTION"),
+        lit("RESELLER_MARGIN"), lit("MYSTERY_TYPE")).as("credits_type"),
+      array(p * d * 0.4, p * d * 0.3, p * d * 0.2, p * d * 0.1, col("l_tax"))
+        .as("credits_amount"))
+  }
+
+  // ---------- pre-aggregated fact at the 13-key grain (A2) ----------
+
+  private val grain13 = Seq(
+    "invoice_month", "billing_account_id", "usage_day", "project_id",
+    "project_name", "service_id", "service_description", "sku_id",
+    "sku_description", "usage_pricing_unit", "currency",
+    "currency_conversion_rate", "cost_type")
+
+  private val measures = Seq(
+    "usage_amount_in_pricing_units", "cost", "cost_at_list",
+    "c_cud", "c_cud_db", "c_discount", "c_free_tier", "c_promotion",
+    "c_rm", "c_sub_benefit", "c_sud",
+    "internal_credits_cost", "internal_credits_consumption")
+
+  val factSql: String = {
+    val sums = measures.map(m => s"sum($m) AS $m").mkString(",\n  ")
+    s"""SELECT ${grain13.mkString(", ")},
+       |  $sums
+       |FROM (${rawFactSql.replace("\n", "\n  ")})
+       |GROUP BY ${grain13.mkString(", ")}""".stripMargin
+  }
+
+  def fact(spark: SparkSession, dir: String): DataFrame =
+    rawFact(spark, dir)
+      .groupBy(grain13.map(col): _*)
+      .agg(measures.map(m => sum(m).as(m)).head, measures.tail.map(m => sum(m).as(m)): _*)
+
+  // ---------- synthetic dim: 60 rules × every fact month ----------
+
+  val dimSql: String =
+    """SELECT
+      |  m.month,
+      |  'A' || lpad(cast(r.rid % 20 AS VARCHAR), 3, '0')  AS billing_account_id,
+      |  CASE WHEN (r.rid % 8) % 2 = 1
+      |       THEN 'p' || cast(r.rid % 3 AS VARCHAR) END    AS project_id,
+      |  CASE WHEN ((r.rid % 8) // 2) % 2 = 1
+      |       THEN 'service ' || cast(r.rid % 4 AS VARCHAR) END AS service_description,
+      |  CASE WHEN (r.rid % 8) // 4 = 1
+      |       THEN 'sku' || cast(r.rid % 5 AS VARCHAR) END  AS sku_id,
+      |  CASE WHEN r.rid % 13 = 12 THEN NULL
+      |       ELSE cast(r.rid % 5 AS INTEGER) END           AS mode,
+      |  CASE r.rid % 4 WHEN 0 THEN NULL WHEN 1 THEN 0.75
+      |       WHEN 2 THEN 0.8 ELSE 0.85 END                 AS discount,
+      |  CASE r.rid % 6 WHEN 0 THEN NULL WHEN 1 THEN 0.0 WHEN 2 THEN 1.0
+      |       WHEN 3 THEN 1.25 WHEN 4 THEN 1.5 ELSE 2.0 END AS price,
+      |  CASE r.rid % 3 WHEN 0 THEN 'c_cud/c_promotion'
+      |       WHEN 1 THEN 'c_discount/c_rm' ELSE NULL END   AS credit_fields,
+      |  CASE WHEN r.rid % 5 = 0 THEN NULL
+      |       ELSE 'CUST-' || cast(r.rid % 9 AS VARCHAR) END AS customer_id,
+      |  'CTR-' || cast(r.rid AS VARCHAR)                   AS contract_id
+      |FROM (SELECT range AS rid FROM range(0, 60)) r
+      |CROSS JOIN (SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS month FROM lineitem) m""".stripMargin
+
+  def dim(spark: SparkSession, dir: String): DataFrame = {
+    val months = Tables.lineitem(spark, dir)
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("month")).distinct()
+    val rid = col("rid")
+    val pat = rid % 8
+    spark.range(0, 60).toDF("rid")
+      .crossJoin(broadcast(months))
+      .select(
+        col("month"),
+        concat(lit("A"), lpad((rid % 20).cast("string"), 3, "0")).as("billing_account_id"),
+        when(pat % 2 === 1, concat(lit("p"), (rid % 3).cast("string"))).as("project_id"),
+        when((pat / 2).cast("long") % 2 === 1,
+          concat(lit("service "), (rid % 4).cast("string"))).as("service_description"),
+        when((pat / 4).cast("long") === 1,
+          concat(lit("sku"), (rid % 5).cast("string"))).as("sku_id"),
+        when(rid % 13 === 12, lit(null))
+          .otherwise((rid % 5).cast("int")).as("mode"),
+        when(rid % 4 === 0, lit(null).cast("double"))
+          .when(rid % 4 === 1, 0.75).when(rid % 4 === 2, 0.8).otherwise(0.85).as("discount"),
+        when(rid % 6 === 0, lit(null).cast("double"))
+          .when(rid % 6 === 1, 0.0).when(rid % 6 === 2, 1.0)
+          .when(rid % 6 === 3, 1.25).when(rid % 6 === 4, 1.5).otherwise(2.0).as("price"),
+        when(rid % 3 === 0, "c_cud/c_promotion")
+          .when(rid % 3 === 1, "c_discount/c_rm").otherwise(lit(null)).as("credit_fields"),
+        when(rid % 5 === 0, lit(null))
+          .otherwise(concat(lit("CUST-"), (rid % 9).cast("string"))).as("customer_id"),
+        concat(lit("CTR-"), rid.cast("string")).as("contract_id"))
+  }
+
+  /** Demo extra-discount map (structure of calculate/service.py:189-199,
+    * demo account ids). Twin of [[extraRateSql]]. */
+  val demoExtraDiscount: Map[String, Double] = Map(
+    "A003" -> 0.975, "A007" -> 0.88, "A013" -> (28.5 / 27.2))
+
+  val extraRateSql: String =
+    """CASE billing_account_id WHEN 'A003' THEN 0.975 WHEN 'A007' THEN 0.88
+      |     WHEN 'A013' THEN 28.5/27.2 ELSE 1.0 END""".stripMargin.replace("\n", " ")
+}

@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.tables.Tables
+
+/** The generic relational operator inventory (SURVEY.md §2.1–§2.6) expressed
+  * over the driver testdata tables. Each query is the idiomatic Spark
+  * DataFrame formulation — declarative, so Catalyst gets pushdown / pruning /
+  * partial aggregation for free — paired with a DuckDB oracle.
+  *
+  * Money/double aggregates are rounded to 4 decimals on BOTH sides so the
+  * driver's value-hash compare is stable across summation orders.
+  */
+object CoreQueries {
+
+  private def r4(c: org.apache.spark.sql.Column) = round(c, 4)
+
+  /** A1 (billing_calculation_service.py:164-187): grouped sum at a fixed
+    * grain — Spark hash-aggregates with partial+final split automatically. */
+  val q01AggGrain = QueryDef(
+    "q01_agg_grain",
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 4)                         AS sum_qty,
+      |       round(sum(l_extendedprice), 4)                    AS sum_base,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |       round(avg(l_discount), 4)                         AS avg_disc,
+      |       count(*)                                          AS n_rows
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        r4(sum("l_quantity")).as("sum_qty"),
+        r4(sum("l_extendedprice")).as("sum_base"),
+        r4(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        r4(avg("l_discount")).as("avg_disc"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** A2 (billing_calculation_service.py:238-284): the same aggregation at a
+    * wider (13-key-style) grain — grain widening is just more groupBy keys. */
+  val q02AggWide = QueryDef(
+    "q02_agg_wide",
+    """SELECT l_returnflag, l_linestatus, l_suppkey,
+      |       strftime(l_shipdate, '%Y%m')       AS ship_month,
+      |       round(sum(l_quantity), 4)          AS sum_qty,
+      |       round(sum(l_extendedprice), 4)     AS sum_base,
+      |       count(*)                           AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus, l_suppkey, strftime(l_shipdate, '%Y%m')""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(
+        col("l_returnflag"), col("l_linestatus"), col("l_suppkey"),
+        date_format(col("l_shipdate"), "yyyyMM").as("ship_month"))
+      .agg(
+        r4(sum("l_quantity")).as("sum_qty"),
+        r4(sum("l_extendedprice")).as("sum_base"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** A3 (billing_calculation_service.py:96-106): global min/max of the date
+    * column that drives the day-loop in the reference. */
+  val q03MinMax = QueryDef(
+    "q03_minmax_day",
+    """SELECT cast(min(o_orderdate) AS DATE) AS min_day,
+      |       cast(max(o_orderdate) AS DATE) AS max_day,
+      |       count(*) AS n_rows
+      |FROM orders""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .agg(
+        min(col("o_orderdate")).cast("date").as("min_day"),
+        max(col("o_orderdate")).cast("date").as("max_day"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  /** A4 (billing_calculation_service.py:139-155): SELECT DISTINCT key. */
+  val q04Distinct = QueryDef(
+    "q04_distinct_accounts",
+    "SELECT DISTINCT l_suppkey FROM lineitem") { (s, d) =>
+    Tables.lineitem(s, d).select("l_suppkey").distinct()
+  }
+
+  /** P1/P2/P4: projection + equality predicate — both push to the parquet
+    * scan (PushedFilters + ReadSchema in .explain). */
+  val q05Filter = QueryDef(
+    "q05_filter_eq",
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |       round(l_extendedprice, 4) AS price
+      |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") > 30)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        r4(col("l_extendedprice")).as("price"))
+  }
+
+  /** P3 (billing_calculation_service.py:147-148): half-open date-range
+    * predicate, the reference's usage_day window shape. */
+  val q06Range = QueryDef(
+    "q06_range_day",
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS total
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(
+        col("o_orderdate") >= lit("1995-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), r4(col("o_totalprice")).as("total"))
+  }
+
+  /** P6 (calculate/sql_template.py:106-110): IN-list membership + agg. */
+  val q07In = QueryDef(
+    "q07_in_members",
+    """SELECT l_suppkey, count(*) AS n_rows, round(sum(l_quantity), 4) AS sum_qty
+      |FROM lineitem WHERE l_suppkey IN (1, 3, 5, 7)
+      |GROUP BY l_suppkey""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_suppkey").isin(1, 3, 5, 7))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_rows"), r4(sum("l_quantity")).as("sum_qty"))
+  }
+
+  /** Broadcast-join shape (J1-family building block): fact × small dim.
+    * The dim side is tiny ⇒ `broadcast()` keeps the fact un-shuffled. */
+  val q08Join = QueryDef(
+    "q08_join_dim",
+    """SELECT n.n_name AS nation, count(*) AS n_cust,
+      |       round(sum(c.c_acctbal), 4) AS sum_bal
+      |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n.n_name""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d)
+    val n = Tables.nation(s, d)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"), "left")
+      .groupBy(n("n_name").as("nation"))
+      .agg(count(lit(1)).as("n_cust"), r4(sum(c("c_acctbal"))).as("sum_bal"))
+  }
+
+  /** Left-semi join (P8: the reference's manual dim-pruning `isin`). */
+  val q09SemiJoin = QueryDef(
+    "q09_semi_join",
+    """SELECT count(*) AS n_rows, round(sum(o_totalprice), 4) AS sum_total
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM customer c
+      |              WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_rows"), r4(sum("o_totalprice")).as("sum_total"))
+  }
+
+  /** Set op (S5-style union of two slices, then re-aggregate). */
+  val q10Union = QueryDef(
+    "q10_union",
+    """SELECT l_returnflag, count(*) AS n_rows FROM (
+      |  SELECT l_returnflag FROM lineitem WHERE l_quantity < 5
+      |  UNION ALL
+      |  SELECT l_returnflag FROM lineitem WHERE l_quantity > 45
+      |) GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_quantity") < 5).select("l_returnflag")
+      .unionAll(li.filter(col("l_quantity") > 45).select("l_returnflag"))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n_rows"))
+  }
+
+  /** Deterministic LIMIT (README.md:44 usage shape, made order-stable). */
+  val q11Limit = QueryDef(
+    "q11_limit",
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey LIMIT 3") { (s, d) =>
+    Tables.region(s, d).orderBy("r_regionkey").limit(3)
+  }
+
+  /** F8 (main.py:34-36): 'YYYYMM' ↔ 'YYYY-MM' month-format surgery. */
+  val q12MonthFmt = QueryDef(
+    "q12_month_fmt",
+    """SELECT DISTINCT strftime(l_shipdate, '%Y%m') AS invoice_month,
+      |       strftime(l_shipdate, '%Y-%m')        AS dim_month
+      |FROM lineitem""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select(
+        date_format(col("l_shipdate"), "yyyyMM").as("invoice_month"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("dim_month"))
+      .distinct()
+  }
+
+  /** Time-bucketed aggregation over the events table (tumbling day window —
+    * the batch twin of the Structured Streaming windowed agg). */
+  val q13EventsWindow = QueryDef(
+    "q13_events_window",
+    """SELECT cast(date_trunc('day', ts) AS DATE) AS day, event_type,
+      |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(
+        date_trunc("day", col("ts")).cast("date").as("day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), r4(sum("value")).as("sum_value"))
+  }
+
+  /** Window function: top-1 order per customer by price (engine extension —
+    * the reference has none; ranking is table stakes for an analytics lib). */
+  val q14TopPerKey = QueryDef(
+    "q14_top_per_key",
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS total FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) WHERE rn = 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), r4(col("o_totalprice")).as("total"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q01AggGrain, q02AggWide, q03MinMax, q04Distinct, q05Filter, q06Range,
+    q07In, q08Join, q09SemiJoin, q10Union, q11Limit, q12MonthFmt,
+    q13EventsWindow, q14TopPerKey)
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, QueryDef}
+import graft.queries.{CoreQueries, KernelQueries, QueryDef}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -12,11 +12,12 @@ import graft.queries.{CoreQueries, QueryDef}
 object SparkEntry {
 
   /** Every declared query, assembled from the per-family modules. */
-  def defs: Seq[QueryDef] = CoreQueries.all
+  def defs: Seq[QueryDef] = CoreQueries.all ++ KernelQueries.all
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full billing kernel (rule-match ladder + modes + conform)
+    * on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    CoreQueries.q01AggGrain.fn(spark, "/root/testdata/sf0.001")
+    KernelQueries.q22KernelFull.fn(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(q => q.name -> q.fn).toMap

@@ -147,7 +147,7 @@ object BillingDemo {
       |  CASE WHEN r.rid % 5 = 0 THEN NULL
       |       ELSE 'CUST-' || cast(r.rid % 9 AS VARCHAR) END AS customer_id,
       |  'CTR-' || cast(r.rid AS VARCHAR)                   AS contract_id
-      |FROM (SELECT range AS rid FROM range(0, 60)) r
+      |FROM (SELECT range AS rid FROM range(0, 40)) r
       |CROSS JOIN (SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS month FROM lineitem) m""".stripMargin
 
   def dim(spark: SparkSession, dir: String): DataFrame = {
@@ -155,7 +155,7 @@ object BillingDemo {
       .select(date_format(col("l_shipdate"), "yyyy-MM").as("month")).distinct()
     val rid = col("rid")
     val pat = rid % 8
-    spark.range(0, 60).toDF("rid")
+    spark.range(0, 40).toDF("rid")
       .crossJoin(broadcast(months))
       .select(
         col("month"),

@@ -13,17 +13,17 @@ import graft.tables.Tables
   */
 object CoreQueries {
 
-  private def r4(c: org.apache.spark.sql.Column) = round(c, 4)
+  private def r4(c: org.apache.spark.sql.Column) = Stable.r4(c)
 
   /** A1 (billing_calculation_service.py:164-187): grouped sum at a fixed
     * grain — Spark hash-aggregates with partial+final split automatically. */
   val q01AggGrain = QueryDef(
     "q01_agg_grain",
     """SELECT l_returnflag, l_linestatus,
-      |       round(sum(l_quantity), 4)                         AS sum_qty,
-      |       round(sum(l_extendedprice), 4)                    AS sum_base,
-      |       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-      |       round(avg(l_discount), 4)                         AS avg_disc,
+      |       floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0                         AS sum_qty,
+      |       floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0                    AS sum_base,
+      |       floor((sum(l_extendedprice * (1 - l_discount))) * 10000.0 + 0.5) / 10000.0 AS sum_disc_price,
+      |       floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0                         AS avg_disc,
       |       count(*)                                          AS n_rows
       |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
@@ -42,8 +42,8 @@ object CoreQueries {
     "q02_agg_wide",
     """SELECT l_returnflag, l_linestatus, l_suppkey,
       |       strftime(l_shipdate, '%Y%m')       AS ship_month,
-      |       round(sum(l_quantity), 4)          AS sum_qty,
-      |       round(sum(l_extendedprice), 4)     AS sum_base,
+      |       floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0          AS sum_qty,
+      |       floor((sum(l_extendedprice)) * 10000.0 + 0.5) / 10000.0     AS sum_base,
       |       count(*)                           AS n_rows
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus, l_suppkey, strftime(l_shipdate, '%Y%m')""".stripMargin) { (s, d) =>
@@ -84,7 +84,7 @@ object CoreQueries {
   val q05Filter = QueryDef(
     "q05_filter_eq",
     """SELECT l_orderkey, l_linenumber, l_quantity,
-      |       round(l_extendedprice, 4) AS price
+      |       floor((l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS price
       |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
       .filter(col("l_returnflag") === "R" && col("l_quantity") > 30)
@@ -97,7 +97,7 @@ object CoreQueries {
     * predicate, the reference's usage_day window shape. */
   val q06Range = QueryDef(
     "q06_range_day",
-    """SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS total
+    """SELECT o_orderkey, o_custkey, floor((o_totalprice) * 10000.0 + 0.5) / 10000.0 AS total
       |FROM orders
       |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
       |  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'""".stripMargin) { (s, d) =>
@@ -111,7 +111,7 @@ object CoreQueries {
   /** P6 (calculate/sql_template.py:106-110): IN-list membership + agg. */
   val q07In = QueryDef(
     "q07_in_members",
-    """SELECT l_suppkey, count(*) AS n_rows, round(sum(l_quantity), 4) AS sum_qty
+    """SELECT l_suppkey, count(*) AS n_rows, floor((sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sum_qty
       |FROM lineitem WHERE l_suppkey IN (1, 3, 5, 7)
       |GROUP BY l_suppkey""".stripMargin) { (s, d) =>
     Tables.lineitem(s, d)
@@ -125,7 +125,7 @@ object CoreQueries {
   val q08Join = QueryDef(
     "q08_join_dim",
     """SELECT n.n_name AS nation, count(*) AS n_cust,
-      |       round(sum(c.c_acctbal), 4) AS sum_bal
+      |       floor((sum(c.c_acctbal)) * 10000.0 + 0.5) / 10000.0 AS sum_bal
       |FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
       |GROUP BY n.n_name""".stripMargin) { (s, d) =>
     val c = Tables.customer(s, d)
@@ -138,7 +138,7 @@ object CoreQueries {
   /** Left-semi join (P8: the reference's manual dim-pruning `isin`). */
   val q09SemiJoin = QueryDef(
     "q09_semi_join",
-    """SELECT count(*) AS n_rows, round(sum(o_totalprice), 4) AS sum_total
+    """SELECT count(*) AS n_rows, floor((sum(o_totalprice)) * 10000.0 + 0.5) / 10000.0 AS sum_total
       |FROM orders o
       |WHERE EXISTS (SELECT 1 FROM customer c
       |              WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')""".stripMargin) { (s, d) =>
@@ -187,7 +187,7 @@ object CoreQueries {
   val q13EventsWindow = QueryDef(
     "q13_events_window",
     """SELECT cast(date_trunc('day', ts) AS DATE) AS day, event_type,
-      |       count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |       count(*) AS n_events, floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
       |FROM events GROUP BY 1, 2""".stripMargin) { (s, d) =>
     Tables.events(s, d)
       .groupBy(
@@ -200,7 +200,7 @@ object CoreQueries {
     * the reference has none; ranking is table stakes for an analytics lib). */
   val q14TopPerKey = QueryDef(
     "q14_top_per_key",
-    """SELECT o_custkey, o_orderkey, round(o_totalprice, 4) AS total FROM (
+    """SELECT o_custkey, o_orderkey, floor((o_totalprice) * 10000.0 + 0.5) / 10000.0 AS total FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |         row_number() OVER (PARTITION BY o_custkey
       |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn

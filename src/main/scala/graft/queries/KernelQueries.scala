@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import graft.kernel.{BillingSchema, Calculate, Conform, Credits, RuleMatch}
+
+/** Oracle-checked billing-kernel queries over the demo fact/dim
+  * (BillingDemo). The DuckDB oracles re-state the kernel as plain SQL —
+  * effectively the reference's sql_template.py pipeline with SURVEY.md §4's
+  * discrepancies resolved — built programmatically so the 8-family join
+  * ladder and coalesce chains can't drift from the Spark side by typo.
+  */
+object KernelQueries {
+
+  import BillingSchema.{CreditColumns, CreditTypeToColumn}
+
+  /** Rounds every DoubleType column to 4 decimals (hash-stability; the SQL
+    * twins round the same columns). */
+  private def roundDoubles(df: org.apache.spark.sql.DataFrame) = {
+    val cols = df.schema.fields.map { f =>
+      if (f.dataType == DoubleType) Stable.r4(col(f.name)).as(f.name) else col(f.name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  // ---------- shared SQL fragments ----------
+
+  private val dimiSql =
+    s"""SELECT *, substring(month, 1, 4) || substring(month, 6, 2) AS invoice_month
+       |FROM (${BillingDemo.dimSql.replace("\n", "\n  ")})""".stripMargin
+
+  private def familySql(i: Int): String = {
+    val (p, s, k) = RuleMatch.Presence(i)
+    def pred(c: String, present: Boolean) =
+      s"$c IS ${if (present) "NOT " else ""}NULL"
+    val where = Seq(
+      pred("project_id", p), pred("service_description", s), pred("sku_id", k))
+      .mkString(" AND ")
+    val keys = RuleMatch.keysFor(i).mkString(", ")
+    val payload = RuleMatch.PayloadCols.map(c => s"$c AS ${c}_r$i").mkString(", ")
+    s"SELECT $keys, $payload FROM dimi WHERE $where"
+  }
+
+  private def coalesced(c: String): String =
+    "COALESCE(" + RuleMatch.Precedence.map(i => s"${c}_r$i").mkString(", ") + ")"
+
+  /** WITH prologue shared by the rule-match and full-kernel oracles:
+    * fact, dimi, r1..r8, and the joined+coalesced `tagged`. */
+  private val taggedSql: String = {
+    val families = (1 to 8).map(i => s"r$i AS (${familySql(i)})").mkString(",\n")
+    val joins = (1 to 8)
+      .map(i => s"LEFT JOIN r$i USING (${RuleMatch.keysFor(i).mkString(", ")})")
+      .mkString("\n")
+    val payload = RuleMatch.PayloadCols.map(c => s"${coalesced(c)} AS $c").mkString(",\n    ")
+    s"""WITH fact AS (${BillingDemo.factSql.replace("\n", "\n  ")}),
+       |dimi AS (${dimiSql.replace("\n", "\n  ")}),
+       |$families,
+       |tagged AS (
+       |  SELECT fact.*,
+       |    $payload
+       |  FROM fact
+       |${joins.replace("\n", "\n")}
+       |)""".stripMargin
+  }
+
+  // ---------- q20: credits array pivot (A7) ----------
+
+  /** Per-row pivot via higher-order fns on the Spark side; DuckDB re-derives
+    * it by unnest+group. (l_orderkey, l_linenumber) is NOT unique in the
+    * synthetic lineitem, so both sides aggregate the pivoted values by key
+    * to make the comparison well-defined. */
+  val q20CreditsPivot = QueryDef(
+    "q20_credits_pivot", {
+      val pivotSums = CreditTypeToColumn
+        .map { case (t, c) => s"sum(CASE WHEN ct = '$t' THEN ca ELSE 0.0 END) AS $c" }
+        .mkString(",\n    ")
+      val outCols = CreditColumns
+        .map(c => s"${Stable.sqlR4(s"coalesce($c, 0.0)")} AS $c").mkString(",\n  ")
+      s"""WITH raw AS (${BillingDemo.rawFactSql.replace("\n", "\n  ")}),
+         |expl AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |         unnest(credits_type) AS ct, unnest(credits_amount) AS ca
+         |  FROM raw),
+         |piv AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    $pivotSums,
+         |    sum(ca) AS icc
+         |  FROM expl GROUP BY l_orderkey, l_linenumber)
+         |SELECT l_orderkey, l_linenumber,
+         |  $outCols,
+         |  ${Stable.sqlR4("coalesce(icc, 0.0)")} AS internal_credits_cost,
+         |  ${Stable.sqlR4("coalesce(icc, 0.0)")} - ${Stable.sqlR4("coalesce(c_rm, 0.0)")}
+         |    AS internal_credits_consumption
+         |FROM piv""".stripMargin
+    }) { (s, d) =>
+    val raw = BillingDemo.rawFact(s, d)
+      .drop(CreditColumns :+ "internal_credits_cost" :+ "internal_credits_consumption": _*)
+    // consumption is re-derived from the ROUNDED grouped sums (identically in
+    // the oracle): subtracting two unrounded sums built with different
+    // association orders can land exactly on a rounding boundary.
+    Credits.deriveCredits(raw)
+      .groupBy("l_orderkey", "l_linenumber")
+      .agg(
+        sum(CreditColumns.head).as(CreditColumns.head),
+        (CreditColumns.tail.map(c => sum(c).as(c)) :+
+          sum("internal_credits_cost").as("internal_credits_cost")): _*)
+      .select(
+        (Seq(col("l_orderkey"), col("l_linenumber")) ++
+          CreditColumns.map(c => Stable.r4(col(c)).as(c)) :+
+          Stable.r4(col("internal_credits_cost")).as("internal_credits_cost") :+
+          (Stable.r4(col("internal_credits_cost")) - Stable.r4(col("c_rm")))
+            .as("internal_credits_consumption")): _*)
+  }
+
+  // ---------- q21: rule-match ladder (J1–J9) ----------
+
+  private val matchOutKeys = Seq(
+    "invoice_month", "billing_account_id", "usage_day", "project_id",
+    "service_description", "sku_id", "cost_type")
+
+  val q21RuleMatch = QueryDef(
+    "q21_rule_match",
+    s"""$taggedSql
+       |SELECT ${matchOutKeys.mkString(", ")},
+       |  mode, ${Stable.sqlR4("discount")} AS discount, ${Stable.sqlR4("price")} AS price,
+       |  credit_fields, customer_id, contract_id
+       |FROM tagged""".stripMargin) { (s, d) =>
+    RuleMatch.addRuleTag(BillingDemo.fact(s, d), BillingDemo.dim(s, d))
+      .select(
+        (matchOutKeys.map(col) ++ Seq(
+          col("mode"), Stable.r4(col("discount")).as("discount"),
+          Stable.r4(col("price")).as("price"),
+          col("credit_fields"), col("customer_id"), col("contract_id"))): _*)
+  }
+
+  // ---------- q22: the full kernel, conformed to the 37-col target ----------
+
+  private val etlLiteral = "2026-02-01 00:00:00"
+
+  val q22KernelFull = QueryDef(
+    "q22_kernel_full", {
+      val selectedSum = CreditColumns
+        .map(c =>
+          s"(CASE WHEN list_contains(string_split(coalesce(credit_fields, ''), '/'), '$c') THEN $c ELSE 0.0 END)")
+        .mkString("\n      + ")
+      // conform: 37 columns, reference defaults, doubles rounded to 4
+      val outCols = BillingSchema.TargetColumns.map {
+        case "etl_time" => s"TIMESTAMP '$etlLiteral' AS etl_time"
+        case "usage_day" => "usage_day"
+        case "mode" => "cast(coalesce(mode, 0) AS INTEGER) AS mode"
+        case c if BillingSchema.NullableStringCols.contains(c) => c
+        case c if BillingSchema.StringDefaultCols.contains(c) => s"coalesce($c, '') AS $c"
+        case c => s"${Stable.sqlR4(s"coalesce($c, 0.0)")} AS $c"
+      }.mkString(",\n  ")
+      s"""$taggedSql,
+         |derived AS (
+         |  SELECT *,
+         |    (cost + internal_credits_cost) * ${BillingDemo.extraRateSql} AS internal_cost,
+         |    cost + internal_credits_consumption AS internal_consumption,
+         |    CASE WHEN coalesce(price, 1.0) != 0.0
+         |         THEN ($selectedSum) / coalesce(price, 1.0)
+         |         ELSE 0.0 END AS m4part
+         |  FROM tagged),
+         |finished AS (
+         |  SELECT *,
+         |    CASE mode
+         |      WHEN 1 THEN internal_consumption * discount
+         |      WHEN 2 THEN usage_amount_in_pricing_units * price
+         |      WHEN 3 THEN usage_amount_in_pricing_units * price * discount
+         |      WHEN 4 THEN cost_at_list * coalesce(discount, 1.0) + m4part * coalesce(discount, 1.0)
+         |      ELSE 0.0 END AS external_consumption,
+         |    CASE mode
+         |      WHEN 1 THEN internal_credits_consumption
+         |      WHEN 4 THEN m4part
+         |      ELSE 0.0 END AS discount_amount
+         |  FROM derived)
+         |SELECT
+         |  $outCols
+         |FROM finished""".stripMargin
+    }) { (s, d) =>
+    val out = Calculate.calculateWithCredits(
+      BillingDemo.fact(s, d), BillingDemo.dim(s, d), BillingDemo.demoExtraDiscount)
+    roundDoubles(
+      Conform.conformToTarget(out, lit(etlLiteral).cast("timestamp")))
+  }
+
+  val all: Seq[QueryDef] = Seq(q20CreditsPivot, q21RuleMatch, q22KernelFull)
+}

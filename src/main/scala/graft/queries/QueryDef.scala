@@ -18,3 +18,18 @@ object QueryDef {
   def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, fn, None)
 }
+
+/** Engine-stable 4-decimal rounding for oracle parity.
+  *
+  * `round()` half-way behavior differs between Spark (BigDecimal HALF_UP on
+  * the exact binary value) and DuckDB (scaled-multiply) — values landing on
+  * a .00005 boundary flip. `floor(x*1e4 + 0.5)/1e4` uses the SAME IEEE ops
+  * in both engines, so identical inputs give identical bits, and ulp-level
+  * aggregation-order differences still collapse to the same result.
+  */
+object Stable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{floor, lit}
+  def r4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+  def sqlR4(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
+}

@@ -1,0 +1,127 @@
+package graft.kernel
+
+import org.apache.spark.sql.Row
+
+/** Billing fixtures per FIXTURES.md §A — minimal rows exercising each
+  * semantic branch of the kernel. */
+object Fixtures {
+  case class Fact(
+      invoice_month: String, billing_account_id: String, usage_day: java.sql.Date,
+      project_id: String, service_description: String, sku_id: String,
+      usage_amount_in_pricing_units: Double = 10.0,
+      cost: Double = 100.0, cost_at_list: Double = 120.0,
+      c_cud: Double = 0.0, c_cud_db: Double = 0.0, c_discount: Double = 0.0,
+      c_free_tier: Double = 0.0, c_promotion: Double = 0.0, c_rm: Double = 0.0,
+      c_sub_benefit: Double = 0.0, c_sud: Double = 0.0,
+      internal_credits_cost: Double = 0.0, internal_credits_consumption: Double = 0.0)
+
+  case class Rule(
+      month: String, billing_account_id: String,
+      project_id: Option[String] = None, service_description: Option[String] = None,
+      sku_id: Option[String] = None,
+      mode: Option[Int] = None, discount: Option[Double] = None,
+      price: Option[Double] = None, credit_fields: Option[String] = None,
+      customer_id: Option[String] = None, contract_id: Option[String] = None)
+
+  val day: java.sql.Date = java.sql.Date.valueOf("2026-01-15")
+  def fact(acct: String, proj: String = "p1", svc: String = "s1", sku: String = "k1"): Fact =
+    Fact("202601", acct, day, proj, svc, sku)
+}
+
+class RuleMatchSpec extends SparkSpec {
+  import Fixtures._
+
+  private def run(facts: Seq[Fact], rules: Seq[Rule]): Seq[Row] = {
+    import spark.implicits._
+    val out = RuleMatch.addRuleTag(facts.toDF(), rules.toDF())
+    out.select("billing_account_id", "project_id", "service_description", "sku_id",
+      "mode", "discount", "price", "credit_fields", "customer_id", "contract_id")
+      .collect().toSeq
+  }
+
+  test("each of the 8 null patterns matches on its own keys") {
+    val f = fact("A")
+    // one rule per pattern, each targeting a DIFFERENT account so they don't compete
+    val accounts = (1 to 8).map(i => s"A$i")
+    val facts = accounts.map(a => fact(a))
+    val rules = Seq(
+      Rule("2026-01", "A1", mode = Some(1)),
+      Rule("2026-01", "A2", project_id = Some("p1"), mode = Some(2)),
+      Rule("2026-01", "A3", service_description = Some("s1"), mode = Some(3)),
+      Rule("2026-01", "A4", project_id = Some("p1"), service_description = Some("s1"), mode = Some(4)),
+      Rule("2026-01", "A5", sku_id = Some("k1"), mode = Some(1)),
+      Rule("2026-01", "A6", project_id = Some("p1"), sku_id = Some("k1"), mode = Some(2)),
+      Rule("2026-01", "A7", service_description = Some("s1"), sku_id = Some("k1"), mode = Some(3)),
+      Rule("2026-01", "A8", project_id = Some("p1"), service_description = Some("s1"),
+        sku_id = Some("k1"), mode = Some(4)))
+    val rows = run(facts, rules)
+    assert(rows.size == 8)
+    val modes = rows.map(r => r.getString(0) -> r.getAs[Int]("mode")).toMap
+    assert(modes == Map("A1" -> 1, "A2" -> 2, "A3" -> 3, "A4" -> 4,
+      "A5" -> 1, "A6" -> 2, "A7" -> 3, "A8" -> 4))
+  }
+
+  test("non-matching specializer values do not match") {
+    val rows = run(
+      Seq(fact("A", proj = "OTHER")),
+      Seq(Rule("2026-01", "A", project_id = Some("p1"), mode = Some(2))))
+    assert(rows.head.getAs[Any]("mode") == null)
+  }
+
+  test("month must align ('YYYY-MM' dim vs 'YYYYMM' fact)") {
+    val rows = run(
+      Seq(fact("A")),
+      Seq(Rule("2026-02", "A", mode = Some(1)))) // wrong month
+    assert(rows.head.getAs[Any]("mode") == null)
+  }
+
+  test("precedence 8>4>6>2>7>3>5>1: most-specific rule wins") {
+    // all 8 patterns match the same fact row; pattern 8 must win
+    val rules = (1 to 8).map { i =>
+      val (p, s, k) = RuleMatch.Presence(i)
+      Rule("2026-01", "A",
+        project_id = if (p) Some("p1") else None,
+        service_description = if (s) Some("s1") else None,
+        sku_id = if (k) Some("k1") else None,
+        mode = Some(i), contract_id = Some(s"CTR$i"))
+    }
+    val rows = run(Seq(fact("A")), rules)
+    assert(rows.head.getAs[Int]("mode") == 8)
+    assert(rows.head.getAs[String]("contract_id") == "CTR8")
+  }
+
+  test("at equal specificity, project beats service beats sku (4>6>7, 2>3>5)") {
+    // two-key patterns: 4 (proj+svc), 6 (proj+sku), 7 (svc+sku)
+    val rules = Seq(
+      Rule("2026-01", "A", project_id = Some("p1"), service_description = Some("s1"), mode = Some(4)),
+      Rule("2026-01", "A", project_id = Some("p1"), sku_id = Some("k1"), mode = Some(6)),
+      Rule("2026-01", "A", service_description = Some("s1"), sku_id = Some("k1"), mode = Some(7)))
+    assert(run(Seq(fact("A")), rules).head.getAs[Int]("mode") == 4)
+
+    val oneKey = Seq(
+      Rule("2026-01", "A", project_id = Some("p1"), mode = Some(2)),
+      Rule("2026-01", "A", service_description = Some("s1"), mode = Some(3)),
+      Rule("2026-01", "A", sku_id = Some("k1"), mode = Some(5)))
+    assert(run(Seq(fact("A")), oneKey).head.getAs[Int]("mode") == 2)
+  }
+
+  test("per-column coalesce: specific rule's null payload falls back to less specific") {
+    val rules = Seq(
+      Rule("2026-01", "A", project_id = Some("p1"), mode = Some(2),
+        discount = None, customer_id = Some("CU-specific")),
+      Rule("2026-01", "A", mode = Some(1), discount = Some(0.9), customer_id = Some("CU-base")))
+    val r = run(Seq(fact("A")), rules).head
+    assert(r.getAs[Int]("mode") == 2)                 // from specific
+    assert(r.getAs[Double]("discount") == 0.9)        // fell back per-column
+    assert(r.getAs[String]("customer_id") == "CU-specific")
+  }
+
+  test("duplicate keys within a family are deduplicated deterministically") {
+    val rules = Seq(
+      Rule("2026-01", "A", mode = Some(1), contract_id = Some("CTR-a")),
+      Rule("2026-01", "A", mode = Some(1), contract_id = Some("CTR-b")))
+    val rows = run(Seq(fact("A")), rules)
+    assert(rows.size == 1) // no fan-out
+    assert(rows.head.getAs[String]("contract_id") == "CTR-a") // first under payload sort
+  }
+}

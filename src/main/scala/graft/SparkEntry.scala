@@ -12,7 +12,10 @@ import graft.queries.{CoreQueries, KernelQueries, QueryDef}
 object SparkEntry {
 
   /** Every declared query, assembled from the per-family modules. */
-  def defs: Seq[QueryDef] = CoreQueries.all ++ KernelQueries.all
+  def defs: Seq[QueryDef] =
+    CoreQueries.all ++ KernelQueries.all ++
+      graft.operators.TextAnalysis.all ++ graft.operators.Dedup.all ++
+      graft.operators.Similarity.all ++ graft.operators.Multimodal.all
 
   /** Flagship: the full billing kernel (rule-match ladder + modes + conform)
     * on sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,293 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.{QueryDef, Stable}
+import graft.tables.Tables
+
+/** Deduplication operators for a training-data pipeline, over `documents`:
+  *
+  *  - d01 exact (hash-groupBy) — one shuffle on the content hash;
+  *  - d02 exact n-gram Jaccard — shingle-explode + equi-join on shingle, the
+  *    scalable inverted-index formulation (never O(n²) row pairs unless two
+  *    docs actually share a shingle);
+  *  - d03 MinHash+LSH — shingle→minhash→band→bucket-join candidates, then
+  *    exact-Jaccard verification of the (tiny) candidate set;
+  *  - d04 SimHash — 28-bit shingle-level signature, pigeonhole block-join
+  *    candidates (4 blocks; hamming ≤ 3 ⇒ some block equal), hamming verify;
+  *  - d05 embedding cosine near-dup — the brute-force baseline (the
+  *    LSH-bucketed scale path is Similarity.s02).
+  *
+  * The synthetic corpus has (almost) no real near-dups, so d02–d04 dedup a
+  * corpus of each doc UNION a deterministically mutated twin (prefix cut) —
+  * real positives, fully reproducible, oracle-checked exactly.
+  *
+  * Scale notes (100 TB): every join here is on a derived content key
+  * (hash/shingle/band/block), so Spark shuffles by that key — no cartesian
+  * anywhere; AQE handles shingle-frequency skew; hot shingles (boilerplate)
+  * should be stop-listed by frequency in a real corpus.
+  */
+object Dedup {
+
+  import TextOps._
+
+  // ---------- d01: exact dedup by content hash ----------
+
+  val d01Exact = QueryDef(
+    "d01_dedup_exact",
+    """SELECT md5(text) AS text_md5, min(doc_id) AS keeper,
+      |       count(*) AS n_copies
+      |FROM documents GROUP BY md5(text)""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+  }
+
+  // ---------- mutated corpus shared by d02/d03/d04 ----------
+
+  /** Each doc plus a twin (doc_id+100000) with the first 14 chars cut —
+    * high-but-not-perfect shingle overlap. */
+  def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+    docs.unionAll(docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      col("t").substr(lit(15), length(col("t"))).as("t")))
+  }
+
+  val corpusSql: String =
+    """SELECT doc_id, lower(trim(text)) AS t FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS doc_id, substring(lower(trim(text)), 15) AS t
+      |FROM documents""".stripMargin
+
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    corpus(s, d).select(col("doc_id"), shingles(tokens(col("t"))).as("sh"))
+
+  private val shingledSql: String =
+    s"""SELECT doc_id, ${shinglesSql(tokensSql("t"))} AS sh
+       |FROM (${corpusSql.replace("\n", " ")})""".stripMargin
+
+  // ---------- d02: exact n-gram Jaccard via shingle inverted index ----------
+
+  private val JaccardThreshold = 0.5
+
+  val d02NgramJaccard = QueryDef(
+    "d02_dedup_ngram", {
+      s"""WITH sh AS (${shingledSql.replace("\n", " ")}),
+         |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b,
+         |  ${Stable.sqlR4("CAST(i AS DOUBLE) / (ca.n + cb.n - i)")} AS jaccard
+         |FROM inter
+         |JOIN cnt ca ON ca.doc_id = id_a
+         |JOIN cnt cb ON cb.doc_id = id_b
+         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $JaccardThreshold""".stripMargin
+    }) { (s, d) =>
+    val sh = shingled(s, d).cache()
+    val cnt = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val a = ex.as("a"); val b = ex.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    val j = col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
+    inter
+      .join(cnt.as("ca"), col("ca.doc_id") === col("id_a"))
+      .join(cnt.as("cb"), col("cb.doc_id") === col("id_b"))
+      .filter(j >= JaccardThreshold)
+      .select(col("id_a"), col("id_b"), Stable.r4(j).as("jaccard"))
+  }
+
+  // ---------- d03: MinHash + LSH banding ----------
+
+  private val NumHashes = 16
+  private val BandSize = 4 // ⇒ 4 bands
+  private def permA(j: Int): Long = 2L * j + 1
+  private def permB(j: Int): Long = 7L * j + 3
+
+  /** minhash_j = min over shingle-hashes h of (a_j·h + b_j) mod p.
+    * Shingle hashes are materialized once (col "hh") — recomputing the
+    * per-character fold for each of the 16 permutations would be 16× work. */
+  private def minhashCols: Seq[Column] =
+    (0 until NumHashes).map { j =>
+      array_min(transform(col("hh"), h => (lit(permA(j)) * h + lit(permB(j))) % HashMod))
+        .as(s"mh$j")
+    }
+
+  private def minhashSqlCols: Seq[String] =
+    (0 until NumHashes).map { j =>
+      s"list_min(list_transform(hh, h -> (${permA(j)} * h + ${permB(j)}) % $HashMod)) AS mh$j"
+    }
+
+  private def bandCol(k: Int): Column =
+    concat_ws("-", (0 until BandSize).map(r => col(s"mh${k * BandSize + r}")): _*)
+  private def bandSql(k: Int): String =
+    s"concat_ws('-', ${(0 until BandSize).map(r => s"mh${k * BandSize + r}").mkString(", ")})"
+
+  val d03MinHashLsh = QueryDef(
+    "d03_dedup_minhash", {
+      val nBands = NumHashes / BandSize
+      val bandRows = (0 until nBands)
+        .map(k => s"SELECT doc_id, $k AS band_k, ${bandSql(k)} AS band FROM sig")
+        .mkString("\nUNION ALL\n")
+      s"""WITH sh AS (${shingledSql.replace("\n", " ")}),
+         |hashed AS (SELECT doc_id, list_transform(sh, sg -> ${polyHashSql("sg")}) AS hh FROM sh),
+         |sig AS (SELECT doc_id, ${minhashSqlCols.mkString(",\n  ")} FROM hashed),
+         |bands AS (
+         |${bandRows.replace("\n", "\n")}),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_k = b.band_k AND a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  ${Stable.sqlR4(
+          "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))")} AS jaccard
+         |FROM cand
+         |JOIN sh sa ON sa.doc_id = id_a
+         |JOIN sh sb ON sb.doc_id = id_b
+         |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+         |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+         |      >= $JaccardThreshold""".stripMargin
+    }) { (s, d) =>
+    val sh = shingled(s, d).cache()
+    val sig = sh
+      .select(col("doc_id"), transform(col("sh"), sg => polyHash(sg)).as("hh"))
+      .select(col("doc_id") +: minhashCols: _*)
+    val nBands = NumHashes / BandSize
+    val bands = (0 until nBands).map { k =>
+      sig.select(col("doc_id"), lit(k).as("band_k"), bandCol(k).as("band"))
+    }.reduce(_ unionAll _)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_k") === col("b.band_k") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val interSize = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double")
+    val j = interSize / (size(col("sa.sh")) + size(col("sb.sh")) - interSize)
+    cand
+      .join(sh.as("sa"), col("sa.doc_id") === col("id_a"))
+      .join(sh.as("sb"), col("sb.doc_id") === col("id_b"))
+      .filter(j >= JaccardThreshold)
+      .select(col("id_a"), col("id_b"), Stable.r4(j).as("jaccard"))
+  }
+
+  // ---------- d04: SimHash with pigeonhole block join ----------
+
+  // 28 bits: the polynomial hash is mod 1e9+7 (< 2^30), so bits 0..27 are
+  // uniform while 28+ are biased/degenerate. 4 blocks of 7 bits; pigeonhole:
+  // hamming ≤ 3 < 4 blocks guarantees a shared block, we keep ≤ 2.
+  private val SimBits = 28
+  private val NumBlocks = 4
+  private val BlockBits = 7
+  private val MaxHamming = 2
+
+  /** bit_i(simhash) = sign of Σ_shingles (bit_i(hash(shingle)) ? +1 : -1),
+    * over a materialized shingle-hash array (col "th" — 28× cheaper than
+    * inlining). Shingles, not tokens: on a narrow-vocab corpus every doc has
+    * nearly the same token SET, which makes token-level simhash degenerate
+    * (everything within hamming 2 of everything). */
+  private def simhashCol: Column = {
+    val bitSums = (0 until SimBits).map { i =>
+      aggregate(col("th"), lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+    }
+    bitSums.zipWithIndex
+      .map { case (sc, i) => when(sc > 0, lit(1L << i)).otherwise(lit(0L)) }
+      .reduce(_ + _)
+  }
+
+  private def simhashSql: String = {
+    val bitSums = (0 until SimBits).map { i =>
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(th, " +
+        s"h -> CASE WHEN (h >> $i) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), (acc, x) -> acc + x)"
+    }
+    bitSums.zipWithIndex
+      .map { case (e, i) => s"(CASE WHEN ($e) > 0 THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)" }
+      .mkString("(", "\n + ", ")")
+  }
+
+  val d04SimHash = QueryDef(
+    "d04_dedup_simhash", {
+      val blockRows = (0 until NumBlocks)
+        .map(k => s"SELECT doc_id, simhash, $k AS blk_k, (simhash >> ${k * BlockBits}) & ${(1 << BlockBits) - 1} AS blk FROM sig")
+        .mkString("\nUNION ALL\n")
+      s"""WITH sh AS (${shingledSql.replace("\n", " ")}),
+         |hashed AS (
+         |  SELECT doc_id, list_transform(sh, sg -> ${polyHashSql("sg")}) AS th FROM sh),
+         |sig AS (SELECT doc_id, $simhashSql AS simhash FROM hashed),
+         |blocks AS (
+         |$blockRows),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.simhash AS sim_a, b.simhash AS sim_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk_k = b.blk_k AND a.blk = b.blk AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(sim_a, sim_b)) <= $MaxHamming""".stripMargin
+    }) { (s, d) =>
+    val sig = shingled(s, d)
+      .select(col("doc_id"), transform(col("sh"), sg => polyHash(sg)).as("th"))
+      .select(col("doc_id"), simhashCol.as("simhash"))
+    val blocks = (0 until NumBlocks).map { k =>
+      sig.select(col("doc_id"), col("simhash"), lit(k).as("blk_k"),
+        shiftright(col("simhash"), k * BlockBits)
+          .bitwiseAND(lit((1L << BlockBits) - 1)).as("blk"))
+    }.reduce(_ unionAll _)
+    val cand = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk_k") === col("b.blk_k") && col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+    val hamming = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+    cand.filter(hamming <= MaxHamming)
+      .select(col("id_a"), col("id_b"), hamming.cast("long").as("hamming"))
+  }
+
+  // ---------- d05: embedding cosine near-dup (brute-force baseline) ----------
+
+  private[operators] def vecNormed(idCol: String): Column = col(idCol)
+
+  /** dot(a,b) in double with identical fold order on both sides. */
+  def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+  def dotSql(a: String, b: String): String =
+    TextOps.sumSql(s"list_transform(list_zip($a, $b), pp -> CAST(pp[1] AS DOUBLE) * CAST(pp[2] AS DOUBLE))")
+
+  def normCol(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+  def normSql(a: String): String =
+    s"sqrt(${TextOps.sumSql(s"list_transform($a, xx -> CAST(xx AS DOUBLE) * CAST(xx AS DOUBLE))")})"
+
+  private val CosineThreshold = 0.4
+
+  val d05EmbeddingNearDup = QueryDef(
+    "d05_dedup_embedding",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${Stable.sqlR4(s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)")} AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $CosineThreshold""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), normCol(col("embedding")).as("nrm"))
+    val cos = dotCol(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(cos >= CosineThreshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        Stable.r4(cos).as("cosine"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(d01Exact, d02NgramJaccard, d03MinHashLsh, d04SimHash, d05EmbeddingNearDup)
+}

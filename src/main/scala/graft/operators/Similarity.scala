@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.{QueryDef, Stable}
+import graft.tables.Tables
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  *  - s01 brute-force cosine top-k: the exact baseline. Probes × corpus via
+  *    a broadcast of the (small) probe set — the corpus side never shuffles;
+  *    ranking is a per-probe window.
+  *  - s02 LSH-bucketed ANN: 8 deterministic random-hyperplane bits → bucket;
+  *    probes only compare against same-bucket candidates (≈1/256 of the
+  *    corpus per probe at uniform spread), then exact cosine re-rank.
+  *
+  * 100 TB design: s01 is O(|probes|·|corpus|) — correct but only viable for
+  * small probe sets; s02 is the scale path (bucket join = shuffle on an
+  * 8-bit key; multi-probe/bit-flip variants raise recall the same way).
+  * Vector math is `zip_with`/`aggregate` in double — codegen'd, no UDFs.
+  */
+object Similarity {
+
+  import Dedup.{dotCol, dotSql, normCol, normSql}
+
+  private val ProbeMod = 25 // vec_id % 25 == 0 ⇒ 4% of vectors are probes
+  private val TopK = 5
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), normCol(col("embedding")).as("nrm"))
+
+  private val vecsSql =
+    s"SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings"
+
+  /** s01 — exact top-k neighbors for each probe vector. */
+  val s01KnnBrute = QueryDef(
+    "s01_knn_brute",
+    s"""WITH e AS ($vecsSql),
+       |p AS (SELECT * FROM e WHERE vec_id % $ProbeMod = 0),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       |         ${dotSql("p.embedding", "e.embedding")} / (p.nrm * e.nrm) AS cos
+       |  FROM p JOIN e ON p.vec_id <> e.vec_id),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                            ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, neighbor_id, ${Stable.sqlR4("cos")} AS cosine
+       |FROM ranked WHERE rank <= $TopK""".stripMargin) { (s, d) =>
+    val e = vecs(s, d)
+    val p = e.filter(col("vec_id") % ProbeMod === 0)
+    val cos = dotCol(col("p.embedding"), col("e.embedding")) / (col("p.nrm") * col("e.nrm"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(p.as("p")).join(e.as("e"), col("p.vec_id") =!= col("e.vec_id"))
+      .select(col("p.vec_id").as("probe_id"), col("e.vec_id").as("neighbor_id"),
+        cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        Stable.r4(col("cos")).as("cosine"))
+  }
+
+  // ---------- s02: random-hyperplane LSH buckets + exact re-rank ----------
+
+  private val NumPlanes = 8
+  private val Dims = 64
+
+  /** Deterministic ±1 hyperplane entry for (plane j, dim dd) — pure integer
+    * arithmetic, identical in both engines. */
+  private def signExpr(j: Int, dd: Column): Column =
+    when(((lit(j.toLong * Dims) + dd) * lit(2654435761L)) % 97 < 48, lit(1.0))
+      .otherwise(lit(-1.0))
+  private def signSql(j: Int): String =
+    s"(CASE WHEN ((${j.toLong * Dims} + dd) * 2654435761) % 97 < 48 THEN 1.0 ELSE -1.0 END)"
+
+  private def bucketCol(v: Column): Column =
+    (0 until NumPlanes).map { j =>
+      val dot = aggregate(
+        transform(sequence(lit(0), lit(Dims - 1)),
+          dd => element_at(v, dd + 1).cast("double") * signExpr(j, dd.cast("long"))),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def bucketSql(v: String): String =
+    (0 until NumPlanes).map { j =>
+      val dot = TextOps.sumSql(
+        s"list_transform(generate_series(0, ${Dims - 1}), dd -> CAST($v[dd + 1] AS DOUBLE) * ${signSql(j)})")
+      s"(CASE WHEN ($dot) > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", "\n + ", ")")
+
+  /** s02 — ANN: compare probes only to same-bucket candidates. */
+  val s02AnnLsh = QueryDef(
+    "s02_ann_lsh",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+       |         ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |p AS (SELECT * FROM e WHERE vec_id % $ProbeMod = 0),
+       |scored AS (
+       |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, p.bucket,
+       |         ${dotSql("p.embedding", "e.embedding")} / (p.nrm * e.nrm) AS cos
+       |  FROM p JOIN e ON p.bucket = e.bucket AND p.vec_id <> e.vec_id),
+       |ranked AS (
+       |  SELECT probe_id, bucket, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                            ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, bucket, rank, neighbor_id, ${Stable.sqlR4("cos")} AS cosine
+       |FROM ranked WHERE rank <= $TopK""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d).select(
+      col("vec_id"), col("embedding"),
+      normCol(col("embedding")).as("nrm"),
+      bucketCol(col("embedding")).as("bucket"))
+    val p = e.filter(col("vec_id") % ProbeMod === 0)
+    val cos = dotCol(col("p.embedding"), col("e.embedding")) / (col("p.nrm") * col("e.nrm"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(p.as("p"))
+      .join(e.as("e"),
+        col("p.bucket") === col("e.bucket") && col("p.vec_id") =!= col("e.vec_id"))
+      .select(col("p.vec_id").as("probe_id"), col("p.bucket").as("bucket"),
+        col("e.vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("bucket"), col("rank"), col("neighbor_id"),
+        Stable.r4(col("cos")).as("cosine"))
+  }
+
+  val all: Seq[QueryDef] = Seq(s01KnnBrute, s02AnnLsh)
+}

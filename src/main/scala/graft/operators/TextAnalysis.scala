@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.queries.{QueryDef, Stable}
+import graft.tables.Tables
+
+/** Text-analysis operators for a training-data pipeline, over `documents`:
+  * token counting, quality scoring, language-ID (marker-token heuristic),
+  * and document fingerprinting (rolling hash). All pure Catalyst expressions
+  * (higher-order array functions) — codegen-friendly, no UDFs, trivially
+  * data-parallel at 100 TB (per-row map work, no shuffle at all).
+  */
+object TextAnalysis {
+
+  import TextOps._
+
+  /** t01 — token/char counting (whitespace tokenization). */
+  val t01TokenCount = QueryDef(
+    "t01_token_count",
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars_actual,
+       |  len(${tokensSql("text")}) AS n_tokens,
+       |  len(list_distinct(${tokensSql("text")})) AS n_distinct_tokens
+       |FROM documents""".stripMargin) { (s, d) =>
+    val toks = tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_actual"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
+  }
+
+  private val stopwords = Seq("the", "a", "and", "of", "to", "in")
+
+  /** t02 — quality scoring: stopword ratio, lexical diversity, length prior.
+    * The score formula is arbitrary but engine-stable (identical op order). */
+  val t02Quality = QueryDef(
+    "t02_quality", {
+      val toks = tokensSql("text")
+      val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+         |  ${Stable.sqlR4(s"CAST(len(list_filter($toks, tk -> tk IN ($stopList))) AS DOUBLE) / len($toks)")} AS stop_ratio,
+         |  ${Stable.sqlR4(s"CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks)")} AS diversity,
+         |  ${Stable.sqlR4(s"least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0)")} AS length_prior,
+         |  ${Stable.sqlR4(
+          s"0.4 * (CAST(len(list_filter($toks, tk -> tk IN ($stopList))) AS DOUBLE) / len($toks))" +
+            s" + 0.3 * (CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks))" +
+            s" + 0.3 * least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0)")} AS quality_score
+         |FROM documents""".stripMargin
+    }) { (s, d) =>
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopRatio = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / size(toks)
+    val diversity = size(array_distinct(toks)).cast("double") / size(toks)
+    val lengthPrior = least(nTok / 100.0, lit(1.0))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      Stable.r4(stopRatio).as("stop_ratio"),
+      Stable.r4(diversity).as("diversity"),
+      Stable.r4(lengthPrior).as("length_prior"),
+      Stable.r4(lit(0.4) * stopRatio + lit(0.3) * diversity + lit(0.3) * lengthPrior)
+        .as("quality_score"))
+  }
+
+  /** language → marker tokens (toy n-gram-free heuristic; the synthetic
+    * corpus is English-vocab so predictions skew 'en' — the operator shape
+    * is what matters, and the oracle checks it exactly). */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "de" -> Seq("der", "die", "und", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "y", "que"))
+
+  /** t03 — language identification by marker-token counts with a
+    * deterministic tie-break (declaration order). */
+  val t03LangId = QueryDef(
+    "t03_langid", {
+      val toks = tokensSql("text")
+      def score(ws: Seq[String]) =
+        s"len(list_filter($toks, tk -> tk IN (${ws.map(w => s"'$w'").mkString(", ")})))"
+      val scores = langMarkers.map { case (l, ws) => s"${score(ws)} AS score_$l" }
+      val greatestE = s"greatest(${langMarkers.map(l => s"score_${l._1}").mkString(", ")})"
+      val caseE = langMarkers
+        .map { case (l, _) => s"WHEN score_$l = $greatestE THEN '$l'" }
+        .mkString("CASE ", " ", " END")
+      s"""SELECT doc_id, lang AS labeled_lang, score_en, score_de, score_fr, score_es,
+         |  $caseE AS predicted_lang
+         |FROM (SELECT doc_id, lang, ${scores.mkString(",\n  ")} FROM documents)""".stripMargin
+    }) { (s, d) =>
+    val toks = tokens(col("text"))
+    def score(ws: Seq[String]) = size(filter(toks, t => t.isin(ws: _*))).cast("long")
+    val scored = Tables.documents(s, d).select(
+      (Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+        langMarkers.map { case (l, ws) => score(ws).as(s"score_$l") }): _*)
+    val g = greatest(langMarkers.map(l => col(s"score_${l._1}")): _*)
+    val predicted = langMarkers.tail.foldLeft(
+      when(col("score_en") === g, "en")) { case (acc, (l, _)) =>
+      acc.when(col(s"score_$l") === g, l)
+    }
+    scored.withColumn("predicted_lang", predicted)
+      .select("doc_id", "labeled_lang", "score_en", "score_de", "score_fr", "score_es",
+        "predicted_lang")
+  }
+
+  /** t04 — document fingerprint: rolling polynomial hash of the normalized
+    * prefix (cheap near-constant-cost identity for clustering/sharding). */
+  val t04Fingerprint = QueryDef(
+    "t04_fingerprint",
+    s"""SELECT doc_id,
+       |  ${polyHashSql("lower(substring(text, 1, 128))")} AS fingerprint,
+       |  ${polyHashSql("lower(trim(text))")} AS full_fingerprint
+       |FROM documents""".stripMargin) { (s, d) =>
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      polyHash(lower(substring(col("text"), 1, 128))).as("fingerprint"),
+      polyHash(lower(trim(col("text")))).as("full_fingerprint"))
+  }
+
+  val all: Seq[QueryDef] = Seq(t01TokenCount, t02Quality, t03LangId, t04Fingerprint)
+}

@@ -1,0 +1,210 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the numeric hot paths.
+  *
+  * Spark's higher-order functions (`aggregate`/`transform`/`zip_with`)
+  * evaluate their lambda ONCE PER ELEMENT through the interpreted expression
+  * tree — a 64-dim dot product costs ~64 tree walks per row, which dominated
+  * the similarity/dedup benchmarks (e.g. the pairwise-cosine query spent
+  * 300s at sf0.1). These expressions do the same folds in one compiled JVM
+  * loop per row — 10-40× faster — while preserving BIT-IDENTICAL results:
+  * same left-to-right fold order, same int64 modular arithmetic, so the
+  * DuckDB oracles keep hash-matching.
+  *
+  * They are row-local scalar expressions (null-safe, no state), so they
+  * compose with pushdown/partitioning exactly like built-ins; CodegenFallback
+  * costs one virtual call per row, not per element.
+  */
+object VectorFunctions {
+
+  val HashMod: Long = 1000000007L
+
+  /** dot(a, b) over array<float> in double precision, left-to-right
+    * (== aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0.0, +)). */
+  case class FloatVecDot(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+        i += 1
+      }
+      acc
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** 31-base polynomial rolling hash over codepoints mod 1e9+7
+    * (== the TextOps.polyHash fold; == DuckDB
+    * list_reduce over unicode(split(s,''))). */
+  case class PolyHash(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val s = v.asInstanceOf[UTF8String].toString
+      var acc = 0L
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        acc = (acc * 31 + cp) % HashMod
+        i += Character.charCount(cp)
+      }
+      acc
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** 28-bit SimHash over an array<long> of feature hashes: bit i is set when
+    * Σ (bit_i(h) ? +1 : -1) > 0. One pass over the array. */
+  case class SimHash28(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val counts = new Array[Int](28)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val h = arr.getLong(i)
+        var b = 0
+        while (b < 28) {
+          if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sim = 0L
+      var b = 0
+      while (b < 28) {
+        if (counts(b) > 0) sim |= 1L << b
+        b += 1
+      }
+      sim
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** MinHash signature: sig[j] = min over h of (a_j·h + b_j) mod p, with
+    * a_j = 2j+1, b_j = 7j+3 (must stay in lockstep with the SQL oracle).
+    * Null for an empty array (== array_min / list_min semantics). */
+  case class MinHashSig(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return null
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < numHashes) {
+          val p = ((2L * j + 1) * h + (7L * j + 3)) % HashMod
+          if (p < mins(j)) mins(j) = p
+          j += 1
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Distinct word w-shingles of a (pre-normalized) string in ONE pass:
+    * tokenize on \s+ and join each w consecutive tokens with one space.
+    *
+    * The composed form — `transform(sequence(...), i ->
+    * concat_ws(element_at(split(t), i), ...))` — re-evaluates the regex
+    * split PER ELEMENT (no common-subexpression elimination inside
+    * higher-order lambdas): ~135 full-document splits per row at w=3. This
+    * was the dominant cost of the dedup benchmarks.
+    *
+    * Output order is first-occurrence; all consumers (Jaccard intersection,
+    * MinHash, SimHash) are order-independent, which is what keeps the DuckDB
+    * oracle (whose list_distinct reorders) hash-compatible. */
+  case class WordShingles(child: Expression, width: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(v: Any): Any = {
+      // trim first: mirrors tokens() = split(lower(trim(s)), "\s+") — a
+      // leading space would otherwise yield an empty first token (caller is
+      // expected to have lowercased already)
+      val toks = v.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+      if (toks.length < width) return new GenericArrayData(Array.empty[Any])
+      val seen = new java.util.LinkedHashSet[String]
+      var i = 0
+      while (i <= toks.length - width) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var k = 1
+        while (k < width) { sb.append(' ').append(toks(i + k)); k += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** One-pass credits pivot (ref: calculate/service.py:11-43): sums
+    * `amounts[i]` into the bucket named by `types[i]` for the 8 known credit
+    * types, plus the unconditional total. Returns array<double> of
+    * [c_cud, c_cud_db, c_discount, c_free_tier, c_promotion, c_rm,
+    *  c_sub_benefit, c_sud, internal_credits_cost] in BillingSchema order;
+    * consumption (= total − c_rm) is derived by the caller. Same
+    * left-to-right summation order as the filter/aggregate formulation and
+    * the DuckDB unnest oracle. */
+  case class CreditsPivot(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    private val typeIndex: Map[String, Int] = Map(
+      "COMMITTED_USAGE_DISCOUNT" -> 0, "COMMITTED_USAGE_DISCOUNT_DOLLAR_BASE" -> 1,
+      "DISCOUNT" -> 2, "FREE_TIER" -> 3, "PROMOTION" -> 4, "RESELLER_MARGIN" -> 5,
+      "SUBSCRIPTION_BENEFIT" -> 6, "SUSTAINED_USAGE_DISCOUNT" -> 7)
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(t: Any, a: Any): Any = {
+      val types = t.asInstanceOf[ArrayData]
+      val amounts = a.asInstanceOf[ArrayData]
+      val out = new Array[Double](9)
+      val n = math.min(types.numElements(), amounts.numElements())
+      var i = 0
+      while (i < n) {
+        if (!types.isNullAt(i) && !amounts.isNullAt(i)) {
+          val idx = typeIndex.getOrElse(types.getUTF8String(i).toString, -1)
+          if (idx >= 0) out(idx) += amounts.getDouble(i)
+        }
+        i += 1
+      }
+      var j = 0
+      val na = amounts.numElements()
+      while (j < na) { out(8) += amounts.getDouble(j); j += 1 }
+      new GenericArrayData(out.map(java.lang.Double.valueOf(_): Any))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  // Column wrappers (Spark 4 classic: Column ↔ Expression via the bridge)
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+  def dotF(a: Column, b: Column): Column = column(FloatVecDot(expression(a), expression(b)))
+  def polyHashFast(c: Column): Column = column(PolyHash(expression(c)))
+  def simHash28(c: Column): Column = column(SimHash28(expression(c)))
+  def minHashSig(c: Column, n: Int): Column = column(MinHashSig(expression(c), n))
+  def wordShingles(c: Column, w: Int): Column = column(WordShingles(expression(c), w))
+  def creditsPivot(t: Column, a: Column): Column =
+    column(CreditsPivot(expression(t), expression(a)))
+}

@@ -19,31 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object Credits {
 
-  private def zipped: Column =
-    arrays_zip(
-      coalesce(col("credits_type"), array().cast("array<string>")).as("t"),
-      coalesce(col("credits_amount"), array().cast("array<double>")).as("a"))
-
-  private def sumWhere(typeName: String): Column =
-    aggregate(
-      filter(zipped, s => s.getField("t") === typeName),
-      lit(0.0),
-      (acc, s) => acc + s.getField("a"))
-
-  /** Adds the 8 `c_*` columns plus the two internal-credit totals. */
+  /** Adds the 8 `c_*` columns plus the two internal-credit totals. The pivot
+    * itself is one compiled pass (VectorFunctions.CreditsPivot) — the
+    * composed filter/aggregate form walks the interpreted expression tree
+    * once per array element per credit type. */
   def deriveCredits(df: DataFrame): DataFrame = {
-    val withTyped = BillingSchema.CreditTypeToColumn.foldLeft(df) {
-      case (acc, (typeName, colName)) =>
-        acc.withColumn(colName, sumWhere(typeName))
+    val piv = graft.functions.VectorFunctions.creditsPivot(
+      coalesce(col("credits_type"), array().cast("array<string>")),
+      coalesce(col("credits_amount"), array().cast("array<double>")))
+    val withPiv = df.withColumn("__piv", piv)
+    val withTyped = BillingSchema.CreditColumns.zipWithIndex.foldLeft(withPiv) {
+      case (acc, (colName, idx)) =>
+        acc.withColumn(colName, element_at(col("__piv"), idx + 1))
     }
     withTyped
-      .withColumn(
-        "internal_credits_cost",
-        aggregate(
-          coalesce(col("credits_amount"), array().cast("array<double>")),
-          lit(0.0), (acc, x) => acc + x))
+      .withColumn("internal_credits_cost", element_at(col("__piv"), 9))
       .withColumn(
         "internal_credits_consumption",
         col("internal_credits_cost") - col("c_rm"))
+      .drop("__piv")
   }
 }

@@ -62,7 +62,7 @@ object Dedup {
       |FROM documents""".stripMargin
 
   private def shingled(s: SparkSession, d: String): DataFrame =
-    corpus(s, d).select(col("doc_id"), shingles(tokens(col("t"))).as("sh"))
+    corpus(s, d).select(col("doc_id"), shingles(col("t")).as("sh"))
 
   private val shingledSql: String =
     s"""SELECT doc_id, ${shinglesSql(tokensSql("t"))} AS sh
@@ -72,11 +72,15 @@ object Dedup {
 
   private val JaccardThreshold = 0.5
 
+  /** Joins on the 64-bit shingle HASH rather than the shingle string —
+    * far smaller shuffle keys; hash collisions (~1e-9/pair) shift a Jaccard
+    * by one count at worst, and the oracle hashes identically. */
   val d02NgramJaccard = QueryDef(
     "d02_dedup_ngram", {
-      s"""WITH sh AS (${shingledSql.replace("\n", " ")}),
-         |cnt AS (SELECT doc_id, len(sh) AS n FROM sh),
-         |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      s"""WITH sh0 AS (${shingledSql.replace("\n", " ")}),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(sh0.sh, sg -> ${polyHashSql("sg")})) AS hh FROM sh0),
+         |cnt AS (SELECT doc_id, len(hh) AS n FROM sh),
+         |ex AS (SELECT doc_id, unnest(hh) AS s FROM sh),
          |inter AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
          |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -88,9 +92,12 @@ object Dedup {
          |JOIN cnt cb ON cb.doc_id = id_b
          |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $JaccardThreshold""".stripMargin
     }) { (s, d) =>
-    val sh = shingled(s, d).cache()
-    val cnt = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val sh = shingled(s, d)
+      .select(col("doc_id"),
+        array_distinct(transform(col("sh"), sg => polyHash(sg))).as("hh"))
+      .cache()
+    val cnt = sh.select(col("doc_id"), size(col("hh")).cast("long").as("n"))
+    val ex = sh.select(col("doc_id"), explode(col("hh")).as("s"))
     val a = ex.as("a"); val b = ex.as("b")
     val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -114,10 +121,7 @@ object Dedup {
     * Shingle hashes are materialized once (col "hh") — recomputing the
     * per-character fold for each of the 16 permutations would be 16× work. */
   private def minhashCols: Seq[Column] =
-    (0 until NumHashes).map { j =>
-      array_min(transform(col("hh"), h => (lit(permA(j)) * h + lit(permB(j))) % HashMod))
-        .as(s"mh$j")
-    }
+    (0 until NumHashes).map(j => element_at(col("sig"), j + 1).as(s"mh$j"))
 
   private def minhashSqlCols: Seq[String] =
     (0 until NumHashes).map { j =>
@@ -157,6 +161,10 @@ object Dedup {
     val sh = shingled(s, d).cache()
     val sig = sh
       .select(col("doc_id"), transform(col("sh"), sg => polyHash(sg)).as("hh"))
+      // materialize the signature array ONCE per row; element_at over it is
+      // free — 16 copies of MinHashSig would each rescan the hash array
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.minHashSig(col("hh"), NumHashes).as("sig"))
       .select(col("doc_id") +: minhashCols: _*)
     val nBands = NumHashes / BandSize
     val bands = (0 until nBands).map { k =>
@@ -192,15 +200,8 @@ object Dedup {
     * inlining). Shingles, not tokens: on a narrow-vocab corpus every doc has
     * nearly the same token SET, which makes token-level simhash degenerate
     * (everything within hamming 2 of everything). */
-  private def simhashCol: Column = {
-    val bitSums = (0 until SimBits).map { i =>
-      aggregate(col("th"), lit(0L),
-        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-    }
-    bitSums.zipWithIndex
-      .map { case (sc, i) => when(sc > 0, lit(1L << i)).otherwise(lit(0L)) }
-      .reduce(_ + _)
-  }
+  private def simhashCol: Column =
+    graft.functions.VectorFunctions.simHash28(col("th"))
 
   private def simhashSql: String = {
     val bitSums = (0 until SimBits).map { i =>
@@ -256,16 +257,15 @@ object Dedup {
 
   private[operators] def vecNormed(idCol: String): Column = col(idCol)
 
-  /** dot(a,b) in double with identical fold order on both sides. */
+  /** dot(a,b) in double with identical fold order on both sides
+    * (compiled loop — see VectorFunctions.FloatVecDot). */
   def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dotF(a, b)
   def dotSql(a: String, b: String): String =
     TextOps.sumSql(s"list_transform(list_zip($a, $b), pp -> CAST(pp[1] AS DOUBLE) * CAST(pp[2] AS DOUBLE))")
 
   def normCol(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
+    sqrt(graft.functions.VectorFunctions.dotF(a, a))
   def normSql(a: String): String =
     s"sqrt(${TextOps.sumSql(s"list_transform($a, xx -> CAST(xx AS DOUBLE) * CAST(xx AS DOUBLE))")})"
 

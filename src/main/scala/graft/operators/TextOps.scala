@@ -24,9 +24,10 @@ object TextOps {
   def codepoints(c: Column): Column =
     transform(filter(split(c, ""), ch => length(ch) > 0), ch => ascii(ch).cast("long"))
 
-  /** polynomial rolling hash: fold (acc*31 + codepoint) % (1e9+7). */
-  def polyHash(c: Column): Column =
-    aggregate(codepoints(c), lit(0L), (acc, x) => (acc * 31 + x) % HashMod)
+  /** polynomial rolling hash: fold (acc*31 + codepoint) % (1e9+7).
+    * Implemented as a custom expression (one compiled loop per row) — the
+    * higher-order-function fold walks the interpreted tree per character. */
+  def polyHash(c: Column): Column = graft.functions.VectorFunctions.polyHashFast(c)
 
   def polyHashSql(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
@@ -34,13 +35,11 @@ object TextOps {
       s"(acc, x) -> (acc * 31 + x) % $HashMod)"
 
   /** distinct word w-shingles (w consecutive tokens joined by one space);
-    * empty when the doc has fewer than w tokens. */
-  def shingles(toks: Column, w: Int = 3): Column =
-    when(size(toks) >= w,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - (w - 1)),
-        i => concat_ws(" ", (0 until w).map(o => element_at(toks, i + o)): _*))))
-      .otherwise(array().cast("array<string>"))
+    * empty when the doc has fewer than w tokens. Takes the NORMALIZED TEXT
+    * (not a token array): one compiled pass — see
+    * VectorFunctions.WordShingles for why the composed form is pathological. */
+  def shingles(normalizedText: Column, w: Int = 3): Column =
+    graft.functions.VectorFunctions.wordShingles(normalizedText, w)
 
   def shinglesSql(toksE: String, w: Int = 3): String = {
     val parts = (0 until w).map(o => s"$toksE[i + $o]").mkString(" || ' ' || ")

@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kernel.{Calculate, Conform, Modes}
+
+/** S10/S11 — idempotent partitioned sink.
+  *
+  * The reference achieves idempotency with ALTER TABLE … DELETE of the
+  * partition range plus a tmp-table-then-swap (main.py:172-202,
+  * excute_month_task.py:172-197). On Spark both collapse into ONE atomic
+  * dynamic-partition INSERT OVERWRITE: only the partitions present in the
+  * incoming frame are replaced, everything else is untouched, and re-running
+  * the same job yields the same table state.
+  */
+object Sink {
+
+  val PartitionCols: Seq[String] = Seq("invoice_month", "usage_day")
+
+  def writePartitioned(df: DataFrame, path: String): Unit = {
+    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write
+      .mode("overwrite")
+      .partitionBy(PartitionCols: _*)
+      .parquet(path)
+  }
+}
+
+/** E1–E3 — the reference's three entry points are one parameterized job:
+  * they differ only in partition-filter parameters (SURVEY.md §3).
+  *
+  *  - E1 daily cron:   runMonth(... dayRange = Some(lookbackWindow(today)))
+  *  - E2 month backfill: runMonth(month, dayRange = None)
+  *  - E3 account repair: runMonth(... accounts = Some(ids))
+  *
+  * The reference's per-day loop, 10k-row cursor chunks, tmp table and double
+  * DELETE (main.py:164-203) disappear: predicates prune partitions at the
+  * scan, and the write is atomic per partition.
+  */
+object Jobs {
+
+  /** Daily incremental window: 4-day lookback clamped to the month start
+    * (ref: main.py:165-171). Returns [start, endExclusive). */
+  def lookbackWindow(today: LocalDate, lookbackDays: Int = 4): (LocalDate, LocalDate) = {
+    val monthStart = today.withDayOfMonth(1)
+    val start = today.minusDays(lookbackDays.toLong)
+    (if (start.isBefore(monthStart)) monthStart else start, today.plusDays(1))
+  }
+
+  /** The whole pipeline: filter fact to the requested slice → kernel →
+    * conform. Pure (no I/O) so every launcher and test shares it. */
+  def computeMonth(
+      fact: DataFrame,
+      dim: DataFrame,
+      invoiceMonth: String,
+      dayRange: Option[(LocalDate, LocalDate)] = None,
+      accounts: Option[Seq[String]] = None,
+      extraDiscount: Map[String, Double] = Modes.DefaultExtraDiscount): DataFrame = {
+    val sliced = Seq(
+      Some((df: DataFrame) => df.filter(col("invoice_month") === invoiceMonth)),
+      dayRange.map(r => (df: DataFrame) => df.filter(
+        col("usage_day") >= lit(java.sql.Date.valueOf(r._1)) &&
+          col("usage_day") < lit(java.sql.Date.valueOf(r._2)))),
+      accounts.map(as => (df: DataFrame) => df.filter(col("billing_account_id").isin(as: _*)))
+    ).flatten.foldLeft(fact)((df, f) => f(df))
+    Conform.conformToTarget(Calculate.calculateWithCredits(sliced, dim, extraDiscount))
+  }
+
+  /** Read → compute → idempotent write. `odsPath`/`dimPath` are parquet
+    * roots; filters push down to the scan (partition pruning when the lake
+    * is partitioned by invoice_month/usage_day). */
+  def runMonth(
+      spark: SparkSession,
+      odsPath: String,
+      dimPath: String,
+      targetPath: String,
+      invoiceMonth: String,
+      dayRange: Option[(LocalDate, LocalDate)] = None,
+      accounts: Option[Seq[String]] = None,
+      extraDiscount: Map[String, Double] = Modes.DefaultExtraDiscount): Unit = {
+    val fact = spark.read.parquet(odsPath)
+    val dim = spark.read.parquet(dimPath)
+    val out = computeMonth(fact, dim, invoiceMonth, dayRange, accounts, extraDiscount)
+    Sink.writePartitioned(out, targetPath)
+  }
+}

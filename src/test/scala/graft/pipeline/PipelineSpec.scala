@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import graft.kernel.{Fixtures, SparkSpec}
+
+class PipelineSpec extends SparkSpec {
+  import Fixtures._
+
+  private def facts = Seq(
+    fact("A").copy(usage_day = java.sql.Date.valueOf("2026-01-10")),
+    fact("A").copy(usage_day = java.sql.Date.valueOf("2026-01-20")),
+    fact("B").copy(usage_day = java.sql.Date.valueOf("2026-01-20")),
+    fact("B").copy(invoice_month = "202602", usage_day = java.sql.Date.valueOf("2026-02-01")))
+  private def rules = Seq(
+    Rule("2026-01", "A", mode = Some(2), price = Some(2.0)),
+    Rule("2026-02", "B", mode = Some(2), price = Some(3.0)))
+
+  test("lookbackWindow: 4-day lookback clamped to month start (main.py:165-171)") {
+    assert(Jobs.lookbackWindow(LocalDate.parse("2026-01-20")) ==
+      (LocalDate.parse("2026-01-16"), LocalDate.parse("2026-01-21")))
+    assert(Jobs.lookbackWindow(LocalDate.parse("2026-01-02")) ==
+      (LocalDate.parse("2026-01-01"), LocalDate.parse("2026-01-03")))
+  }
+
+  test("computeMonth filters by month, day range, accounts") {
+    import spark.implicits._
+    val f = facts.toDF(); val r = rules.toDF()
+    assert(Jobs.computeMonth(f, r, "202601").count() == 3)
+    assert(Jobs.computeMonth(f, r, "202601",
+      dayRange = Some((LocalDate.parse("2026-01-15"), LocalDate.parse("2026-01-21"))))
+      .count() == 2)
+    assert(Jobs.computeMonth(f, r, "202601",
+      accounts = Some(Seq("B"))).count() == 1)
+    val out = Jobs.computeMonth(f, r, "202601").filter($"billing_account_id" === "A")
+    // mode 2: external = usage(10) * price(2)
+    assert(out.select("external_consumption").as[Double].collect().toSet == Set(20.0))
+  }
+
+  test("partitioned write is idempotent and only overwrites incoming partitions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sink").toString
+    val f = facts.toDF(); val r = rules.toDF()
+
+    // write both months
+    Sink.writePartitioned(Jobs.computeMonth(f, r, "202601"), dir)
+    Sink.writePartitioned(Jobs.computeMonth(f, r, "202602"), dir)
+    val full = spark.read.parquet(dir)
+    assert(full.count() == 4)
+
+    // re-run January only — February survives, January is replaced not duped
+    Sink.writePartitioned(Jobs.computeMonth(f, r, "202601"), dir)
+    val again = spark.read.parquet(dir)
+    assert(again.count() == 4)
+    assert(again.filter($"invoice_month" === "202602").count() == 1)
+
+    // partition layout on disk
+    val months = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("invoice_month="))
+    assert(months.toSet == Set("invoice_month=202601", "invoice_month=202602"))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("featurize runs the stub decoder through mapPartitions plumbing") {
+    import spark.implicits._
+    val df = Seq((1L, "abc"), (2L, "")).toDF("id", "payload")
+      .withColumn("payload", col("payload").cast("binary"))
+    val out = graft.operators.Multimodal.featurize(df, "payload", "id")
+      .as[(Long, Array[Double])].collect().toMap
+    assert(out(1L).sameElements(Array(3.0, (97 + 98 + 99) / 3.0, 97.0, 99.0)))
+    assert(out(2L).sameElements(Array(0.0, 0.0, 0.0, 0.0)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.kernel.{Fixtures, SparkSpec}
+
+class StreamingSpec extends SparkSpec {
+
+  test("windowedEventCounts matches the batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      (Timestamp.valueOf("2026-01-01 01:00:00"), "click", 1.0),
+      (Timestamp.valueOf("2026-01-01 02:00:00"), "click", 2.0),
+      (Timestamp.valueOf("2026-01-01 03:00:00"), "view", 5.0),
+      (Timestamp.valueOf("2026-01-02 01:00:00"), "click", 7.0))
+
+    val stream = MemoryStream[(Timestamp, String, Double)]
+    stream.addData(events: _*)
+    val q = StreamJobs
+      .windowedEventCounts(stream.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("wincounts")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("wincounts")
+      .select($"window_start".cast("string"), $"event_type", $"n_events", $"sum_value")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("2026-01-01 00:00:00", "click", 2L, 3.0),
+      ("2026-01-01 00:00:00", "view", 1L, 5.0),
+      ("2026-01-02 00:00:00", "click", 1L, 7.0)))
+  }
+
+  test("streamingKernel per-batch output equals the batch kernel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val f = Fixtures.fact("A")
+    val dim = Seq(Fixtures.Rule("2026-01", "A", mode = Some(2), price = Some(2.0))).toDF()
+    val dir = Files.createTempDirectory("graft-stream").toString
+
+    val stream = MemoryStream[Fixtures.Fact]
+    stream.addData(f)
+    val q = StreamJobs.streamingKernel(
+      stream.toDF(), dim, s"$dir/out", s"$dir/ckpt", Map.empty).start()
+    q.awaitTermination(60000)
+
+    val streamed = spark.read.parquet(s"$dir/out")
+    assert(streamed.count() == 1)
+    val r = streamed.collect().head
+    assert(r.getAs[Double]("external_consumption") == 20.0) // usage 10 × price 2
+    assert(r.getAs[Int]("mode") == 2)
+    // all 37 target columns present (partition cols come back on read)
+    assert(streamed.columns.toSet == graft.kernel.BillingSchema.TargetColumns.toSet)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.kernel
+
+import graft.queries.{BillingDemo, CoreQueries, KernelQueries}
+
+/** Physical-plan assertions — the scale-design contract (SURVEY.md §4).
+  * These lock in properties the 100 TB design depends on; a regression that
+  * turns a broadcast join into a sort-merge join or loses parquet pushdown
+  * fails here, not in production.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("equality/range filters push down to the parquet scan") {
+    val plan = planOf(CoreQueries.q05Filter.fn(spark, sf))
+    assert(plan.contains("PushedFilters"))
+    assert(plan.contains("EqualTo(l_returnflag,R)"))
+    assert(plan.contains("GreaterThan(l_quantity")) // value may be truncated in toString
+  }
+
+  test("column pruning reaches the scan (narrow ReadSchema)") {
+    val plan = planOf(
+      CoreQueries.q04Distinct.fn(spark, sf)) // selects one column of lineitem
+    assert(plan.contains("ReadSchema: struct<l_suppkey:bigint>"))
+  }
+
+  test("the 8-way rule-match ladder is pure broadcast joins — the fact side never shuffles") {
+    val plan = planOf(KernelQueries.q22KernelFull.fn(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 8, s"expected >=8 broadcast joins, got $broadcasts")
+    assert(!plan.contains("SortMergeJoin"), "fact-side shuffle join crept into the kernel")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("dedup joins are equi-joins on derived keys — no cartesian products") {
+    import graft.operators.Dedup
+    Seq(Dedup.d02NgramJaccard, Dedup.d03MinHashLsh, Dedup.d04SimHash).foreach { q =>
+      val plan = planOf(q.fn(spark, sf))
+      assert(!plan.contains("CartesianProduct"), s"${q.name} has a cartesian join")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"${q.name} has a nested-loop join")
+    }
+  }
+
+  test("the billing demo dim stays small enough to broadcast at any fact scale") {
+    // dim cardinality = 40 rules × fact months — independent of fact ROWS
+    val dim = BillingDemo.dim(spark, sf)
+    assert(dim.count() <= 40L * 100)
+  }
+}

@@ -213,8 +213,52 @@ object CoreQueries {
       .select(col("o_custkey"), col("o_orderkey"), r4(col("o_totalprice")).as("total"))
   }
 
+  /** Gap-based sessionization (engine extension): a new session starts when
+    * a user is idle > 1 hour. lag → boundary flags → running sum = session
+    * id → per-session aggregates. Micros-epoch arithmetic on both sides
+    * (identical integer truncation from the nanos source). */
+  val q15Sessionize = QueryDef(
+    "q15_sessionize",
+    """WITH lagged AS (
+      |  SELECT user_id, value, event_id, epoch_us(ts) AS us,
+      |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, value, event_id, us,
+      |         CASE WHEN prev_us IS NULL OR us - prev_us > 3600000000 THEN 1 ELSE 0 END AS new_sess
+      |  FROM lagged),
+      |sess AS (
+      |  SELECT user_id, value, us,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value,
+      |       min(us) AS first_us, max(us) AS last_us
+      |FROM sess GROUP BY user_id, session_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"), col("event_id"))
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    ev
+      .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 3600000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_sess")).over(
+          Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        r4(sum("value")).as("sum_value"),
+        min(col("us")).as("first_us"),
+        max(col("us")).as("last_us"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01AggGrain, q02AggWide, q03MinMax, q04Distinct, q05Filter, q06Range,
     q07In, q08Join, q09SemiJoin, q10Union, q11Limit, q12MonthFmt,
-    q13EventsWindow, q14TopPerKey)
+    q13EventsWindow, q14TopPerKey, q15Sessionize)
 }

@@ -33,7 +33,8 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, d, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer DIV, not `/`: double division loses 1µs above 2^53 nanos
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     else raw
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")

@@ -99,13 +99,13 @@ object BillingDemo {
 
   // ---------- pre-aggregated fact at the 13-key grain (A2) ----------
 
-  private val grain13 = Seq(
+  val grain13: Seq[String] = Seq(
     "invoice_month", "billing_account_id", "usage_day", "project_id",
     "project_name", "service_id", "service_description", "sku_id",
     "sku_description", "usage_pricing_unit", "currency",
     "currency_conversion_rate", "cost_type")
 
-  private val measures = Seq(
+  val measures: Seq[String] = Seq(
     "usage_amount_in_pricing_units", "cost", "cost_at_list",
     "c_cud", "c_cud_db", "c_discount", "c_free_tier", "c_promotion",
     "c_rm", "c_sub_benefit", "c_sud",

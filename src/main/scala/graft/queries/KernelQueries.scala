@@ -46,13 +46,13 @@ object KernelQueries {
 
   /** WITH prologue shared by the rule-match and full-kernel oracles:
     * fact, dimi, r1..r8, and the joined+coalesced `tagged`. */
-  private val taggedSql: String = {
+  private def taggedSqlFor(factSql: String): String = {
     val families = (1 to 8).map(i => s"r$i AS (${familySql(i)})").mkString(",\n")
     val joins = (1 to 8)
       .map(i => s"LEFT JOIN r$i USING (${RuleMatch.keysFor(i).mkString(", ")})")
       .mkString("\n")
     val payload = RuleMatch.PayloadCols.map(c => s"${coalesced(c)} AS $c").mkString(",\n    ")
-    s"""WITH fact AS (${BillingDemo.factSql.replace("\n", "\n  ")}),
+    s"""WITH fact AS (${factSql.replace("\n", "\n  ")}),
        |dimi AS (${dimiSql.replace("\n", "\n  ")}),
        |$families,
        |tagged AS (
@@ -62,6 +62,8 @@ object KernelQueries {
        |${joins.replace("\n", "\n")}
        |)""".stripMargin
   }
+
+  private val taggedSql: String = taggedSqlFor(BillingDemo.factSql)
 
   // ---------- q20: credits array pivot (A7) ----------
 
@@ -137,52 +139,106 @@ object KernelQueries {
 
   private val etlLiteral = "2026-02-01 00:00:00"
 
+  /** modes + conform as a SQL suffix appended to a `tagged` CTE. */
+  private def kernelSuffixSql: String = {
+    val selectedSum = CreditColumns
+      .map(c =>
+        s"(CASE WHEN list_contains(string_split(coalesce(credit_fields, ''), '/'), '$c') THEN $c ELSE 0.0 END)")
+      .mkString("\n      + ")
+    // conform: 37 columns, reference defaults, doubles rounded to 4
+    val outCols = BillingSchema.TargetColumns.map {
+      case "etl_time" => s"TIMESTAMP '$etlLiteral' AS etl_time"
+      case "usage_day" => "usage_day"
+      case "mode" => "cast(coalesce(mode, 0) AS INTEGER) AS mode"
+      case c if BillingSchema.NullableStringCols.contains(c) => c
+      case c if BillingSchema.StringDefaultCols.contains(c) => s"coalesce($c, '') AS $c"
+      case c => s"${Stable.sqlR4(s"coalesce($c, 0.0)")} AS $c"
+    }.mkString(",\n  ")
+    s""",
+       |derived AS (
+       |  SELECT *,
+       |    (cost + internal_credits_cost) * ${BillingDemo.extraRateSql} AS internal_cost,
+       |    cost + internal_credits_consumption AS internal_consumption,
+       |    CASE WHEN coalesce(price, 1.0) != 0.0
+       |         THEN ($selectedSum) / coalesce(price, 1.0)
+       |         ELSE 0.0 END AS m4part
+       |  FROM tagged),
+       |finished AS (
+       |  SELECT *,
+       |    CASE mode
+       |      WHEN 1 THEN internal_consumption * discount
+       |      WHEN 2 THEN usage_amount_in_pricing_units * price
+       |      WHEN 3 THEN usage_amount_in_pricing_units * price * discount
+       |      WHEN 4 THEN cost_at_list * coalesce(discount, 1.0) + m4part * coalesce(discount, 1.0)
+       |      ELSE 0.0 END AS external_consumption,
+       |    CASE mode
+       |      WHEN 1 THEN internal_credits_consumption
+       |      WHEN 4 THEN m4part
+       |      ELSE 0.0 END AS discount_amount
+       |  FROM derived)
+       |SELECT
+       |  $outCols
+       |FROM finished""".stripMargin
+  }
+
   val q22KernelFull = QueryDef(
-    "q22_kernel_full", {
-      val selectedSum = CreditColumns
-        .map(c =>
-          s"(CASE WHEN list_contains(string_split(coalesce(credit_fields, ''), '/'), '$c') THEN $c ELSE 0.0 END)")
-        .mkString("\n      + ")
-      // conform: 37 columns, reference defaults, doubles rounded to 4
-      val outCols = BillingSchema.TargetColumns.map {
-        case "etl_time" => s"TIMESTAMP '$etlLiteral' AS etl_time"
-        case "usage_day" => "usage_day"
-        case "mode" => "cast(coalesce(mode, 0) AS INTEGER) AS mode"
-        case c if BillingSchema.NullableStringCols.contains(c) => c
-        case c if BillingSchema.StringDefaultCols.contains(c) => s"coalesce($c, '') AS $c"
-        case c => s"${Stable.sqlR4(s"coalesce($c, 0.0)")} AS $c"
-      }.mkString(",\n  ")
-      s"""$taggedSql,
-         |derived AS (
-         |  SELECT *,
-         |    (cost + internal_credits_cost) * ${BillingDemo.extraRateSql} AS internal_cost,
-         |    cost + internal_credits_consumption AS internal_consumption,
-         |    CASE WHEN coalesce(price, 1.0) != 0.0
-         |         THEN ($selectedSum) / coalesce(price, 1.0)
-         |         ELSE 0.0 END AS m4part
-         |  FROM tagged),
-         |finished AS (
-         |  SELECT *,
-         |    CASE mode
-         |      WHEN 1 THEN internal_consumption * discount
-         |      WHEN 2 THEN usage_amount_in_pricing_units * price
-         |      WHEN 3 THEN usage_amount_in_pricing_units * price * discount
-         |      WHEN 4 THEN cost_at_list * coalesce(discount, 1.0) + m4part * coalesce(discount, 1.0)
-         |      ELSE 0.0 END AS external_consumption,
-         |    CASE mode
-         |      WHEN 1 THEN internal_credits_consumption
-         |      WHEN 4 THEN m4part
-         |      ELSE 0.0 END AS discount_amount
-         |  FROM derived)
-         |SELECT
-         |  $outCols
-         |FROM finished""".stripMargin
-    }) { (s, d) =>
+    "q22_kernel_full",
+    taggedSql + kernelSuffixSql) { (s, d) =>
     val out = Calculate.calculateWithCredits(
       BillingDemo.fact(s, d), BillingDemo.dim(s, d), BillingDemo.demoExtraDiscount)
     roundDoubles(
       Conform.conformToTarget(out, lit(etlLiteral).cast("timestamp")))
   }
 
-  val all: Seq[QueryDef] = Seq(q20CreditsPivot, q21RuleMatch, q22KernelFull)
+  // ---------- q23: the dormant raw-arrays path (§2.7 `calculate`) ----------
+
+  /** Fact derived from the raw credit ARRAYS: per-row pivot → grain-13
+    * aggregation. Differs from q22's fact exactly where the arrays carry
+    * information the precomputed columns don't (the MYSTERY_TYPE element
+    * joins the totals but no typed column). */
+  private val factFromArraysSql: String = {
+    // per-row pivot in pure list ops (the raw keys are NOT unique, so an
+    // unnest+group+join-back would be ill-defined — q20 learned that);
+    // adding 0.0 for non-matching elements is an IEEE identity, so the fold
+    // matches CreditsPivot's matching-elements-only fold bit-for-bit.
+    def typedSum(t: String): String = graft.operators.TextOps.sumSql(
+      s"list_transform(list_zip(credits_type, credits_amount), " +
+        s"pp -> CASE WHEN pp[1] = '$t' THEN CAST(pp[2] AS DOUBLE) ELSE 0.0 END)")
+    val derived = CreditTypeToColumn
+      .map { case (t, c) => s"${typedSum(t)} AS $c" }
+      .mkString(",\n  ")
+    val icc = graft.operators.TextOps.sumSql("list_transform(credits_amount, xx -> CAST(xx AS DOUBLE))")
+    val keep = (Seq("l_orderkey", "l_linenumber") ++ BillingDemo.grain13 ++
+      Seq("usage_amount_in_pricing_units", "cost", "cost_at_list")).mkString(", ")
+    val sums = BillingDemo.measures.map(m => s"sum($m) AS $m").mkString(",\n  ")
+    s"""SELECT ${BillingDemo.grain13.mkString(", ")},
+       |  $sums
+       |FROM (
+       |  SELECT $keep,
+       |  $derived,
+       |  $icc AS internal_credits_cost,
+       |  ($icc) - (${typedSum("RESELLER_MARGIN")}) AS internal_credits_consumption
+       |  FROM (${BillingDemo.rawFactSql
+                  .replace("\n", "\n    ")}))
+       |GROUP BY ${BillingDemo.grain13.mkString(", ")}""".stripMargin
+  }
+
+  val q23KernelFromArrays = QueryDef(
+    "q23_kernel_from_arrays",
+    taggedSqlFor(factFromArraysSql) + kernelSuffixSql) { (s, d) =>
+    val raw = BillingDemo.rawFact(s, d)
+      .drop(CreditColumns :+ "internal_credits_cost" :+ "internal_credits_consumption": _*)
+    val fact = Credits.deriveCredits(raw)
+      .groupBy(BillingDemo.grain13.map(col): _*)
+      .agg(
+        sum(BillingDemo.measures.head).as(BillingDemo.measures.head),
+        BillingDemo.measures.tail.map(m => sum(m).as(m)): _*)
+    val out = Calculate.calculateWithCredits(
+      fact, BillingDemo.dim(s, d), BillingDemo.demoExtraDiscount)
+    roundDoubles(
+      Conform.conformToTarget(out, lit(etlLiteral).cast("timestamp")))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q20CreditsPivot, q21RuleMatch, q22KernelFull, q23KernelFromArrays)
 }

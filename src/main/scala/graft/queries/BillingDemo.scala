@@ -12,7 +12,7 @@ import graft.tables.Tables
   *
   * Mapping: lineitem → fact rows (l_suppkey%20 → 20 billing accounts,
   * l_partkey → project/service/sku attributes, l_discount-scaled credits);
-  * a synthetic 60-rule × month dim covering all 8 null-pattern families,
+  * a synthetic 40-rule × month dim covering all 8 null-pattern families,
   * all 5 modes, null/zero price and discount guards, and null credit_fields.
   */
 object BillingDemo {

@@ -1,0 +1,35 @@
+package graft.pipeline
+
+import graft.kernel.SparkSpec
+
+class SkewSpec extends SparkSpec {
+
+  test("saltedSum equals plain groupBy sum (hot key spread over salts)") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "cold" + i else "HOT", i.toDouble))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").sum("v").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val salted = Skew.saltedSum(df, Seq("k"), salt = 8, sumCols = Seq("v")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(salted.keySet == plain.keySet)
+    salted.foreach { case (k, v) => assert(math.abs(v - plain(k)) < 1e-6) }
+  }
+
+  test("saltedJoin equals plain join for inner and left") {
+    import spark.implicits._
+    val left = (1 to 500).map(i => (if (i % 5 == 0) "miss" + i else "HOT", i)).toDF("k", "lv")
+    val right = Seq(("HOT", 1.0), ("other", 2.0)).toDF("k", "rv")
+    Seq("inner", "left").foreach { jt =>
+      val plain = left.join(right, Seq("k"), jt)
+        .selectExpr("k", "lv", "rv").collect()
+        .map(r => (r.getString(0), r.getInt(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+        .toSet
+      val salted = Skew.saltedJoin(left, right, Seq("k"), salt = 4, joinType = jt)
+        .selectExpr("k", "lv", "rv").collect()
+        .map(r => (r.getString(0), r.getInt(1), if (r.isNullAt(2)) null else r.getDouble(2)))
+        .toSet
+      assert(salted == plain, s"joinType=$jt")
+    }
+  }
+}

@@ -129,5 +129,24 @@ object Similarity {
         Stable.r4(col("cos")).as("cosine"))
   }
 
-  val all: Seq[QueryDef] = Seq(s01KnnBrute, s02AnnLsh)
+  /** s03 — per-label centroids (dimension-wise mean), the training step of a
+    * real IVF index: posexplode → groupBy (label, dim) → mean. One shuffle
+    * keyed by (label, dim) — 64·|labels| groups regardless of corpus size,
+    * so this scales to any vector count. */
+  val s03Centroids = QueryDef(
+    "s03_centroids",
+    s"""SELECT label, p AS dim_pos,
+       |  ${Stable.sqlR4("avg(v)")} AS centroid
+       |FROM (
+       |  SELECT label, unnest(embedding) AS v,
+       |         unnest(generate_series(1, len(embedding))) AS p
+       |  FROM embeddings)
+       |GROUP BY label, p""".stripMargin) { (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim_pos"))
+      .agg(Stable.r4(avg(col("v"))).as("centroid"))
+  }
+
+  val all: Seq[QueryDef] = Seq(s01KnnBrute, s02AnnLsh, s03Centroids)
 }

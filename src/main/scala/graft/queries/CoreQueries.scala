@@ -257,8 +257,26 @@ object CoreQueries {
         max(col("us")).as("last_us"))
   }
 
+  /** Exact interpolated quantiles per group (engine extension — Spark
+    * `percentile` and DuckDB `quantile_cont` share the linear-interpolation
+    * definition; interpolation ulp absorbed by stable rounding). */
+  val q16Quantiles = QueryDef(
+    "q16_quantiles",
+    """SELECT l_returnflag,
+      |  floor((quantile_cont(l_extendedprice, 0.5)) * 10000.0 + 0.5) / 10000.0  AS median_price,
+      |  floor((quantile_cont(l_extendedprice, 0.95)) * 10000.0 + 0.5) / 10000.0 AS p95_price,
+      |  floor((quantile_cont(l_quantity, 0.5)) * 10000.0 + 0.5) / 10000.0       AS median_qty
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        r4(expr("percentile(l_extendedprice, 0.5)")).as("median_price"),
+        r4(expr("percentile(l_extendedprice, 0.95)")).as("p95_price"),
+        r4(expr("percentile(l_quantity, 0.5)")).as("median_qty"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01AggGrain, q02AggWide, q03MinMax, q04Distinct, q05Filter, q06Range,
     q07In, q08Join, q09SemiJoin, q10Union, q11Limit, q12MonthFmt,
-    q13EventsWindow, q14TopPerKey, q15Sessionize)
+    q13EventsWindow, q14TopPerKey, q15Sessionize, q16Quantiles)
 }

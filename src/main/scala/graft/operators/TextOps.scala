@@ -19,11 +19,6 @@ object TextOps {
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
   def tokensSql(e: String): String = s"string_split_regex(lower(trim($e)), '\\s+')"
 
-  /** codepoints of a string as array<long> (split("") may yield a trailing
-    * empty element in Spark — filtered; DuckDB's split never does). */
-  def codepoints(c: Column): Column =
-    transform(filter(split(c, ""), ch => length(ch) > 0), ch => ascii(ch).cast("long"))
-
   /** polynomial rolling hash: fold (acc*31 + codepoint) % (1e9+7).
     * Implemented as a custom expression (one compiled loop per row) — the
     * higher-order-function fold walks the interpreted tree per character. */

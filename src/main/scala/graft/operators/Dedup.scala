@@ -233,9 +233,12 @@ object Dedup {
          |FROM cand
          |WHERE bit_count(xor(sim_a, sim_b)) <= $MaxHamming""".stripMargin
     }) { (s, d) =>
+    // cache: the signature subtree is referenced 8× (4 union branches ×
+    // both join sides) and would be recomputed for each otherwise
     val sig = shingled(s, d)
       .select(col("doc_id"), transform(col("sh"), sg => polyHash(sg)).as("th"))
       .select(col("doc_id"), simhashCol.as("simhash"))
+      .cache()
     val blocks = (0 until NumBlocks).map { k =>
       sig.select(col("doc_id"), col("simhash"), lit(k).as("blk_k"),
         shiftright(col("simhash"), k * BlockBits)

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpectsInputTypes
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -29,7 +30,12 @@ object VectorFunctions {
   /** dot(a, b) over array<float> in double precision, left-to-right
     * (== aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0.0, +)). */
   case class FloatVecDot(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with CodegenFallback with GraftExpectsInputTypes {
+    // strict array<float> — these are registered session-wide as SQL
+    // functions, so misuse (e.g. array<double>, which would silently read
+    // wrong bytes via getFloat) must fail analysis, not produce garbage
+    override def graftInputTypes: Seq[DataType] =
+      Seq(ArrayType(FloatType), ArrayType(FloatType))
     override def dataType: DataType = DoubleType
     override def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
@@ -50,7 +56,9 @@ object VectorFunctions {
   /** 31-base polynomial rolling hash over codepoints mod 1e9+7
     * (== the TextOps.polyHash fold; == DuckDB
     * list_reduce over unicode(split(s,''))). */
-  case class PolyHash(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class PolyHash(child: Expression)
+      extends UnaryExpression with CodegenFallback with GraftExpectsInputTypes {
+    override def graftInputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any = {
       val s = v.asInstanceOf[UTF8String].toString
@@ -68,7 +76,9 @@ object VectorFunctions {
 
   /** 28-bit SimHash over an array<long> of feature hashes: bit i is set when
     * Σ (bit_i(h) ? +1 : -1) > 0. One pass over the array. */
-  case class SimHash28(child: Expression) extends UnaryExpression with CodegenFallback {
+  case class SimHash28(child: Expression)
+      extends UnaryExpression with CodegenFallback with GraftExpectsInputTypes {
+    override def graftInputTypes: Seq[DataType] = Seq(ArrayType(LongType))
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
@@ -99,7 +109,8 @@ object VectorFunctions {
     * a_j = 2j+1, b_j = 7j+3 (must stay in lockstep with the SQL oracle).
     * Null for an empty array (== array_min / list_min semantics). */
   case class MinHashSig(child: Expression, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with GraftExpectsInputTypes {
+    override def graftInputTypes: Seq[DataType] = Seq(ArrayType(LongType))
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
@@ -135,7 +146,8 @@ object VectorFunctions {
     * MinHash, SimHash) are order-independent, which is what keeps the DuckDB
     * oracle (whose list_distinct reorders) hash-compatible. */
   case class WordShingles(child: Expression, width: Int)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression with CodegenFallback with GraftExpectsInputTypes {
+    override def graftInputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullSafeEval(v: Any): Any = {
       // trim first: mirrors tokens() = split(lower(trim(s)), "\s+") — a
@@ -170,7 +182,9 @@ object VectorFunctions {
     * left-to-right summation order as the filter/aggregate formulation and
     * the DuckDB unnest oracle. */
   case class CreditsPivot(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression with CodegenFallback with GraftExpectsInputTypes {
+    override def graftInputTypes: Seq[DataType] =
+      Seq(ArrayType(StringType), ArrayType(DoubleType))
     private val typeIndex: Map[String, Int] = Map(
       "COMMITTED_USAGE_DISCOUNT" -> 0, "COMMITTED_USAGE_DISCOUNT_DOLLAR_BASE" -> 1,
       "DISCOUNT" -> 2, "FREE_TIER" -> 3, "PROMOTION" -> 4, "RESELLER_MARGIN" -> 5,

@@ -22,13 +22,18 @@ object Calculate {
 
   def calculateWithCredits(
       fact: DataFrame, dim: DataFrame,
-      extraDiscount: Map[String, Double] = Modes.DefaultExtraDiscount): DataFrame =
-    Modes(RuleMatch.addRuleTag(fact, dim), extraDiscount)
+      extraDiscount: Map[String, Double] = Modes.DefaultExtraDiscount,
+      mode4DiscountAmount: Modes.Mode4DiscountAmount =
+        Modes.Mode4DiscountAmount.LivePython): DataFrame =
+    Modes(RuleMatch.addRuleTag(fact, dim), extraDiscount, mode4DiscountAmount)
 
   def calculate(
       rawFact: DataFrame, dim: DataFrame,
-      extraDiscount: Map[String, Double] = Modes.DefaultExtraDiscount): DataFrame =
-    calculateWithCredits(Credits.deriveCredits(rawFact), dim, extraDiscount)
+      extraDiscount: Map[String, Double] = Modes.DefaultExtraDiscount,
+      mode4DiscountAmount: Modes.Mode4DiscountAmount =
+        Modes.Mode4DiscountAmount.LivePython): DataFrame =
+    calculateWithCredits(
+      Credits.deriveCredits(rawFact), dim, extraDiscount, mode4DiscountAmount)
 }
 
 /** S6 — conform-to-target-table (ref: billing_calculation_service.py:330-435).

@@ -10,6 +10,23 @@ import org.apache.spark.sql.functions._
   */
 object Modes {
 
+  /** E4 SQL-variant flag (SURVEY.md §4): what mode 4 writes to
+    * `discount_amount`. The live pandas path computes `credit_part` but then
+    * projects only `external_consumption` out of the row-apply
+    * (calculate/service.py:79-81), silently dropping the
+    * `row["discount_amount"] = credit_part` assignment (:98) — so in
+    * production `discount_amount` stays 0.0 for mode 4. The SQL template
+    * (calculate/sql_template.py:184-190) keeps it. Per SURVEY §4's rule
+    * ("the Python path is live, so Python wins"), [[LivePython]] is the
+    * default and [[SqlTemplate]] is the opt-in. */
+  sealed trait Mode4DiscountAmount
+  object Mode4DiscountAmount {
+    /** mode 4 leaves discount_amount = 0.0 (live behavior). */
+    case object LivePython extends Mode4DiscountAmount
+    /** mode 4 writes discount_amount = credit_part (SQL-template behavior). */
+    case object SqlTemplate extends Mode4DiscountAmount
+  }
+
   /** Default per-account extra-discount rates
     * (ref: calculate/service.py:189-199). Config data, not code: callers
     * pass their own map; the default mirrors the reference. */
@@ -47,16 +64,16 @@ object Modes {
   /** Applies steps 3–6 to a rule-tagged fact. Expects the fact measures plus
     * the 6 payload columns from [[RuleMatch.addRuleTag]].
     *
-    * Deviation from the live Python (documented): mode 4 computes
-    * `discount_amount = credit_part` per the SQL template
-    * (calculate/sql_template.py:184-190) and the comment intent; the live
-    * pandas path drops that assignment on the apply-result projection
-    * (calculate/service.py:77-81). Extra discount multiplies `internal_cost`
-    * (the live-path behavior, calculate/service.py:209), not the SQL twin's
-    * consumption base — SURVEY.md §4 resolves both in this direction.
+    * Extra discount multiplies `internal_cost` (the live-path behavior,
+    * calculate/service.py:209), not the SQL twin's consumption base —
+    * SURVEY.md §4 resolves it in this direction. Mode 4's
+    * `discount_amount` is governed by [[Mode4DiscountAmount]] (live-Python
+    * default: stays 0.0).
     */
   def apply(tagged: DataFrame,
-            extraDiscount: Map[String, Double] = DefaultExtraDiscount): DataFrame = {
+            extraDiscount: Map[String, Double] = DefaultExtraDiscount,
+            mode4DiscountAmount: Mode4DiscountAmount =
+              Mode4DiscountAmount.LivePython): DataFrame = {
     val rate: Column =
       if (extraDiscount.isEmpty) lit(1.0)
       else coalesce(
@@ -77,9 +94,12 @@ object Modes {
           .when(col("mode") === 4, col("cost_at_list") * discEff + m4Part * discEff)
           .otherwise(lit(0.0)))
       .withColumn(
-        "discount_amount",
-        when(col("mode") === 1, col("internal_credits_consumption"))
-          .when(col("mode") === 4, m4Part)
-          .otherwise(lit(0.0)))
+        "discount_amount", {
+          val m1 = when(col("mode") === 1, col("internal_credits_consumption"))
+          (mode4DiscountAmount match {
+            case Mode4DiscountAmount.SqlTemplate => m1.when(col("mode") === 4, m4Part)
+            case Mode4DiscountAmount.LivePython  => m1
+          }).otherwise(lit(0.0))
+        })
   }
 }

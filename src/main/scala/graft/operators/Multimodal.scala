@@ -63,6 +63,10 @@ object Multimodal {
     val nFrames = ceil(length(blob) / lit(FrameBytes.toDouble)).cast("long")
     Tables.documents(s, d)
       .select(col("doc_id"), blob.as("payload"), nFrames.as("n_frames"))
+      // zero-length payloads: Spark's sequence(0, -1, 4) throws "Illegal
+      // sequence boundaries" while the oracle's generate_series just yields
+      // no rows — filter to match (a 0-frame doc contributes nothing).
+      .filter(col("n_frames") > 0)
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0L), col("n_frames") - 1, lit(SampleEvery.toLong)))
           .as("frame_idx"),

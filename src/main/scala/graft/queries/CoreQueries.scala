@@ -229,8 +229,8 @@ object CoreQueries {
       |  FROM lagged),
       |sess AS (
       |  SELECT user_id, value, us,
-      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-      |                             ROWS UNBOUNDED PRECEDING) AS session_id
+      |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       |  FROM flagged)
       |SELECT user_id, session_id, count(*) AS n_events,
       |       floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value,

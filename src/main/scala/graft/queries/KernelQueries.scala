@@ -139,7 +139,9 @@ object KernelQueries {
 
   private val etlLiteral = "2026-02-01 00:00:00"
 
-  /** modes + conform as a SQL suffix appended to a `tagged` CTE. */
+  /** modes + conform as a SQL suffix appended to a `tagged` CTE. Mode-4
+    * `discount_amount` follows the live-Python default (stays 0.0 —
+    * Modes.Mode4DiscountAmount.LivePython, calculate/service.py:79-81). */
   private def kernelSuffixSql: String = {
     val selectedSum = CreditColumns
       .map(c =>
@@ -173,7 +175,6 @@ object KernelQueries {
        |      ELSE 0.0 END AS external_consumption,
        |    CASE mode
        |      WHEN 1 THEN internal_credits_consumption
-       |      WHEN 4 THEN m4part
        |      ELSE 0.0 END AS discount_amount
        |  FROM derived)
        |SELECT

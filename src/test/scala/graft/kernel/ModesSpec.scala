@@ -8,9 +8,11 @@ class ModesSpec extends SparkSpec {
 
   /** Runs the full kernel on one fact row + rules; returns the single row. */
   private def one(f: Fact, rules: Seq[Rule],
-                  extra: Map[String, Double] = Map.empty): Row = {
+                  extra: Map[String, Double] = Map.empty,
+                  m4da: Modes.Mode4DiscountAmount =
+                    Modes.Mode4DiscountAmount.LivePython): Row = {
     import spark.implicits._
-    val out = Calculate.calculateWithCredits(Seq(f).toDF(), rules.toDF(), extra)
+    val out = Calculate.calculateWithCredits(Seq(f).toDF(), rules.toDF(), extra, m4da)
     val rows = out.select("internal_cost", "internal_consumption",
       "external_consumption", "discount_amount", "mode").collect()
     assert(rows.length == 1)
@@ -50,6 +52,21 @@ class ModesSpec extends SparkSpec {
       discount = Some(0.5), credit_fields = Some("c_cud/c_promotion"))))
     // selected = 6 + 3 = 9; part = 9/2 = 4.5; external = 120*0.5 + 4.5*0.5
     assert(math.abs(r.getAs[Double]("external_consumption") - 62.25) < 1e-9)
+  }
+
+  test("mode 4 discount_amount stays 0.0 by default: the live pandas path " +
+    "projects only external_consumption out of the row-apply " +
+    "(calculate/service.py:79-81), dropping the credit_part assignment (:98)") {
+    val r = one(base, Seq(Rule("2026-01", "A", mode = Some(4), price = Some(2.0),
+      discount = Some(0.5), credit_fields = Some("c_cud/c_promotion"))))
+    assert(r.getAs[Double]("discount_amount") == 0.0)
+  }
+
+  test("mode 4 discount_amount = credit_part under the SqlTemplate opt-in " +
+    "(calculate/sql_template.py:184-190)") {
+    val r = one(base, Seq(Rule("2026-01", "A", mode = Some(4), price = Some(2.0),
+      discount = Some(0.5), credit_fields = Some("c_cud/c_promotion"))),
+      m4da = Modes.Mode4DiscountAmount.SqlTemplate)
     assert(math.abs(r.getAs[Double]("discount_amount") - 4.5) < 1e-9)
   }
 

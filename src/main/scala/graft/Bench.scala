@@ -9,11 +9,40 @@ import org.apache.spark.sql.SparkSession
   * output projection and under-measure). One global warmup run (the flagship
   * kernel query) absorbs JVM/codegen/session init so per-query numbers
   * measure the queries, not Spark startup.
+  *
+  * Noise hygiene (this VM shows heavy CPU contention — round-1 numbers were
+  * ~5× environment noise): every query runs `SPARK_GRAFT_BENCH_RUNS` times
+  * (default 3) and the JSON reports the per-query MEDIAN (in `queries`, the
+  * driver-read field) plus `queries_min`, and process user/sys CPU seconds
+  * plus host steal-time ticks so round-over-round comparisons can be
+  * steal-adjusted.
   */
 object Bench {
+
+  /** cumulative host steal ticks from /proc/stat (column 8), -1 if absent */
+  private def stealTicks(): Long =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+      if (cpu.length > 8) cpu(8).toLong else -1L
+    } catch { case _: Exception => -1L }
+
+  private def processCpuSeconds(): (Double, Double) = {
+    import java.lang.management.ManagementFactory
+    val os = ManagementFactory.getOperatingSystemMXBean
+    os match {
+      case sun: com.sun.management.OperatingSystemMXBean =>
+        // getProcessCpuTime = user+sys in ns; no split available — report
+        // total as "user" and leave sys 0 rather than guessing
+        (sun.getProcessCpuTime / 1e9, 0.0)
+      case _ => (-1.0, -1.0)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,22 +55,43 @@ object Bench {
     def runNoop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    try runNoop(SparkEntry.entry(spark)) catch { case _: Throwable => () }
+    val steal0 = stealTicks()
+    try runNoop(SparkEntry.entry(spark))
+    catch {
+      case e: Throwable =>
+        // a broken flagship means the first measured query absorbs JVM
+        // init — never swallow this silently
+        System.err.println(s"[bench] WARMUP FAILED (flagship query): $e")
+    }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // queries may cache intermediates — drop them so one query's cache
-      // doesn't pressure the next query's heap
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val ok = try { runNoop(fn(spark, sfDir)); true }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
-      }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to runs).map { _ =>
+        // queries may cache intermediates — drop them so one run's cache
+        // doesn't serve the next run (or pressure the next query's heap)
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        try { runNoop(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+        }
+      }.filter(_ >= 0).sorted
+      val median = if (times.isEmpty) -1.0 else times(times.size / 2)
+      val min = if (times.isEmpty) -1.0 else times.head
+      (name, median, min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val steal1 = stealTicks()
+    val (cpuUser, cpuSys) = processCpuSeconds()
+
+    def fmt(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qMedian = fmt(results.map(r => r._1 -> r._2))
+    val qMin = fmt(results.map(r => r._1 -> r._3))
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val stealDelta = if (steal0 >= 0 && steal1 >= 0) steal1 - steal0 else -1L
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qMedian,""" +
+        s""""queries_min":$qMin,"runs":$runs,"cpu_user_sec":$cpuUser,""" +
+        s""""cpu_sys_sec":$cpuSys,"host_steal_ticks":$stealDelta,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

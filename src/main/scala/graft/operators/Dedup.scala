@@ -15,8 +15,14 @@ import graft.tables.Tables
   *    exact-Jaccard verification of the (tiny) candidate set;
   *  - d04 SimHash — 28-bit shingle-level signature, pigeonhole block-join
   *    candidates (4 blocks; hamming ≤ 3 ⇒ some block equal), hamming verify;
-  *  - d05 embedding cosine near-dup — the brute-force baseline (the
-  *    LSH-bucketed scale path is Similarity.s02).
+  *  - d05 embedding cosine near-dup — the brute-force BASELINE (all-pairs;
+  *    kept for exact-recall comparison);
+  *  - d06 embedding near-dup via LSH buckets — the DEFAULT scale path
+  *    (bucket equi-join, no cartesian);
+  *  - d07 keeper selection — near-dup pairs → connected components →
+  *    one keeper per cluster (iterative min-label propagation);
+  *  - d08 n-gram Jaccard with a hot-shingle stop-list — d02 hardened for
+  *    real web boilerplate (frequency cutoff before the index join).
   *
   * The synthetic corpus has (almost) no real near-dups, so d02–d04 dedup a
   * corpus of each doc UNION a deterministically mutated twin (prefix cut) —
@@ -166,6 +172,10 @@ object Dedup {
       .select(col("doc_id"),
         graft.functions.VectorFunctions.minHashSig(col("hh"), NumHashes).as("sig"))
       .select(col("doc_id") +: minhashCols: _*)
+      // cache: the 4 band branches × 2 join sides reference this frame 8× —
+      // without it each reference recomputes the 16-permutation signature
+      // from the cached shingles (same fix as d04's sig cache)
+      .cache()
     val nBands = NumHashes / BandSize
     val bands = (0 until nBands).map { k =>
       sig.select(col("doc_id"), lit(k).as("band_k"), bandCol(k).as("band"))
@@ -291,6 +301,171 @@ object Dedup {
         Stable.r4(cos).as("cosine"))
   }
 
+  // ---------- d08: n-gram Jaccard with a hot-shingle stop-list ----------
+
+  /** Max document frequency a shingle may have before it's treated as
+    * boilerplate. At web scale, headers/footers/licenses produce shingles
+    * shared by millions of docs; every one of them is a join key whose
+    * bucket is the square of its frequency — the stop-list is what makes
+    * the inverted index hold on real corpora, not just clean test data.
+    * (On this synthetic corpus df maxes at 14, so 9 demonstrably fires.) */
+  private val MaxShingleDf = 9
+
+  /** d08 — d02's inverted-index Jaccard with a frequency stop-list: compute
+    * each shingle's document frequency first, drop shingles with df >
+    * [[MaxShingleDf]] from BOTH the index and the per-doc counts (Jaccard
+    * stays well-defined over the filtered shingle space), then join as in
+    * d02. Two extra shuffles (df count + anti-join), both keyed by the
+    * shingle hash — the same keys the index join already shuffles by.
+    * The df table is tiny after the HAVING cutoff ⇒ broadcast anti-join. */
+  val d08NgramStopList = QueryDef(
+    "d08_dedup_stoplist", {
+      s"""WITH sh0 AS (${shingledSql.replace("\n", " ")}),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(sh0.sh, sg -> ${polyHashSql("sg")})) AS hh FROM sh0),
+         |ex AS (SELECT doc_id, unnest(hh) AS s FROM sh),
+         |hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > $MaxShingleDf),
+         |kept AS (SELECT ex.doc_id, ex.s FROM ex ANTI JOIN hot USING (s)),
+         |cnt AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT id_a, id_b,
+         |  ${Stable.sqlR4("CAST(i AS DOUBLE) / (ca.n + cb.n - i)")} AS jaccard
+         |FROM inter
+         |JOIN cnt ca ON ca.doc_id = id_a
+         |JOIN cnt cb ON cb.doc_id = id_b
+         |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $JaccardThreshold""".stripMargin
+    }) { (s, d) =>
+    val ex = shingled(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(col("sh"), sg => polyHash(sg)))).as("s"))
+      .cache()
+    val hot = ex.groupBy("s").agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") > MaxShingleDf)
+      .select("s")
+    val kept = ex.join(broadcast(hot), Seq("s"), "left_anti").cache()
+    val cnt = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = kept.as("a"); val b = kept.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("i"))
+    val j = col("i").cast("double") / (col("ca.n") + col("cb.n") - col("i"))
+    inter
+      .join(cnt.as("ca"), col("ca.doc_id") === col("id_a"))
+      .join(cnt.as("cb"), col("cb.doc_id") === col("id_b"))
+      .filter(j >= JaccardThreshold)
+      .select(col("id_a"), col("id_b"), Stable.r4(j).as("jaccard"))
+  }
+
+  // ---------- d06: embedding near-dup via LSH buckets (the scale path) ----------
+
+  /** d06 — the DEFAULT embedding near-dup: candidate pairs come from an
+    * 8-bit random-hyperplane bucket equi-join (Similarity.s02's buckets), so
+    * the shuffle is keyed by bucket and each vector compares only against
+    * its own bucket (≈1/256 of the corpus at uniform spread) — never the
+    * d05 all-pairs cartesian. Exact-cosine verification of candidates only.
+    *
+    * Recall < 1 by construction (a near-dup pair split across buckets is
+    * missed — P[same bucket] = (1 - θ/π)^8 for angle θ); raise it with
+    * multi-probe (flip one plane bit) or more tables, same join shape.
+    * d05 stays available as the exact brute-force baseline. */
+  val d06EmbeddingLsh = QueryDef(
+    "d06_dedup_embedding_lsh",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+       |         ${Similarity.bucketSql("embedding")} AS bucket
+       |  FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  ${Stable.sqlR4(s"${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)")} AS cosine
+       |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $CosineThreshold""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        normCol(col("embedding")).as("nrm"),
+        Similarity.bucketCol(col("embedding")).as("bucket"))
+    val cos = dotCol(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .filter(cos >= CosineThreshold)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        Stable.r4(cos).as("cosine"))
+  }
+
+  // ---------- d07: keeper selection (pairs → clusters → one keeper) ----------
+
+  /** Connected components by iterative min-label propagation: every node
+    * starts as its own cluster; each round a node adopts the smallest label
+    * among itself and its neighbors; converged ⇒ every node carries its
+    * component's minimum id (= the keeper). The driver loop is the correct
+    * shape for an iterative fixpoint (each round is one distributed
+    * join + min-aggregate; rounds ≈ component diameter, and near-dup
+    * components are shallow in practice). Each round `localCheckpoint`s the
+    * labels: persist alone truncates RECOMPUTE but not LINEAGE, and the
+    * logical plan grows ~3× per round (union ∘ join ∘ agg over the previous
+    * plan) — by ~8 rounds plan stringification alone OOMs. On a cluster
+    * with an unreliable-executor concern, swap in `checkpoint()` against a
+    * checkpoint dir — same shape, durable lineage cut.
+    *
+    * Returns (node, cluster). 100 TB note: same join shape as GraphX/
+    * GraphFrames label propagation — shuffles keyed by node id; for
+    * adversarially deep graphs switch to large-star/small-star, which this
+    * API can host without changing callers. */
+  def keeperSelection(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    var labels = nodes
+      .select(col("doc_id").cast("long").as("node"),
+        col("doc_id").cast("long").as("cluster"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val prop = labels.as("l").join(edges.as("e"), col("l.node") === col("e.src"))
+        .select(col("e.dst").as("node"), col("l.cluster").as("cluster"))
+      val next = labels.unionAll(prop)
+        .groupBy("node").agg(min("cluster").as("cluster"))
+        .localCheckpoint() // eager: materializes AND cuts lineage
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.cluster") =!= col("o.cluster"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** d07 — what a real corpus dedup ships: d03's verified near-dup PAIRS
+    * folded into clusters, one keeper (min doc_id) per cluster, every corpus
+    * doc labeled. Singletons keep themselves. The oracle re-derives the
+    * closure with a recursive CTE over the identical pair set. */
+  val d07DedupKeeper = QueryDef(
+    "d07_dedup_keeper",
+    s"""WITH RECURSIVE pairs AS (${d03MinHashLsh.oracle.get.replace("\n", "\n  ")}),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM pairs),
+       |nodes AS (SELECT CAST(doc_id AS BIGINT) AS node FROM (${corpusSql.replace("\n", " ")})),
+       |reach(node, root) AS (
+       |  SELECT node, node FROM nodes
+       |  UNION
+       |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+       |SELECT node AS doc_id, min(root) AS keeper,
+       |       CAST(CASE WHEN node = min(root) THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+       |FROM reach GROUP BY node""".stripMargin) { (s, d) =>
+    val pairs = d03MinHashLsh.fn(s, d).select(col("id_a"), col("id_b"))
+    val labels = keeperSelection(corpus(s, d).select(col("doc_id")), pairs)
+    labels.select(
+      col("node").as("doc_id"), col("cluster").as("keeper"),
+      when(col("node") === col("cluster"), 1L).otherwise(0L).as("is_keeper"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(d01Exact, d02NgramJaccard, d03MinHashLsh, d04SimHash, d05EmbeddingNearDup)
+    Seq(d01Exact, d02NgramJaccard, d03MinHashLsh, d04SimHash, d05EmbeddingNearDup,
+      d06EmbeddingLsh, d07DedupKeeper, d08NgramStopList)
 }

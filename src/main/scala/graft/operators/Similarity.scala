@@ -76,7 +76,7 @@ object Similarity {
   private def signSql(j: Int): String =
     s"(CASE WHEN ((${j.toLong * Dims} + dd) * 2654435761) % 97 < 48 THEN 1.0 ELSE -1.0 END)"
 
-  private def bucketCol(v: Column): Column =
+  private[operators] def bucketCol(v: Column): Column =
     (0 until NumPlanes).map { j =>
       val dot = aggregate(
         transform(sequence(lit(0), lit(Dims - 1)),
@@ -85,7 +85,7 @@ object Similarity {
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def bucketSql(v: String): String =
+  private[operators] def bucketSql(v: String): String =
     (0 until NumPlanes).map { j =>
       val dot = TextOps.sumSql(
         s"list_transform(generate_series(0, ${Dims - 1}), dd -> CAST($v[dd + 1] AS DOUBLE) * ${signSql(j)})")

@@ -34,6 +34,52 @@ object LogAlerter extends Alerter {
   def send(message: String): Unit = System.err.println(s"[alert] $message")
 }
 
+/** S8 HTTP transport — POSTs the reference's webhook JSON shape
+  * (billing_calculation_service.py:470-484: `{"msg_type":"text","content":
+  * {"text": …}}`). A failed alert logs and returns: alerting must never fail
+  * the day it reports on (the reference swallows the requests error the same
+  * way, :482-484). */
+final class HttpAlerter(
+    webhookUrl: String,
+    timeout: java.time.Duration = java.time.Duration.ofSeconds(10)) extends Alerter {
+
+  private lazy val client =
+    java.net.http.HttpClient.newBuilder().connectTimeout(timeout).build()
+
+  /** Minimal JSON string escape (quote, backslash, control chars). */
+  private def jsonQuote(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case '\n'          => sb.append("\\n")
+      case '\r'          => sb.append("\\r")
+      case '\t'          => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c             => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  def payload(message: String): String =
+    s"""{"msg_type":"text","content":{"text":${jsonQuote(message)}}}"""
+
+  def send(message: String): Unit =
+    try {
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(webhookUrl))
+        .timeout(timeout)
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          payload(message), StandardCharsets.UTF_8))
+        .build()
+      client.send(req, java.net.http.HttpResponse.BodyHandlers.discarding())
+      ()
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[alert] webhook POST failed (${e.getMessage}); message was: $message")
+    }
+}
+
 /** E1's per-day failure isolation (ref: billing_calculation_service.py:
   * 464-468: log + CSV + alert, continue with the next day). Each day is an
   * independent partition-scoped job; one bad day neither blocks nor

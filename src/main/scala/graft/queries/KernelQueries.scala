@@ -38,7 +38,13 @@ object KernelQueries {
       .mkString(" AND ")
     val keys = RuleMatch.keysFor(i).mkString(", ")
     val payload = RuleMatch.PayloadCols.map(c => s"$c AS ${c}_r$i").mkString(", ")
-    s"SELECT $keys, $payload FROM dimi WHERE $where"
+    // same deterministic first-match dedup as RuleMatch.family — without it a
+    // dup-key dim silently diverges (pandas misalignment quirk, SURVEY §2.3).
+    // NULLS FIRST matches Spark's asc default (DuckDB defaults to NULLS LAST).
+    val sort = RuleMatch.PayloadCols.map(c => s"$c ASC NULLS FIRST").mkString(", ")
+    s"""SELECT $keys, $payload FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY $keys ORDER BY $sort) AS __rn
+       |  FROM dimi WHERE $where) WHERE __rn = 1""".stripMargin
   }
 
   private def coalesced(c: String): String =

@@ -36,7 +36,10 @@ class PlanSpec extends SparkSpec {
 
   test("dedup joins are equi-joins on derived keys — no cartesian products") {
     import graft.operators.Dedup
-    Seq(Dedup.d02NgramJaccard, Dedup.d03MinHashLsh, Dedup.d04SimHash).foreach { q =>
+    // d06 is the DEFAULT embedding near-dup path — it must stay a bucket
+    // equi-join (d05 is the only sanctioned brute-force baseline)
+    Seq(Dedup.d02NgramJaccard, Dedup.d03MinHashLsh, Dedup.d04SimHash,
+      Dedup.d06EmbeddingLsh, Dedup.d08NgramStopList).foreach { q =>
       val plan = planOf(q.fn(spark, sf))
       assert(!plan.contains("CartesianProduct"), s"${q.name} has a cartesian join")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"${q.name} has a nested-loop join")
@@ -44,8 +47,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("the billing demo dim stays small enough to broadcast at any fact scale") {
-    // dim cardinality = 40 rules × fact months — independent of fact ROWS
+    // dim cardinality = 41 rules × fact months — independent of fact ROWS
     val dim = BillingDemo.dim(spark, sf)
-    assert(dim.count() <= 40L * 100)
+    assert(dim.count() <= 41L * 100)
   }
 }

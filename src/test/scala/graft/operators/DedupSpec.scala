@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.kernel.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private def keepers(nodeIds: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val nodes = nodeIds.toDF("doc_id")
+    val edges = pairs.toDF("id_a", "id_b")
+    Dedup.keeperSelection(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("keeperSelection: chain component collapses to its min id") {
+    // 1-2, 2-3, 3-4 is one component; 10 is a singleton
+    val m = keepers(Seq(1L, 2L, 3L, 4L, 10L), Seq((1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L))
+  }
+
+  test("keeperSelection: disjoint components keep separate keepers") {
+    val m = keepers(Seq(1L, 2L, 5L, 6L, 7L), Seq((1L, 2L), (6L, 5L), (6L, 7L)))
+    assert(m == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("keeperSelection: min id propagates across a long path (multi-round fixpoint)") {
+    // path 9-8-7-...-1: min label 1 must travel 8 hops
+    val ids = (1L to 9L)
+    val path = ids.sliding(2).map(s => (s(1), s.head)).toSeq
+    val m = keepers(ids, path)
+    assert(m.values.toSet == Set(1L))
+  }
+
+  test("keeperSelection: no edges means every node keeps itself") {
+    val m = keepers(Seq(3L, 7L), Seq.empty)
+    assert(m == Map(3L -> 3L, 7L -> 7L))
+  }
+}

@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import graft.kernel.{Fixtures, SparkSpec}
+
+class LauncherSpec extends SparkSpec {
+  import Fixtures._
+
+  test("runDaily end-to-end: lookback window days land, out-of-window days don't") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-launcher").toString
+    val today = LocalDate.parse("2026-01-15") // window = [2026-01-11, 2026-01-16)
+    val facts = Seq(
+      fact("A").copy(usage_day = java.sql.Date.valueOf("2026-01-12")), // in window
+      fact("A").copy(usage_day = java.sql.Date.valueOf("2026-01-05"))) // outside
+    val rules = Seq(Rule("2026-01", "A", mode = Some(2), price = Some(2.0)))
+    facts.toDF().write.parquet(s"$dir/ods")
+    rules.toDF().write.parquet(s"$dir/dim")
+    val alerts = scala.collection.mutable.ArrayBuffer[String]()
+    val alerter = new Alerter { def send(m: String): Unit = alerts += m }
+
+    val failed = Launcher.runDaily(
+      spark,
+      Launcher.Config(s"$dir/ods", s"$dir/dim", s"$dir/out",
+        failureCsv = s"$dir/failures.csv", alerter = alerter,
+        extraDiscount = Map.empty),
+      today)
+
+    assert(failed.isEmpty)
+    val out = spark.read.parquet(s"$dir/out")
+    val days = out.select("usage_day").collect().map(_.get(0).toString).toSet
+    assert(days == Set("2026-01-12"))
+    assert(out.count() == 1)
+    assert(alerts.exists(_.contains("complete")))
+    assert(!Files.exists(java.nio.file.Paths.get(s"$dir/failures.csv")))
+  }
+
+  test("HttpAlerter builds the reference webhook JSON shape with escaping") {
+    val a = new HttpAlerter("http://localhost:1/unused")
+    assert(a.payload("hi") == """{"msg_type":"text","content":{"text":"hi"}}""")
+    assert(a.payload("a\"b\\c\nd") ==
+      """{"msg_type":"text","content":{"text":"a\"b\\c\nd"}}""")
+  }
+
+  test("HttpAlerter failure is swallowed (alerting never fails the day)") {
+    // port 1 refuses connections — send must return normally
+    new HttpAlerter("http://127.0.0.1:1/x").send("m")
+  }
+}

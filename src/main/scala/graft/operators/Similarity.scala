@@ -129,6 +129,59 @@ object Similarity {
         Stable.r4(col("cos")).as("cosine"))
   }
 
+  /** s04 — multi-probe ANN: each probe searches its own bucket PLUS the 8
+    * buckets at hamming distance 1 (one hyperplane bit flipped) — the
+    * standard recall knob for hyperplane LSH (a near neighbor lands across
+    * a plane with probability θ/π per plane; probing 1-flip buckets
+    * recovers exactly those). Still a bucket equi-join — the probe side
+    * just carries 9 rows per probe instead of 1; candidate work scales
+    * ≈9/256 of the corpus per probe, vs s01's full scan. The 9 probe
+    * buckets are distinct, so no pair dedup is needed. */
+  val s04AnnMultiProbe = QueryDef(
+    "s04_ann_multiprobe",
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+       |         ${bucketSql("embedding")} AS bucket
+       |  FROM embeddings),
+       |p AS (SELECT * FROM e WHERE vec_id % $ProbeMod = 0),
+       |pb AS (
+       |  SELECT vec_id, embedding, nrm,
+       |         CASE WHEN f = 0 THEN bucket
+       |              ELSE xor(bucket, CAST(1 AS BIGINT) << (f - 1)) END AS pbucket
+       |  FROM p CROSS JOIN (SELECT unnest(generate_series(0, $NumPlanes)) AS f)),
+       |scored AS (
+       |  SELECT pb.vec_id AS probe_id, e.vec_id AS neighbor_id,
+       |         ${dotSql("pb.embedding", "e.embedding")} / (pb.nrm * e.nrm) AS cos
+       |  FROM pb JOIN e ON pb.pbucket = e.bucket AND pb.vec_id <> e.vec_id),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id, cos,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                            ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, neighbor_id, ${Stable.sqlR4("cos")} AS cosine
+       |FROM ranked WHERE rank <= $TopK""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d).select(
+      col("vec_id"), col("embedding"),
+      normCol(col("embedding")).as("nrm"),
+      bucketCol(col("embedding")).as("bucket"))
+    val p = e.filter(col("vec_id") % ProbeMod === 0)
+    val probeBuckets = col("bucket") +:
+      (0 until NumPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val pb = p.select(col("vec_id"), col("embedding"), col("nrm"),
+      explode(array(probeBuckets: _*)).as("pbucket"))
+    val cos = dotCol(col("p.embedding"), col("e.embedding")) / (col("p.nrm") * col("e.nrm"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(pb.as("p"))
+      .join(e.as("e"),
+        col("p.pbucket") === col("e.bucket") && col("p.vec_id") =!= col("e.vec_id"))
+      .select(col("p.vec_id").as("probe_id"), col("e.vec_id").as("neighbor_id"),
+        cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        Stable.r4(col("cos")).as("cosine"))
+  }
+
   /** s03 — per-label centroids (dimension-wise mean), the training step of a
     * real IVF index: posexplode → groupBy (label, dim) → mean. One shuffle
     * keyed by (label, dim) — 64·|labels| groups regardless of corpus size,
@@ -148,5 +201,5 @@ object Similarity {
       .agg(Stable.r4(avg(col("v"))).as("centroid"))
   }
 
-  val all: Seq[QueryDef] = Seq(s01KnnBrute, s02AnnLsh, s03Centroids)
+  val all: Seq[QueryDef] = Seq(s01KnnBrute, s02AnnLsh, s03Centroids, s04AnnMultiProbe)
 }

@@ -275,8 +275,24 @@ object CoreQueries {
         r4(expr("percentile(l_quantity, 0.5)")).as("median_qty"))
   }
 
+  /** Salted two-phase aggregation (hot-key skew tooling, SURVEY §4): group
+    * on (key + salt) then merge — a hot user's rows spread over 8 reducers
+    * instead of one. Semantically identical to the direct groupBy, which is
+    * exactly what the oracle pins (the extra association level lands on the
+    * same 4-decimal rounding both sides). */
+  val q17SaltedAgg = QueryDef(
+    "q17_salted_agg",
+    """SELECT user_id,
+      |  floor((sum(value)) * 10000.0 + 0.5) / 10000.0 AS sum_value
+      |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+    graft.pipeline.Skew.saltedSum(
+      Tables.events(s, d).select(col("user_id"), col("value")),
+      keys = Seq("user_id"), salt = 8, sumCols = Seq("value"))
+      .select(col("user_id"), r4(col("value")).as("sum_value"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01AggGrain, q02AggWide, q03MinMax, q04Distinct, q05Filter, q06Range,
     q07In, q08Join, q09SemiJoin, q10Union, q11Limit, q12MonthFmt,
-    q13EventsWindow, q14TopPerKey, q15Sessionize, q16Quantiles)
+    q13EventsWindow, q14TopPerKey, q15Sessionize, q16Quantiles, q17SaltedAgg)
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import graft.kernel.{Calculate, Conform, Modes}
 
 /** Structured Streaming wrappers (SURVEY.md §2.8: the reference is
@@ -17,8 +17,24 @@ import graft.kernel.{Calculate, Conform, Modes}
   *    `foreachBatch`. Because the kernel is a pure DataFrame→DataFrame
   *    function, batch and streaming share one code path — no semantics
   *    drift between the nightly job and the live feed.
+  *  - [[sessionizeStream]]: gap-based sessionization with CUSTOM STATE
+  *    (`flatMapGroupsWithState` + event-time timeout) — the streaming twin
+  *    of the batch q15 query. State per user is one open session (bounded);
+  *    sessions close either in-batch (gap observed in the data) or via the
+  *    watermark-driven timeout (user went quiet).
   */
 object StreamJobs {
+
+  /** Streaming event row (micros-epoch ts comes from the source's
+    * timestamp; schema mirrors the batch `events` table). */
+  final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** One open session per user — the entire keyed state. */
+  final case class OpenSession(startUs: Long, lastUs: Long, nEvents: Long, sumValue: Double)
+
+  /** A closed session, emitted once. */
+  final case class ClosedSession(
+      user_id: Long, first_us: Long, last_us: Long, n_events: Long, sum_value: Double)
 
   /** Tumbling-window counts/sums per event_type over a streaming `events`
     * source (schema: ts timestamp, event_type string, value double). */
@@ -32,6 +48,59 @@ object StreamJobs {
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization over a stream: a session closes when its user
+    * is idle longer than `gap`. In-batch gaps emit immediately; the open
+    * tail emits when the event-time timeout fires (watermark has passed
+    * last_event + gap). Exactly the batch q15 semantics, with state bounded
+    * to ONE open session per active user — this is the `mapGroupsWithState`
+    * family's sweet spot: per-key state a windowed aggregation can't
+    * express (the window length is data-dependent). */
+  def sessionizeStream(
+      events: Dataset[SessionEvent],
+      gap: java.time.Duration = java.time.Duration.ofHours(1),
+      watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gap.toNanos / 1000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(user, s.startUs, s.lastUs, s.nEvents, s.sumValue))
+          } else {
+            // order within the batch (micro-batches are unordered)
+            val evs = it.toIndexedSeq.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = state.getOption
+            evs.foreach { e =>
+              val us = e.ts.getTime * 1000L
+              cur match {
+                case Some(s) if us - s.lastUs > gapUs =>
+                  closed += ClosedSession(user, s.startUs, s.lastUs, s.nEvents, s.sumValue)
+                  cur = Some(OpenSession(us, us, 1L, e.value))
+                case Some(s) =>
+                  cur = Some(s.copy(
+                    lastUs = math.max(s.lastUs, us),
+                    nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
+                case None =>
+                  cur = Some(OpenSession(us, us, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close the open tail once event time passes last + gap
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gap.toMillis)
+            }
+            closed.iterator
+          }
+      }
+  }
 
   /** Run the billing kernel per micro-batch against a static dim, writing
     * each conformed batch to the idempotent partitioned sink. */

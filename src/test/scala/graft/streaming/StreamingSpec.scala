@@ -35,6 +35,42 @@ class StreamingSpec extends SparkSpec {
       ("2026-01-02 00:00:00", "click", 1L, 7.0)))
   }
 
+  test("sessionizeStream: in-batch gap closes a session with q15 semantics") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamJobs.SessionEvent]
+    // user 7: two events 30min apart, then a 2.5h gap → first session closes
+    // in-batch; the open tail (1 event) stays in state
+    stream.addData(
+      StreamJobs.SessionEvent(7L, Timestamp.valueOf("2026-01-01 01:00:00"), 1.0),
+      StreamJobs.SessionEvent(7L, Timestamp.valueOf("2026-01-01 01:30:00"), 2.0),
+      StreamJobs.SessionEvent(7L, Timestamp.valueOf("2026-01-01 04:00:00"), 4.0))
+    val q = StreamJobs.sessionizeStream(stream.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    q.processAllAvailable()
+
+    val got = spark.table("sessions")
+      .as[StreamJobs.ClosedSession].collect().toSet
+    val us = (s: String) => Timestamp.valueOf(s).getTime * 1000L
+    assert(got == Set(StreamJobs.ClosedSession(
+      7L, us("2026-01-01 01:00:00"), us("2026-01-01 01:30:00"), 2L, 3.0)))
+
+    // a much later event advances the watermark past the tail's timeout —
+    // the open session closes via EventTimeTimeout, not an observed gap
+    stream.addData(
+      StreamJobs.SessionEvent(8L, Timestamp.valueOf("2026-01-01 12:00:00"), 0.0))
+    q.processAllAvailable()
+    // timeouts fire on the NEXT batch after the watermark moves
+    stream.addData(
+      StreamJobs.SessionEvent(8L, Timestamp.valueOf("2026-01-01 12:00:01"), 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("sessions").as[StreamJobs.ClosedSession].collect().toSet
+    assert(after.contains(StreamJobs.ClosedSession(
+      7L, us("2026-01-01 04:00:00"), us("2026-01-01 04:00:00"), 1L, 4.0)))
+  }
+
   test("streamingKernel per-batch output equals the batch kernel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

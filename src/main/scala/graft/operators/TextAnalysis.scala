@@ -116,5 +116,36 @@ object TextAnalysis {
       polyHash(lower(trim(col("text")))).as("full_fingerprint"))
   }
 
-  val all: Seq[QueryDef] = Seq(t01TokenCount, t02Quality, t03LangId, t04Fingerprint)
+  /** GPT-2-style pre-tokenizer shape: contraction suffixes, space-prefixed
+    * letter runs, digit runs, punctuation runs. Deliberately restricted to a
+    * dialect Java regex and RE2 share (no lookaround, no \p classes) so both
+    * engines tokenize identically. */
+  private val BpePattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+
+  /** t05 — BPE-ish token counting (the tokenizer-budget stat a training
+    * pipeline actually wants, vs t01's whitespace count): regex
+    * pre-tokenization per row, no shuffle. `bpe_per_word` ≈ pieces per
+    * whitespace word — the fertility ratio used to budget token counts. */
+  val t05BpeTokens = QueryDef(
+    "t05_bpe_tokens", {
+      val sqlPat = BpePattern.replace("\\s", "\\s").replace("'", "''")
+      val bpe = s"regexp_extract_all(lower(text), '$sqlPat')"
+      val ws = tokensSql("text")
+      s"""SELECT doc_id,
+         |  len($bpe) AS n_bpe_tokens,
+         |  len($ws) AS n_ws_tokens,
+         |  ${Stable.sqlR4(s"CAST(len($bpe) AS DOUBLE) / len($ws)")} AS bpe_per_word
+         |FROM documents""".stripMargin
+    }) { (s, d) =>
+    val bpe = regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0))
+    val ws = tokens(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(bpe).cast("long").as("n_bpe_tokens"),
+      size(ws).cast("long").as("n_ws_tokens"),
+      Stable.r4(size(bpe).cast("double") / size(ws)).as("bpe_per_word"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(t01TokenCount, t02Quality, t03LangId, t04Fingerprint, t05BpeTokens)
 }

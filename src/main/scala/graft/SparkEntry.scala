@@ -15,7 +15,8 @@ object SparkEntry {
   def defs: Seq[QueryDef] =
     CoreQueries.all ++ KernelQueries.all ++
       graft.operators.TextAnalysis.all ++ graft.operators.Dedup.all ++
-      graft.operators.Similarity.all ++ graft.operators.Multimodal.all
+      graft.operators.Similarity.all ++ graft.operators.Multimodal.all ++
+      graft.operators.CorpusPipeline.all
 
   /** Flagship: the full billing kernel (rule-match ladder + modes + conform)
     * on sf0.001; driver smoke-checks rows>0. */

@@ -36,4 +36,28 @@ class DedupSpec extends SparkSpec {
     val m = keepers(Seq(3L, 7L), Seq.empty)
     assert(m == Map(3L -> 3L, 7L -> 7L))
   }
+
+  test("keeperSelection equals union-find on random graphs (seeded property)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val n = 30
+      val ids = (0L until n).toSeq
+      val pairs = Seq.fill(25) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        if (a == b) (a, (b + 1) % n) else (a, b)
+      }
+      // driver-side union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = ids.map { i =>
+        // component min: repeatedly find root, which is min by construction
+        i -> find(i.toInt).toLong
+      }.toMap
+      assert(keepers(ids, pairs) == expected)
+    }
+  }
 }

@@ -32,6 +32,13 @@ class PlanSpec extends SparkSpec {
     assert(broadcasts >= 8, s"expected >=8 broadcast joins, got $broadcasts")
     assert(!plan.contains("SortMergeJoin"), "fact-side shuffle join crept into the kernel")
     assert(!plan.contains("CartesianProduct"))
+    // the demo dim is a LOCAL relation (months memoized) — the only parquet
+    // scan in the whole kernel is the fact itself. Round 1 regression: the
+    // dim's month-distinct subquery re-scanned lineitem in each of the 8
+    // broadcast subtrees.
+    val scans = "Scan parquet".r.findAllIn(plan).size + "FileScan".r.findAllIn(plan).size
+    assert(scans <= 2, s"kernel should scan the fact once, saw $scans scan nodes:\n" +
+      plan.linesIterator.filter(l => l.contains("Scan")).mkString("\n"))
   }
 
   test("dedup joins are equi-joins on derived keys — no cartesian products") {

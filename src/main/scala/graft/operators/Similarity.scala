@@ -201,5 +201,76 @@ object Similarity {
       .agg(Stable.r4(avg(col("v"))).as("centroid"))
   }
 
-  val all: Seq[QueryDef] = Seq(s01KnnBrute, s02AnnLsh, s03Centroids, s04AnnMultiProbe)
+  /** s05 — IVF search, completing s03's training step: build per-label
+    * centroid vectors (4-decimal-stable means, cast to float so both engines
+    * carry identical bits into the dot products), assign every vector to its
+    * nearest centroid (k centroids broadcast — the ONLY cross join, constant
+    * k rows), then each probe searches only its own cell + exact re-rank.
+    *
+    * 100 TB shape: assignment is a per-row map against a broadcast k-row
+    * table (no shuffle of the corpus); the candidate join shuffles by cell
+    * id — with k cells each probe touches ≈1/k of the corpus. Recall rises
+    * with multi-cell probing exactly like s04's bucket flips. */
+  val s05IvfSearch = QueryDef(
+    "s05_ivf_search", {
+      val centroidSql = s03Centroids.oracle.get
+      s"""WITH cents0 AS (${centroidSql.replace("\n", "\n  ")}),
+         |cents AS (
+         |  SELECT label,
+         |         list_transform(list(centroid ORDER BY dim_pos), x -> CAST(x AS REAL)) AS cvec
+         |  FROM cents0 GROUP BY label),
+         |cn AS (SELECT label, cvec, ${normSql("cvec")} AS cnorm FROM cents),
+         |e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+         |assigned AS (
+         |  SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, cn.label AS cell,
+         |           row_number() OVER (
+         |             PARTITION BY e.vec_id
+         |             ORDER BY ${dotSql("e.embedding", "cn.cvec")} / (e.nrm * cn.cnorm) DESC,
+         |                      cn.label) AS rn
+         |    FROM e CROSS JOIN cn) WHERE rn = 1),
+         |p AS (SELECT * FROM assigned WHERE vec_id % $ProbeMod = 0),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, p.cell, e2.vec_id AS neighbor_id,
+         |         ${dotSql("p.embedding", "e2.embedding")} / (p.nrm * e2.nrm) AS cos
+         |  FROM p JOIN assigned e2 ON p.cell = e2.cell AND p.vec_id <> e2.vec_id),
+         |ranked AS (
+         |  SELECT probe_id, cell, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY probe_id
+         |                            ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT probe_id, cell, rank, neighbor_id, ${Stable.sqlR4("cos")} AS cosine
+         |FROM ranked WHERE rank <= $TopK""".stripMargin
+    }) { (s, d) =>
+    val cents = s03Centroids.fn(s, d)
+      .groupBy("label")
+      .agg(transform(
+        sort_array(collect_list(struct(col("dim_pos"), col("centroid")))),
+        x => x.getField("centroid").cast("float")).as("cvec"))
+      .select(col("label"), col("cvec"), normCol(col("cvec")).as("cnorm"))
+    val e = vecs(s, d)
+    val cellCos = dotCol(col("embedding"), col("cvec")) / (col("nrm") * col("cnorm"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cell_cos").desc, col("label"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("cell_cos", cellCos)
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("label").as("cell"))
+    val p = assigned.filter(col("vec_id") % ProbeMod === 0)
+    val cos = dotCol(col("p.embedding"), col("e.embedding")) / (col("p.nrm") * col("e.nrm"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(p.as("p"))
+      .join(assigned.as("e"),
+        col("p.cell") === col("e.cell") && col("p.vec_id") =!= col("e.vec_id"))
+      .select(col("p.vec_id").as("probe_id"), col("p.cell").as("cell"),
+        col("e.vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("cell"), col("rank"), col("neighbor_id"),
+        Stable.r4(col("cos")).as("cosine"))
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(s01KnnBrute, s02AnnLsh, s03Centroids, s04AnnMultiProbe, s05IvfSearch)
 }

@@ -146,6 +146,36 @@ object TextAnalysis {
       Stable.r4(size(bpe).cast("double") / size(ws)).as("bpe_per_word"))
   }
 
+  /** t06 — corpus mixture report: per (source, lang) document counts, token
+    * mass, and corpus share — the data-mixture table a training run is
+    * configured from. One aggregation shuffle on (source, lang) (bounded
+    * cardinality) + a broadcast-size window for the shares. */
+  val t06Mixture = QueryDef(
+    "t06_mixture", {
+      val toks = tokensSql("text")
+      s"""SELECT source, lang,
+         |  count(*) AS n_docs,
+         |  sum(n_chars) AS total_chars,
+         |  sum(len($toks)) AS total_tokens,
+         |  ${Stable.sqlR4(
+            s"CAST(sum(len($toks)) AS DOUBLE) / sum(sum(len($toks))) OVER ()")} AS token_share
+         |FROM documents
+         |GROUP BY source, lang""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val nTok = size(tokens(col("text"))).cast("long")
+    Tables.documents(s, d)
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(nTok).as("total_tokens"))
+      .withColumn("token_share",
+        Stable.r4(col("total_tokens").cast("double") /
+          sum(col("total_tokens")).over(Window.partitionBy())))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(t01TokenCount, t02Quality, t03LangId, t04Fingerprint, t05BpeTokens)
+    Seq(t01TokenCount, t02Quality, t03LangId, t04Fingerprint, t05BpeTokens,
+      t06Mixture)
 }

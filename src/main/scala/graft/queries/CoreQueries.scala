@@ -291,8 +291,29 @@ object CoreQueries {
       .select(col("user_id"), r4(col("value")).as("sum_value"))
   }
 
+  /** Semi-structured payload extraction (the `props` JSON column): parse →
+    * typed field → aggregate. Spark's `get_json_object` is a codegen'd
+    * per-row scalar (path evaluated against each string, no UDF); at scale
+    * the parse cost is the map side of the one aggregation shuffle. */
+  val q18JsonExtract = QueryDef(
+    "q18_json_extract",
+    """SELECT event_type,
+      |  count(*) AS n_events,
+      |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+      |  floor((avg(CAST(json_extract(props, '$.k') AS BIGINT))) * 10000.0 + 0.5) / 10000.0 AS avg_k
+      |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(k).as("sum_k"),
+        r4(avg(k)).as("avg_k"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01AggGrain, q02AggWide, q03MinMax, q04Distinct, q05Filter, q06Range,
     q07In, q08Join, q09SemiJoin, q10Union, q11Limit, q12MonthFmt,
-    q13EventsWindow, q14TopPerKey, q15Sessionize, q16Quantiles, q17SaltedAgg)
+    q13EventsWindow, q14TopPerKey, q15Sessionize, q16Quantiles, q17SaltedAgg,
+    q18JsonExtract)
 }

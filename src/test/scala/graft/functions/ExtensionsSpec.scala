@@ -17,4 +17,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getAs[Int]("s") == 3)
     assert(r.getAs[Double]("d") == 11.0)
   }
+
+  test("misuse fails analysis instead of reading garbage (strict input types)") {
+    // graft_dot over array<double> would silently read wrong bytes via
+    // getFloat without the ExpectsInputTypes guard
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_dot(array(1.0, 2.0), array(3.0, 4.0))").collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("type"))
+    // and a wrong-typed polyhash input (array instead of string)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_polyhash(array(1))").collect()
+    }
+  }
 }

@@ -22,14 +22,14 @@ object Calculate {
 
   def calculateWithCredits(
       fact: DataFrame, dim: DataFrame,
-      extraDiscount: Map[String, Double] = Modes.DefaultExtraDiscount,
+      extraDiscount: Map[String, Double] = Map.empty,
       mode4DiscountAmount: Modes.Mode4DiscountAmount =
         Modes.Mode4DiscountAmount.LivePython): DataFrame =
     Modes(RuleMatch.addRuleTag(fact, dim), extraDiscount, mode4DiscountAmount)
 
   def calculate(
       rawFact: DataFrame, dim: DataFrame,
-      extraDiscount: Map[String, Double] = Modes.DefaultExtraDiscount,
+      extraDiscount: Map[String, Double] = Map.empty,
       mode4DiscountAmount: Modes.Mode4DiscountAmount =
         Modes.Mode4DiscountAmount.LivePython): DataFrame =
     calculateWithCredits(

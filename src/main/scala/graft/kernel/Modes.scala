@@ -27,10 +27,14 @@ object Modes {
     case object SqlTemplate extends Mode4DiscountAmount
   }
 
-  /** Default per-account extra-discount rates
-    * (ref: calculate/service.py:189-199). Config data, not code: callers
-    * pass their own map; the default mirrors the reference. */
-  val DefaultExtraDiscount: Map[String, Double] = {
+  /** The reference's per-account extra-discount rates
+    * (calculate/service.py:189-199), kept as a PARITY FIXTURE — this is
+    * deployment config, not engine code (SURVEY §7.1), so no API defaults
+    * to it: every entry point defaults to an EMPTY map (rate 1.0) and a
+    * deployment passes its own rates (e.g. from a config file or dim
+    * table). Use this constant only to reproduce the reference's exact
+    * output. */
+  val ReferenceExtraDiscount: Map[String, Double] = {
     val tiers: Seq[(Double, Seq[String])] = Seq(
       0.975 -> Seq(
         "01F0DC-F91DC5-0F0CAB", "0143DC-442DB6-FDE892", "01FEE2-46994F-B32CB9",
@@ -71,7 +75,7 @@ object Modes {
     * default: stays 0.0).
     */
   def apply(tagged: DataFrame,
-            extraDiscount: Map[String, Double] = DefaultExtraDiscount,
+            extraDiscount: Map[String, Double] = Map.empty,
             mode4DiscountAmount: Mode4DiscountAmount =
               Mode4DiscountAmount.LivePython): DataFrame = {
     val rate: Column =

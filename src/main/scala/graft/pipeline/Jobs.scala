@@ -57,7 +57,7 @@ object Jobs {
       invoiceMonth: String,
       dayRange: Option[(LocalDate, LocalDate)] = None,
       accounts: Option[Seq[String]] = None,
-      extraDiscount: Map[String, Double] = Modes.DefaultExtraDiscount): DataFrame = {
+      extraDiscount: Map[String, Double] = Map.empty): DataFrame = {
     val sliced = Seq(
       Some((df: DataFrame) => df.filter(col("invoice_month") === invoiceMonth)),
       dayRange.map(r => (df: DataFrame) => df.filter(
@@ -79,7 +79,7 @@ object Jobs {
       invoiceMonth: String,
       dayRange: Option[(LocalDate, LocalDate)] = None,
       accounts: Option[Seq[String]] = None,
-      extraDiscount: Map[String, Double] = Modes.DefaultExtraDiscount): Unit = {
+      extraDiscount: Map[String, Double] = Map.empty): Unit = {
     val fact = spark.read.parquet(odsPath)
     val dim = spark.read.parquet(dimPath)
     val out = computeMonth(fact, dim, invoiceMonth, dayRange, accounts, extraDiscount)

@@ -27,7 +27,7 @@ object Launcher {
       failureCsv: String = "failures.csv",
       lookbackDays: Int = 4,
       alerter: Alerter = LogAlerter,
-      extraDiscount: Map[String, Double] = graft.kernel.Modes.DefaultExtraDiscount)
+      extraDiscount: Map[String, Double] = Map.empty)
 
   /** One E1 tick for `today`: returns the failed days (empty = clean run). */
   def runDaily(spark: SparkSession, config: Config,

@@ -99,7 +99,7 @@ object IsolatedRun {
       days: Seq[LocalDate],
       failureCsv: String = "failures.csv",
       alerter: Alerter = LogAlerter,
-      extraDiscount: Map[String, Double] = graft.kernel.Modes.DefaultExtraDiscount,
+      extraDiscount: Map[String, Double] = Map.empty,
       computeDay: Option[LocalDate => DataFrame] = None): Seq[LocalDate] = {
     val compute = computeDay.getOrElse((day: LocalDate) =>
       Jobs.computeMonth(

@@ -109,7 +109,7 @@ object StreamJobs {
       dim: DataFrame,
       targetPath: String,
       checkpoint: String,
-      extraDiscount: Map[String, Double] = Modes.DefaultExtraDiscount): DataStreamWriter[org.apache.spark.sql.Row] =
+      extraDiscount: Map[String, Double] = Map.empty): DataStreamWriter[org.apache.spark.sql.Row] =
     factStream.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)

@@ -96,6 +96,13 @@ class ModesSpec extends SparkSpec {
     assert(r.getAs[Double]("external_consumption") == 0.0)
   }
 
+  test("extra discount defaults OFF: the reference map is a fixture, not the default") {
+    // SURVEY §7.1: deployment config, not engine code — rate 1.0 unless passed
+    val r = one(base, Seq(Rule("2026-01", "A", mode = Some(1), discount = Some(0.8))))
+    assert(r.getAs[Double]("internal_cost") == 111.0)
+    assert(Modes.ReferenceExtraDiscount.size == 24) // parity fixture intact
+  }
+
   test("extra discount multiplies internal_cost only (ref :209)") {
     val r = one(base, Seq(Rule("2026-01", "A", mode = Some(1), discount = Some(0.8))),
       extra = Map("A" -> 0.88))

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftExpectsInputTypes
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -28,9 +28,12 @@ object VectorFunctions {
   val HashMod: Long = 1000000007L
 
   /** dot(a, b) over array<float> in double precision, left-to-right
-    * (== aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0.0, +)). */
+    * (== aggregate(zip_with(a, b, (x,y) -> double(x)*double(y)), 0.0, +)).
+    * Full `doGenCode` (not CodegenFallback): the loop inlines into the
+    * surrounding whole-stage codegen span — no per-row virtual call, and
+    * the span stays unbroken through the similarity/dedup hot paths. */
   case class FloatVecDot(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback with GraftExpectsInputTypes {
+      extends BinaryExpression with GraftExpectsInputTypes {
     // strict array<float> — these are registered session-wide as SQL
     // functions, so misuse (e.g. array<double>, which would silently read
     // wrong bytes via getFloat) must fail analysis, not produce garbage
@@ -49,15 +52,32 @@ object VectorFunctions {
       }
       acc
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val n = ctx.freshName("n")
+        val i = ctx.freshName("i")
+        val acc = ctx.freshName("acc")
+        // same fold order as nullSafeEval — results stay bit-identical
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
 
   /** 31-base polynomial rolling hash over codepoints mod 1e9+7
     * (== the TextOps.polyHash fold; == DuckDB
-    * list_reduce over unicode(split(s,''))). */
+    * list_reduce over unicode(split(s,''))). Full `doGenCode`: the fold
+    * inlines into the whole-stage span (this runs once per shingle in the
+    * dedup paths — the hottest scalar in the engine). */
   case class PolyHash(child: Expression)
-      extends UnaryExpression with CodegenFallback with GraftExpectsInputTypes {
+      extends UnaryExpression with GraftExpectsInputTypes {
     override def graftInputTypes: Seq[DataType] = Seq(StringType)
     override def dataType: DataType = LongType
     override def nullSafeEval(v: Any): Any = {
@@ -71,6 +91,25 @@ object VectorFunctions {
       }
       acc
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val s = ctx.freshName("s")
+        val i = ctx.freshName("i")
+        val cp = ctx.freshName("cp")
+        val acc = ctx.freshName("acc")
+        // same codepoint walk as nullSafeEval — bit-identical results
+        s"""
+           |String $s = $c.toString();
+           |long $acc = 0L;
+           |int $i = 0;
+           |while ($i < $s.length()) {
+           |  int $cp = $s.codePointAt($i);
+           |  $acc = ($acc * 31L + $cp) % ${HashMod}L;
+           |  $i += java.lang.Character.charCount($cp);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 

@@ -114,11 +114,36 @@ object VectorFunctions {
   }
 
   /** 28-bit SimHash over an array<long> of feature hashes: bit i is set when
-    * Σ (bit_i(h) ? +1 : -1) > 0. One pass over the array. */
+    * Σ (bit_i(h) ? +1 : -1) > 0. One pass over the array; scalar result, so
+    * it codegens inline like FloatVecDot/PolyHash. */
   case class SimHash28(child: Expression)
-      extends UnaryExpression with CodegenFallback with GraftExpectsInputTypes {
+      extends UnaryExpression with GraftExpectsInputTypes {
     override def graftInputTypes: Seq[DataType] = Seq(ArrayType(LongType))
     override def dataType: DataType = LongType
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val counts = ctx.freshName("counts")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val h = ctx.freshName("h")
+        val b = ctx.freshName("b")
+        val sim = ctx.freshName("sim")
+        s"""
+           |int[] $counts = new int[28];
+           |int $n = $arr.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $h = $arr.getLong($i);
+           |  for (int $b = 0; $b < 28; $b++) {
+           |    if ((($h >> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+           |  }
+           |}
+           |long $sim = 0L;
+           |for (int $b = 0; $b < 28; $b++) {
+           |  if ($counts[$b] > 0) $sim |= 1L << $b;
+           |}
+           |${ev.value} = $sim;
+         """.stripMargin
+      })
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
       val counts = new Array[Int](28)

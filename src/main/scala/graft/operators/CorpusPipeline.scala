@@ -16,7 +16,12 @@ import graft.queries.QueryDef
   */
 object CorpusPipeline {
 
-  private val QualityThreshold = 0.5
+  /** Keep threshold for t02's quality_score. The synthetic corpus's score
+    * mass sits ≈0.3–0.45 (stop_ratio is low for random-vocab text), so 0.35
+    * keeps a real fraction of documents — a cutoff above the mass (e.g. 0.5)
+    * makes the keeper∩quality join vacuously empty and the oracle check
+    * proves only schema. CorpusPipelineSpec pins non-emptiness. */
+  private[operators] val QualityThreshold = 0.35
 
   val c01CorpusClean = QueryDef(
     "c01_corpus_clean",

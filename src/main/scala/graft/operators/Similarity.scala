@@ -242,21 +242,33 @@ object Similarity {
          |SELECT probe_id, cell, rank, neighbor_id, ${Stable.sqlR4("cos")} AS cosine
          |FROM ranked WHERE rank <= $TopK""".stripMargin
     }) { (s, d) =>
-    val cents = s03Centroids.fn(s, d)
+    // The ≤k per-label centroids are bounded metadata (k·64 floats), so they
+    // are collected ONCE at plan-build time (the monthsCache pattern) and
+    // inlined as a literal array — the corpus-side assignment is then a pure
+    // per-row argmax projection: no cross join, no window, no shuffle, and
+    // referencing `assigned` twice costs only a second scan+project.
+    val centRows = s03Centroids.fn(s, d)
       .groupBy("label")
       .agg(transform(
         sort_array(collect_list(struct(col("dim_pos"), col("centroid")))),
         x => x.getField("centroid").cast("float")).as("cvec"))
       .select(col("label"), col("cvec"), normCol(col("cvec")).as("cnorm"))
+      .collect()
+    val centArr = array(centRows.map { r =>
+      struct(
+        lit(r.getInt(0)).as("cell"),
+        typedlit(r.getSeq[Float](1)).as("cvec"),
+        lit(r.getDouble(2)).as("cnorm"))
+    }: _*)
+    // struct max compares (cos, -cell) lexicographically: max cosine wins,
+    // ties take the smallest label — the oracle's ORDER BY cos DESC, label.
+    val scoredCells = transform(centArr, cn => struct(
+      (dotCol(col("embedding"), cn.getField("cvec")) /
+        (col("nrm") * cn.getField("cnorm"))).as("c"),
+      (-cn.getField("cell")).as("negCell")))
     val e = vecs(s, d)
-    val cellCos = dotCol(col("embedding"), col("cvec")) / (col("nrm") * col("cnorm"))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cell_cos").desc, col("label"))
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("cell_cos", cellCos)
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("label").as("cell"))
+    val assigned = e.select(col("vec_id"), col("embedding"), col("nrm"),
+      (-array_max(scoredCells).getField("negCell")).as("cell"))
     val p = assigned.filter(col("vec_id") % ProbeMod === 0)
     val cos = dotCol(col("p.embedding"), col("e.embedding")) / (col("p.nrm") * col("e.nrm"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))

@@ -155,8 +155,8 @@ object TextAnalysis {
       val toks = tokensSql("text")
       s"""SELECT source, lang,
          |  count(*) AS n_docs,
-         |  sum(n_chars) AS total_chars,
-         |  sum(len($toks)) AS total_tokens,
+         |  ${Stable.sqlSumBig("n_chars")} AS total_chars,
+         |  ${Stable.sqlSumBig(s"len($toks)")} AS total_tokens,
          |  ${Stable.sqlR4(
             s"CAST(sum(len($toks)) AS DOUBLE) / sum(sum(len($toks))) OVER ()")} AS token_share
          |FROM documents

@@ -297,11 +297,11 @@ object CoreQueries {
     * the parse cost is the map side of the one aggregation shuffle. */
   val q18JsonExtract = QueryDef(
     "q18_json_extract",
-    """SELECT event_type,
-      |  count(*) AS n_events,
-      |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
-      |  floor((avg(CAST(json_extract(props, '$.k') AS BIGINT))) * 10000.0 + 0.5) / 10000.0 AS avg_k
-      |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+    s"""SELECT event_type,
+       |  count(*) AS n_events,
+       |  ${Stable.sqlSumBig("CAST(json_extract(props, '$.k') AS BIGINT)")} AS sum_k,
+       |  ${Stable.sqlR4("avg(CAST(json_extract(props, '$.k') AS BIGINT))")} AS avg_k
+       |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
     val k = get_json_object(col("props"), "$.k").cast("long")
     Tables.events(s, d)
       .groupBy(col("event_type"))

@@ -32,4 +32,11 @@ object Stable {
   import org.apache.spark.sql.functions.{floor, lit}
   def r4(c: Column): Column = floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
   def sqlR4(e: String): String = s"floor(($e) * 10000.0 + 0.5) / 10000.0"
+
+  /** Integer sum for oracle SQL. DuckDB widens `sum(BIGINT)` to HUGEINT
+    * (int128), which the driver's typed hash distinguishes from Spark's
+    * BIGINT even when every value is identical — this cost q15 (round 1)
+    * and q18/t06 (round 2). Route EVERY integer-valued oracle sum through
+    * this so the artifact cannot recur. */
+  def sqlSumBig(e: String): String = s"CAST(sum($e) AS BIGINT)"
 }

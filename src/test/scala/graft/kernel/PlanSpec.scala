@@ -53,6 +53,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("s05 IVF assignment is a pure projection — no shuffle below the candidate join") {
+    import graft.operators.Similarity
+    val plan = planOf(Similarity.s05IvfSearch.fn(spark, sf))
+    // centroid assignment must be a literal-array argmax in a Project, not a
+    // crossJoin+window: the only Exchange allowed at/below the candidate
+    // join is the probe-side BroadcastExchange. (The top-k window above the
+    // join legitimately shuffles by probe_id — the plan string lists parents
+    // first, so everything after the join line is its subtree.)
+    val joinAt = plan.indexOf("BroadcastHashJoin")
+    assert(joinAt >= 0, s"expected a broadcast candidate join:\n$plan")
+    val below = plan.substring(joinAt)
+    assert(!below.contains("Exchange hashpartitioning"),
+      s"shuffle below the s05 candidate join:\n$plan")
+    assert(!plan.contains("Window partitionBy(vec_id)") && {
+      val w = "Window \\[".r.findAllIn(plan).size; w <= 1
+    }, s"assignment window crept back into s05:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("c01 corpus clean is non-vacuous on the fixture data") {
+    import graft.operators.CorpusPipeline
+    // a threshold above the corpus's quality-score mass makes the
+    // keeper∩quality join empty and the oracle check proves only schema
+    assert(CorpusPipeline.c01CorpusClean.fn(spark, sf).count() > 0)
+  }
+
   test("the billing demo dim stays small enough to broadcast at any fact scale") {
     // dim cardinality = 41 rules × fact months — independent of fact ROWS
     val dim = BillingDemo.dim(spark, sf)

@@ -24,16 +24,22 @@ object Calculate {
       fact: DataFrame, dim: DataFrame,
       extraDiscount: Map[String, Double] = Map.empty,
       mode4DiscountAmount: Modes.Mode4DiscountAmount =
-        Modes.Mode4DiscountAmount.LivePython): DataFrame =
-    Modes(RuleMatch.addRuleTag(fact, dim), extraDiscount, mode4DiscountAmount)
+        Modes.Mode4DiscountAmount.LivePython,
+      extraDiscountBase: Modes.ExtraDiscountBase =
+        Modes.ExtraDiscountBase.LivePython): DataFrame =
+    Modes(RuleMatch.addRuleTag(fact, dim), extraDiscount, mode4DiscountAmount,
+      extraDiscountBase)
 
   def calculate(
       rawFact: DataFrame, dim: DataFrame,
       extraDiscount: Map[String, Double] = Map.empty,
       mode4DiscountAmount: Modes.Mode4DiscountAmount =
-        Modes.Mode4DiscountAmount.LivePython): DataFrame =
+        Modes.Mode4DiscountAmount.LivePython,
+      extraDiscountBase: Modes.ExtraDiscountBase =
+        Modes.ExtraDiscountBase.LivePython): DataFrame =
     calculateWithCredits(
-      Credits.deriveCredits(rawFact), dim, extraDiscount, mode4DiscountAmount)
+      Credits.deriveCredits(rawFact), dim, extraDiscount, mode4DiscountAmount,
+      extraDiscountBase)
 }
 
 /** S6 — conform-to-target-table (ref: billing_calculation_service.py:330-435).

@@ -27,6 +27,25 @@ object Modes {
     case object SqlTemplate extends Mode4DiscountAmount
   }
 
+  /** E4 SQL-variant flag #2 (SURVEY.md §4 discrepancy 1): WHICH base the
+    * per-account extra-discount rate multiplies. The live pandas path
+    * multiplies `internal_cost` (calculate/service.py:209). The SQL template
+    * instead leaves `internal_cost` alone and folds the rate into the mode-1
+    * consumption base: `internal_consumption_final = internal_consumption_base
+    * * extra_discount_factor` (calculate/sql_template.py:130), which only
+    * mode 1's `external_consumption` consumes (sql_template.py:175) — the
+    * exported `internal_consumption` column stays the un-discounted base.
+    * Python is live, so [[LivePython]] is the default; [[SqlTemplate]] is
+    * the opt-in twin so the E4 statement can be reproduced exactly. */
+  sealed trait ExtraDiscountBase
+  object ExtraDiscountBase {
+    /** rate × internal_cost (live behavior, calculate/service.py:209). */
+    case object LivePython extends ExtraDiscountBase
+    /** rate × mode-1 consumption base (calculate/sql_template.py:130,175);
+      * internal_cost is left un-discounted. */
+    case object SqlTemplate extends ExtraDiscountBase
+  }
+
   /** The reference's per-account extra-discount rates
     * (calculate/service.py:189-199), kept as a PARITY FIXTURE — this is
     * deployment config, not engine code (SURVEY §7.1), so no API defaults
@@ -77,21 +96,27 @@ object Modes {
   def apply(tagged: DataFrame,
             extraDiscount: Map[String, Double] = Map.empty,
             mode4DiscountAmount: Mode4DiscountAmount =
-              Mode4DiscountAmount.LivePython): DataFrame = {
+              Mode4DiscountAmount.LivePython,
+            extraDiscountBase: ExtraDiscountBase =
+              ExtraDiscountBase.LivePython): DataFrame = {
     val rate: Column =
       if (extraDiscount.isEmpty) lit(1.0)
       else coalesce(
         element_at(typedlit(extraDiscount), col("billing_account_id")), lit(1.0))
+    val (costRate, mode1Rate) = extraDiscountBase match {
+      case ExtraDiscountBase.LivePython  => (rate, lit(1.0))
+      case ExtraDiscountBase.SqlTemplate => (lit(1.0), rate)
+    }
 
     val m4Part = mode4CreditPart
     val discEff = coalesce(col("discount"), lit(1.0))
 
     tagged
-      .withColumn("internal_cost", (col("cost") + col("internal_credits_cost")) * rate)
+      .withColumn("internal_cost", (col("cost") + col("internal_credits_cost")) * costRate)
       .withColumn("internal_consumption", col("cost") + col("internal_credits_consumption"))
       .withColumn(
         "external_consumption",
-        when(col("mode") === 1, col("internal_consumption") * col("discount"))
+        when(col("mode") === 1, col("internal_consumption") * mode1Rate * col("discount"))
           .when(col("mode") === 2, col("usage_amount_in_pricing_units") * col("price"))
           .when(col("mode") === 3,
             col("usage_amount_in_pricing_units") * col("price") * col("discount"))

@@ -358,6 +358,93 @@ object Dedup {
       .select(col("id_a"), col("id_b"), Stable.r4(j).as("jaccard"))
   }
 
+  // ---------- d09: MinHash + LSH over the stop-listed shingle space ----------
+
+  /** Shared stop-listed shingle-hash sets: per-doc DISTINCT shingle hashes
+    * with hot shingles (document frequency > maxDf) removed — d08's cutoff
+    * lifted to a reusable pre-step so SIGNATURE schemes (MinHash banding,
+    * SimHash) can also exclude boilerplate. On real web data the band/block
+    * keys inherit boilerplate skew exactly like the d02 inverted index does;
+    * filtering before signing fixes the skew at its source. Opt-in (d03/d04
+    * keep the unfiltered space and their oracles unchanged). */
+  private def stopListedHashSets(s: SparkSession, d: String, maxDf: Int): DataFrame = {
+    val ex = shingled(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(col("sh"), sg => polyHash(sg)))).as("s"))
+    val hot = ex.groupBy("s").agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") > maxDf)
+      .select("s")
+    ex.join(broadcast(hot), Seq("s"), "left_anti")
+      .groupBy("doc_id").agg(collect_list(col("s")).as("hh"))
+  }
+
+  private def stopListedHashSetsSql(maxDf: Int): String =
+    s"""SELECT doc_id, list(s) AS hh FROM (
+       |  SELECT ex.doc_id, ex.s
+       |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(sh, sg -> ${polyHashSql("sg")}))) AS s
+       |        FROM (${shingledSql.replace("\n", " ")})) ex
+       |  ANTI JOIN (SELECT s FROM (SELECT doc_id, unnest(list_distinct(list_transform(sh, sg -> ${polyHashSql("sg")}))) AS s
+       |             FROM (${shingledSql.replace("\n", " ")}))
+       |             GROUP BY s HAVING count(*) > $maxDf) hot USING (s))
+       |GROUP BY doc_id""".stripMargin
+
+  /** d09 — d03's MinHash+LSH banding computed over the stop-listed shingle
+    * space: signatures, band keys, AND the exact-Jaccard verify all use the
+    * filtered per-doc hash sets (Jaccard is well-defined over the filtered
+    * space, as in d08). Same join shape as d03 — band-bucket equi-join +
+    * candidate verify — but band keys can no longer be dominated by a
+    * boilerplate shingle shared by millions of docs. MinHash/Jaccard are
+    * order-invariant, so the unordered set aggregation is safe. */
+  val d09MinHashStopList = QueryDef(
+    "d09_dedup_minhash_stoplist", {
+      val nBands = NumHashes / BandSize
+      val bandRows = (0 until nBands)
+        .map(k => s"SELECT doc_id, $k AS band_k, ${bandSql(k)} AS band FROM sig")
+        .mkString("\nUNION ALL\n")
+      s"""WITH sets AS (${stopListedHashSetsSql(MaxShingleDf).replace("\n", "\n  ")}),
+         |sig AS (SELECT doc_id, ${minhashSqlCols.mkString(",\n  ")} FROM sets),
+         |bands AS (
+         |$bandRows),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_k = b.band_k AND a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b,
+         |  ${Stable.sqlR4(
+          "CAST(len(list_intersect(sa.hh, sb.hh)) AS DOUBLE) / (len(sa.hh) + len(sb.hh) - len(list_intersect(sa.hh, sb.hh)))")} AS jaccard
+         |FROM cand
+         |JOIN sets sa ON sa.doc_id = id_a
+         |JOIN sets sb ON sb.doc_id = id_b
+         |WHERE CAST(len(list_intersect(sa.hh, sb.hh)) AS DOUBLE)
+         |      / (len(sa.hh) + len(sb.hh) - len(list_intersect(sa.hh, sb.hh)))
+         |      >= $JaccardThreshold""".stripMargin
+    }) { (s, d) =>
+    // sets feeds the signature AND both verify sides (3 refs) — cache
+    val sets = stopListedHashSets(s, d, MaxShingleDf).cache()
+    val sig = sets
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.minHashSig(col("hh"), NumHashes).as("sig"))
+      .select(col("doc_id") +: minhashCols: _*)
+      .cache() // 4 band branches × 2 join sides = 8 refs, as in d03
+    val nBands = NumHashes / BandSize
+    val bands = (0 until nBands).map { k =>
+      sig.select(col("doc_id"), lit(k).as("band_k"), bandCol(k).as("band"))
+    }.reduce(_ unionAll _)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_k") === col("b.band_k") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val interSize = size(array_intersect(col("sa.hh"), col("sb.hh"))).cast("double")
+    val j = interSize / (size(col("sa.hh")) + size(col("sb.hh")) - interSize)
+    cand
+      .join(sets.as("sa"), col("sa.doc_id") === col("id_a"))
+      .join(sets.as("sb"), col("sb.doc_id") === col("id_b"))
+      .filter(j >= JaccardThreshold)
+      .select(col("id_a"), col("id_b"), Stable.r4(j).as("jaccard"))
+  }
+
   // ---------- d06: embedding near-dup via LSH buckets (the scale path) ----------
 
   /** d06 — the DEFAULT embedding near-dup: candidate pairs come from an
@@ -425,14 +512,18 @@ object Dedup {
     while (changed > 0 && iter < maxIter) {
       val prop = labels.as("l").join(edges.as("e"), col("l.node") === col("e.src"))
         .select(col("e.dst").as("node"), col("l.cluster").as("cluster"))
-      val next = labels.unionAll(prop)
-        .groupBy("node").agg(min("cluster").as("cluster"))
+      // each node's previous label rides through the aggregate (`own` is
+      // non-null only on the node's self row, and nodes are unique in
+      // `labels`), so convergence is a filter over the materialized result —
+      // no per-round join+count pass
+      val next = labels
+        .select(col("node"), col("cluster"), col("cluster").as("own"))
+        .unionAll(prop.withColumn("own", lit(null).cast("long")))
+        .groupBy("node")
+        .agg(min("cluster").as("cluster"), max("own").as("own"))
         .localCheckpoint() // eager: materializes AND cuts lineage
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.cluster") =!= col("o.cluster"))
-        .count()
-      labels = next
+      changed = next.filter(col("cluster") =!= col("own")).count()
+      labels = next.select(col("node"), col("cluster"))
       iter += 1
     }
     edges.unpersist()
@@ -467,5 +558,5 @@ object Dedup {
 
   val all: Seq[QueryDef] =
     Seq(d01Exact, d02NgramJaccard, d03MinHashLsh, d04SimHash, d05EmbeddingNearDup,
-      d06EmbeddingLsh, d07DedupKeeper, d08NgramStopList)
+      d06EmbeddingLsh, d07DedupKeeper, d08NgramStopList, d09MinHashStopList)
 }

@@ -56,25 +56,59 @@ object Launcher {
     throw new IllegalStateException("unreachable")
   }
 
-  /** args: odsPath dimPath targetPath [--today yyyy-MM-dd] [--daemon HH:mm]
-    * [--webhook url]. Default: one tick for the current date. */
-  def main(args: Array[String]): Unit = {
+  /** CLI dispatch for all three reference entry points (testable core —
+    * `main` adds the SparkSession lifecycle):
+    *
+    *  - default              → E1 daily tick (main.py:164-203)
+    *  - `--backfill yyyyMM`  → E2 full-month backfill
+    *                           (excute_month_task.py:167-200)
+    *  - `--accounts a,b,c`   → E3 per-account repair (main.py:64-135);
+    *    `--month yyyyMM` scopes it (default: current month),
+    *    `--window N` restricts to the N-day lookback ending today
+    *    (the reference's repair windows, main.py:86-104)
+    *
+    * Returns a process exit code (0 = clean). */
+  def run(spark: SparkSession, args: Array[String]): Int = {
     require(args.length >= 3,
-      "usage: Launcher <odsPath> <dimPath> <targetPath> [--today yyyy-MM-dd] [--daemon HH:mm] [--webhook url]")
+      "usage: Launcher <odsPath> <dimPath> <targetPath> [--today yyyy-MM-dd] " +
+        "[--daemon HH:mm] [--webhook url] [--backfill yyyyMM] " +
+        "[--accounts a,b,c [--month yyyyMM] [--window N]]")
     def flag(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(`name`, v) => v }
     val alerter = flag("--webhook").map(new HttpAlerter(_)).getOrElse(LogAlerter)
     val config = Config(args(0), args(1), args(2), alerter = alerter)
+    val today = flag("--today").map(LocalDate.parse).getOrElse(LocalDate.now())
+    val monthFmt = DateTimeFormatter.ofPattern("yyyyMM")
+
+    (flag("--backfill"), flag("--accounts"), flag("--daemon")) match {
+      case (Some(month), _, _) => // E2: whole named month, no day filter
+        Jobs.runMonth(spark, config.odsPath, config.dimPath, config.targetPath,
+          month, dayRange = None, accounts = None,
+          extraDiscount = config.extraDiscount)
+        alerter.send(s"backfill $month complete")
+        0
+      case (None, Some(accountsCsv), _) => // E3: repair named accounts
+        val month = flag("--month").getOrElse(today.format(monthFmt))
+        val dayRange = flag("--window").map(n => Jobs.lookbackWindow(today, n.toInt))
+        Jobs.runMonth(spark, config.odsPath, config.dimPath, config.targetPath,
+          month, dayRange, accounts = Some(accountsCsv.split(',').toSeq),
+          extraDiscount = config.extraDiscount)
+        alerter.send(s"repair $month accounts=$accountsCsv complete")
+        0
+      case (None, None, Some(t)) =>
+        daemon(spark, config, LocalTime.parse(t))
+      case (None, None, None) => // E1: one daily tick
+        if (runDaily(spark, config, today).nonEmpty) 1 else 0
+    }
+  }
+
+  /** args: see [[run]]. Default: one E1 tick for the current date. */
+  def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .appName("graft-daily")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
-    try flag("--daemon") match {
-      case Some(t) => daemon(spark, config, LocalTime.parse(t))
-      case None =>
-        val today = flag("--today").map(LocalDate.parse).getOrElse(LocalDate.now())
-        val failed = runDaily(spark, config, today)
-        if (failed.nonEmpty) sys.exit(1)
-    } finally spark.stop()
+    val code = try run(spark, args) finally spark.stop()
+    if (code != 0) sys.exit(code)
   }
 }

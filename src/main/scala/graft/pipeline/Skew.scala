@@ -20,9 +20,16 @@ object Skew {
     * first — hot keys spread across `salt` partial groups — then merge.
     * `aggs` must be algebraic (sum/count/min/max style) for the merge to be
     * exact; pass the merge expression per output column. */
+  /** Row-content salt: deterministic for a given row regardless of partition
+    * layout — `monotonically_increasing_id`/`rand` are seeded per partition,
+    * so a repartitioned retry could re-salt rows mid-stage. Any spread works
+    * for algebraic aggregation; content hashing keeps it reproducible. */
+  private def contentSalt(df: DataFrame, salt: Int): Column =
+    pmod(hash(df.columns.map(col): _*), lit(salt))
+
   def saltedSum(df: DataFrame, keys: Seq[String], salt: Int,
                 sumCols: Seq[String]): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salt)))
+    val salted = df.withColumn("__salt", contentSalt(df, salt))
     salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(sum(sumCols.head).as(sumCols.head),
@@ -40,10 +47,9 @@ object Skew {
                  salt: Int, joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"salted join is row-preserving only for inner/left, got $joinType")
-    val saltedLeft = left.withColumn(
-      "__salt", pmod(monotonically_increasing_id(), lit(salt)))
+    val saltedLeft = left.withColumn("__salt", contentSalt(left, salt))
     val replicatedRight = right
-      .withColumn("__salt", explode(sequence(lit(0L), lit(salt - 1L))))
+      .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
     saltedLeft
       .join(replicatedRight, keys :+ "__salt", joinType)
       .drop("__salt")

@@ -10,9 +10,12 @@ class ModesSpec extends SparkSpec {
   private def one(f: Fact, rules: Seq[Rule],
                   extra: Map[String, Double] = Map.empty,
                   m4da: Modes.Mode4DiscountAmount =
-                    Modes.Mode4DiscountAmount.LivePython): Row = {
+                    Modes.Mode4DiscountAmount.LivePython,
+                  edBase: Modes.ExtraDiscountBase =
+                    Modes.ExtraDiscountBase.LivePython): Row = {
     import spark.implicits._
-    val out = Calculate.calculateWithCredits(Seq(f).toDF(), rules.toDF(), extra, m4da)
+    val out = Calculate.calculateWithCredits(
+      Seq(f).toDF(), rules.toDF(), extra, m4da, edBase)
     val rows = out.select("internal_cost", "internal_consumption",
       "external_consumption", "discount_amount", "mode").collect()
     assert(rows.length == 1)
@@ -109,6 +112,25 @@ class ModesSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("internal_cost") - 111.0 * 0.88) < 1e-9)
     // external (mode 1) uses internal_consumption — unaffected
     assert(math.abs(r.getAs[Double]("external_consumption") - 109.0 * 0.8) < 1e-9)
+  }
+
+  test("extra discount under the SqlTemplate base opt-in multiplies the mode-1 " +
+    "consumption base, not internal_cost (calculate/sql_template.py:130,175)") {
+    val r = one(base, Seq(Rule("2026-01", "A", mode = Some(1), discount = Some(0.8))),
+      extra = Map("A" -> 0.88), edBase = Modes.ExtraDiscountBase.SqlTemplate)
+    // internal_cost keeps the un-discounted value (no factor in the SQL twin)
+    assert(r.getAs[Double]("internal_cost") == 111.0)
+    // exported internal_consumption stays the base (sql_template.py:171)
+    assert(r.getAs[Double]("internal_consumption") == 109.0)
+    // only mode-1 external consumes the discounted base
+    assert(math.abs(r.getAs[Double]("external_consumption") - 109.0 * 0.88 * 0.8) < 1e-9)
+  }
+
+  test("SqlTemplate extra-discount base leaves modes 2-4 untouched") {
+    val r = one(base, Seq(Rule("2026-01", "A", mode = Some(2), price = Some(2.5))),
+      extra = Map("A" -> 0.88), edBase = Modes.ExtraDiscountBase.SqlTemplate)
+    assert(r.getAs[Double]("external_consumption") == 25.0)
+    assert(r.getAs[Double]("internal_cost") == 111.0)
   }
 
   test("mode 1 with null discount yields null external (conform later zeroes it)") {

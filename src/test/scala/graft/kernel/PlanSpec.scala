@@ -46,7 +46,8 @@ class PlanSpec extends SparkSpec {
     // d06 is the DEFAULT embedding near-dup path — it must stay a bucket
     // equi-join (d05 is the only sanctioned brute-force baseline)
     Seq(Dedup.d02NgramJaccard, Dedup.d03MinHashLsh, Dedup.d04SimHash,
-      Dedup.d06EmbeddingLsh, Dedup.d08NgramStopList).foreach { q =>
+      Dedup.d06EmbeddingLsh, Dedup.d08NgramStopList,
+      Dedup.d09MinHashStopList).foreach { q =>
       val plan = planOf(q.fn(spark, sf))
       assert(!plan.contains("CartesianProduct"), s"${q.name} has a cartesian join")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"${q.name} has a nested-loop join")

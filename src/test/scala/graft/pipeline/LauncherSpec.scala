@@ -37,6 +37,69 @@ class LauncherSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(s"$dir/failures.csv")))
   }
 
+  test("--backfill yyyyMM recomputes the whole named month (E2 CLI)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-backfill").toString
+    val facts = Seq(
+      fact("A").copy(usage_day = java.sql.Date.valueOf("2026-01-05")),
+      fact("A").copy(usage_day = java.sql.Date.valueOf("2026-01-28")),
+      fact("A").copy(invoice_month = "202602",
+        usage_day = java.sql.Date.valueOf("2026-02-02"))) // other month: excluded
+    val rules = Seq(Rule("2026-01", "A", mode = Some(2), price = Some(2.0)))
+    facts.toDF().write.parquet(s"$dir/ods")
+    rules.toDF().write.parquet(s"$dir/dim")
+
+    val code = Launcher.run(spark,
+      Array(s"$dir/ods", s"$dir/dim", s"$dir/out", "--backfill", "202601"))
+
+    assert(code == 0)
+    val out = spark.read.parquet(s"$dir/out")
+    // whole month, no lookback clamp — both January days land
+    assert(out.select("usage_day").collect().map(_.get(0).toString).toSet ==
+      Set("2026-01-05", "2026-01-28"))
+  }
+
+  test("--accounts repairs only the named accounts in the named month (E3 CLI)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-repair").toString
+    val facts = Seq(fact("A"), fact("B"), fact("C")) // all on 2026-01-15
+    val rules = Seq(
+      Rule("2026-01", "A", mode = Some(2), price = Some(2.0)),
+      Rule("2026-01", "B", mode = Some(2), price = Some(3.0)))
+    facts.toDF().write.parquet(s"$dir/ods")
+    rules.toDF().write.parquet(s"$dir/dim")
+
+    val code = Launcher.run(spark,
+      Array(s"$dir/ods", s"$dir/dim", s"$dir/out",
+        "--accounts", "A,B", "--month", "202601"))
+
+    assert(code == 0)
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.select("billing_account_id").collect()
+      .map(_.getString(0)).toSet == Set("A", "B"))
+  }
+
+  test("--accounts with --window restricts the repair to the lookback days") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-repair-window").toString
+    val facts = Seq(
+      fact("A").copy(usage_day = java.sql.Date.valueOf("2026-01-14")), // in window
+      fact("A").copy(usage_day = java.sql.Date.valueOf("2026-01-02"))) // outside
+    val rules = Seq(Rule("2026-01", "A", mode = Some(2), price = Some(2.0)))
+    facts.toDF().write.parquet(s"$dir/ods")
+    rules.toDF().write.parquet(s"$dir/dim")
+
+    val code = Launcher.run(spark,
+      Array(s"$dir/ods", s"$dir/dim", s"$dir/out",
+        "--accounts", "A", "--month", "202601",
+        "--window", "3", "--today", "2026-01-15"))
+
+    assert(code == 0)
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.select("usage_day").collect().map(_.get(0).toString).toSet ==
+      Set("2026-01-14"))
+  }
+
   test("HttpAlerter builds the reference webhook JSON shape with escaping") {
     val a = new HttpAlerter("http://localhost:1/unused")
     assert(a.payload("hi") == """{"msg_type":"text","content":{"text":"hi"}}""")

@@ -201,6 +201,35 @@ object Similarity {
       .agg(Stable.r4(avg(col("v"))).as("centroid"))
   }
 
+  /** Per-(vec row) scored centroid cells for IVF assignment. The ≤k
+    * per-label centroids are bounded metadata (k·64 floats), so they are
+    * collected ONCE at plan-build time (the monthsCache pattern) and inlined
+    * as a literal array — assignment is then a pure per-row argmax
+    * projection: no cross join, no window, no shuffle. Each array entry is
+    * struct(c = cosine to that centroid, negCell = -label); struct ordering
+    * compares (c, negCell) lexicographically, so max/sort give "cos DESC,
+    * label ASC" — the oracle's tie-break — and `-negCell` recovers the
+    * label. */
+  private def centroidScoredCells(s: SparkSession, d: String): Column = {
+    val centRows = s03Centroids.fn(s, d)
+      .groupBy("label")
+      .agg(transform(
+        sort_array(collect_list(struct(col("dim_pos"), col("centroid")))),
+        x => x.getField("centroid").cast("float")).as("cvec"))
+      .select(col("label"), col("cvec"), normCol(col("cvec")).as("cnorm"))
+      .collect()
+    val centArr = array(centRows.map { r =>
+      struct(
+        lit(r.getInt(0)).as("cell"),
+        typedlit(r.getSeq[Float](1)).as("cvec"),
+        lit(r.getDouble(2)).as("cnorm"))
+    }: _*)
+    transform(centArr, cn => struct(
+      (dotCol(col("embedding"), cn.getField("cvec")) /
+        (col("nrm") * cn.getField("cnorm"))).as("c"),
+      (-cn.getField("cell")).as("negCell")))
+  }
+
   /** s05 — IVF search, completing s03's training step: build per-label
     * centroid vectors (4-decimal-stable means, cast to float so both engines
     * carry identical bits into the dot products), assign every vector to its
@@ -242,30 +271,7 @@ object Similarity {
          |SELECT probe_id, cell, rank, neighbor_id, ${Stable.sqlR4("cos")} AS cosine
          |FROM ranked WHERE rank <= $TopK""".stripMargin
     }) { (s, d) =>
-    // The ≤k per-label centroids are bounded metadata (k·64 floats), so they
-    // are collected ONCE at plan-build time (the monthsCache pattern) and
-    // inlined as a literal array — the corpus-side assignment is then a pure
-    // per-row argmax projection: no cross join, no window, no shuffle, and
-    // referencing `assigned` twice costs only a second scan+project.
-    val centRows = s03Centroids.fn(s, d)
-      .groupBy("label")
-      .agg(transform(
-        sort_array(collect_list(struct(col("dim_pos"), col("centroid")))),
-        x => x.getField("centroid").cast("float")).as("cvec"))
-      .select(col("label"), col("cvec"), normCol(col("cvec")).as("cnorm"))
-      .collect()
-    val centArr = array(centRows.map { r =>
-      struct(
-        lit(r.getInt(0)).as("cell"),
-        typedlit(r.getSeq[Float](1)).as("cvec"),
-        lit(r.getDouble(2)).as("cnorm"))
-    }: _*)
-    // struct max compares (cos, -cell) lexicographically: max cosine wins,
-    // ties take the smallest label — the oracle's ORDER BY cos DESC, label.
-    val scoredCells = transform(centArr, cn => struct(
-      (dotCol(col("embedding"), cn.getField("cvec")) /
-        (col("nrm") * cn.getField("cnorm"))).as("c"),
-      (-cn.getField("cell")).as("negCell")))
+    val scoredCells = centroidScoredCells(s, d)
     val e = vecs(s, d)
     val assigned = e.select(col("vec_id"), col("embedding"), col("nrm"),
       (-array_max(scoredCells).getField("negCell")).as("cell"))
@@ -283,6 +289,80 @@ object Similarity {
         Stable.r4(col("cos")).as("cosine"))
   }
 
+  private val NProbe = 2
+
+  /** s06 — IVF search with multi-cell probing (`nprobe` = 2): the corpus
+    * keeps its single-cell assignment, but each probe searches its NProbe
+    * NEAREST cells — the standard IVF recall knob (a true neighbor near a
+    * cell boundary lands in the probe's 2nd-closest cell). Same plan shape
+    * as s05: assignment is still a literal-centroid argmax projection (the
+    * probe side just explodes its top-NProbe cells, NProbe rows per probe),
+    * and the candidate join is still a cell equi-join touching ≈NProbe/k of
+    * the corpus per probe. Probe cells are distinct and each corpus vector
+    * lives in exactly one cell, so no candidate dedup is needed. */
+  val s06IvfMultiProbe = QueryDef(
+    "s06_ivf_multiprobe", {
+      val centroidSql = s03Centroids.oracle.get
+      s"""WITH cents0 AS (${centroidSql.replace("\n", "\n  ")}),
+         |cents AS (
+         |  SELECT label,
+         |         list_transform(list(centroid ORDER BY dim_pos), x -> CAST(x AS REAL)) AS cvec
+         |  FROM cents0 GROUP BY label),
+         |cn AS (SELECT label, cvec, ${normSql("cvec")} AS cnorm FROM cents),
+         |e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+         |assigned AS (
+         |  SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, cn.label AS cell,
+         |           row_number() OVER (
+         |             PARTITION BY e.vec_id
+         |             ORDER BY ${dotSql("e.embedding", "cn.cvec")} / (e.nrm * cn.cnorm) DESC,
+         |                      cn.label) AS rn
+         |    FROM e CROSS JOIN cn) WHERE rn = 1),
+         |pcells AS (
+         |  SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, cn.label AS cell,
+         |           row_number() OVER (
+         |             PARTITION BY e.vec_id
+         |             ORDER BY ${dotSql("e.embedding", "cn.cvec")} / (e.nrm * cn.cnorm) DESC,
+         |                      cn.label) AS rn
+         |    FROM e CROSS JOIN cn
+         |    WHERE e.vec_id % $ProbeMod = 0) WHERE rn <= $NProbe),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, e2.vec_id AS neighbor_id,
+         |         ${dotSql("p.embedding", "e2.embedding")} / (p.nrm * e2.nrm) AS cos
+         |  FROM pcells p JOIN assigned e2 ON p.cell = e2.cell AND p.vec_id <> e2.vec_id),
+         |ranked AS (
+         |  SELECT probe_id, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY probe_id
+         |                            ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT probe_id, rank, neighbor_id, ${Stable.sqlR4("cos")} AS cosine
+         |FROM ranked WHERE rank <= $TopK""".stripMargin
+    }) { (s, d) =>
+    val scoredCells = centroidScoredCells(s, d)
+    val e = vecs(s, d)
+    val assigned = e.select(col("vec_id"), col("embedding"), col("nrm"),
+      (-array_max(scoredCells).getField("negCell")).as("cell"))
+    // ascending struct sort ends with the best (cos DESC, label ASC) cells —
+    // the last NProbe entries are exactly the oracle's rn <= NProbe
+    val topCells = slice(array_sort(scoredCells), -NProbe, NProbe)
+    val p = e.filter(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(transform(topCells, x => -x.getField("negCell"))).as("cell"))
+    val cos = dotCol(col("p.embedding"), col("e.embedding")) / (col("p.nrm") * col("e.nrm"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(p.as("p"))
+      .join(assigned.as("e"),
+        col("p.cell") === col("e.cell") && col("p.vec_id") =!= col("e.vec_id"))
+      .select(col("p.vec_id").as("probe_id"), col("e.vec_id").as("neighbor_id"),
+        cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("rank"), col("neighbor_id"),
+        Stable.r4(col("cos")).as("cosine"))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(s01KnnBrute, s02AnnLsh, s03Centroids, s04AnnMultiProbe, s05IvfSearch)
+    Seq(s01KnnBrute, s02AnnLsh, s03Centroids, s04AnnMultiProbe, s05IvfSearch,
+      s06IvfMultiProbe)
 }

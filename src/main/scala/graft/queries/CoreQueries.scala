@@ -275,6 +275,22 @@ object CoreQueries {
         r4(expr("percentile(l_quantity, 0.5)")).as("median_qty"))
   }
 
+  /** q19 — the 100 TB companion to q16: `approx_percentile` is a one-pass
+    * MERGEABLE fixed-size sketch (map-side partials combine), where exact
+    * `percentile` buffers every group value on one reducer — at scale the
+    * sketch is the only viable shape. No DuckDB oracle (each engine's
+    * sketch algorithm differs — DuckDB uses t-digest), so the driver
+    * records the weaker rows-only check; QuantilesSketchSpec pins the
+    * sketch against the exact result within the configured accuracy. */
+  val q19QuantilesApprox = QueryDef.noOracle("q19_quantiles_approx") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        r4(expr("approx_percentile(l_extendedprice, 0.5, 10000)")).as("median_price"),
+        r4(expr("approx_percentile(l_extendedprice, 0.95, 10000)")).as("p95_price"),
+        r4(expr("approx_percentile(l_quantity, 0.5, 10000)")).as("median_qty"))
+  }
+
   /** Salted two-phase aggregation (hot-key skew tooling, SURVEY §4): group
     * on (key + salt) then merge — a hot user's rows spread over 8 reducers
     * instead of one. Semantically identical to the direct groupBy, which is
@@ -315,5 +331,5 @@ object CoreQueries {
     q01AggGrain, q02AggWide, q03MinMax, q04Distinct, q05Filter, q06Range,
     q07In, q08Join, q09SemiJoin, q10Union, q11Limit, q12MonthFmt,
     q13EventsWindow, q14TopPerKey, q15Sessionize, q16Quantiles, q17SaltedAgg,
-    q18JsonExtract)
+    q18JsonExtract, q19QuantilesApprox)
 }

@@ -102,6 +102,23 @@ object StreamJobs {
       }
   }
 
+  /** Streaming exact dedup — the batch d01 operator's streaming twin, the
+    * dedup-at-the-door shape for a continuously ingesting corpus: keep the
+    * FIRST document per content hash, drop later copies. State is keyed by
+    * the same content hash the batch groupBy shuffles on, and
+    * `dropDuplicatesWithinWatermark` expires a key once the watermark passes
+    * it — state stays bounded by (ingest rate × watermark), not corpus size,
+    * which is what makes this viable on an unbounded stream. */
+  def dedupStream(
+      docs: DataFrame,
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("text_md5", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   /** Run the billing kernel per micro-batch against a static dim, writing
     * each conformed batch to the idempotent partitioned sink. */
   def streamingKernel(

@@ -71,6 +71,30 @@ class StreamingSpec extends SparkSpec {
       7L, us("2026-01-01 04:00:00"), us("2026-01-01 04:00:00"), 1L, 4.0)))
   }
 
+  test("dedupStream keeps the first copy per content hash within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    stream.addData(
+      (Timestamp.valueOf("2026-01-01 01:00:00"), 1L, "alpha"),
+      (Timestamp.valueOf("2026-01-01 01:05:00"), 2L, "alpha"), // dup content
+      (Timestamp.valueOf("2026-01-01 01:10:00"), 3L, "beta"))
+    val q = StreamJobs
+      .dedupStream(stream.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    q.processAllAvailable()
+
+    val got = spark.table("dedup").select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "alpha"), (3L, "beta")))
+
+    // another duplicate arriving later in the same watermark window drops too
+    stream.addData((Timestamp.valueOf("2026-01-01 01:20:00"), 4L, "beta"))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup").count() == 2)
+  }
+
   test("streamingKernel per-batch output equals the batch kernel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

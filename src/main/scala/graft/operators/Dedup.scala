@@ -445,6 +445,50 @@ object Dedup {
       .select(col("id_a"), col("id_b"), Stable.r4(j).as("jaccard"))
   }
 
+  /** d10 — d04's SimHash pigeonhole dedup over the stop-listed shingle
+    * space (the SimHash sibling of d09): signatures sign only non-boilerplate
+    * shingles, so block keys can't collapse onto the boilerplate signature.
+    * Same block equi-join + hamming verify as d04. */
+  val d10SimHashStopList = QueryDef(
+    "d10_dedup_simhash_stoplist", {
+      val blockRows = (0 until NumBlocks)
+        .map(k => s"SELECT doc_id, simhash, $k AS blk_k, (simhash >> ${k * BlockBits}) & ${(1 << BlockBits) - 1} AS blk FROM sig")
+        .mkString("\nUNION ALL\n")
+      s"""WITH sets AS (${stopListedHashSetsSql(MaxShingleDf).replace("\n", "\n  ")}),
+         |sig AS (SELECT doc_id, $simhashSql AS simhash
+         |        FROM (SELECT doc_id, hh AS th FROM sets)),
+         |blocks AS (
+         |$blockRows),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.simhash AS sim_a, b.simhash AS sim_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk_k = b.blk_k AND a.blk = b.blk AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(sim_a, sim_b)) <= $MaxHamming""".stripMargin
+    }) { (s, d) =>
+    val sig = stopListedHashSets(s, d, MaxShingleDf)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.simHash28(col("hh")).as("simhash"))
+      .cache() // 4 block branches × 2 join sides = 8 refs
+    val blocks = (0 until NumBlocks).map { k =>
+      sig.select(col("doc_id"), col("simhash"), lit(k).as("blk_k"),
+        shiftright(col("simhash"), k * BlockBits)
+          .bitwiseAND(lit((1L << BlockBits) - 1)).as("blk"))
+    }.reduce(_ unionAll _)
+    val cand = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk_k") === col("b.blk_k") && col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+    val hamming = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+    cand.filter(hamming <= MaxHamming)
+      .select(col("id_a"), col("id_b"), hamming.cast("long").as("hamming"))
+  }
+
   // ---------- d06: embedding near-dup via LSH buckets (the scale path) ----------
 
   /** d06 — the DEFAULT embedding near-dup: candidate pairs come from an
@@ -558,5 +602,6 @@ object Dedup {
 
   val all: Seq[QueryDef] =
     Seq(d01Exact, d02NgramJaccard, d03MinHashLsh, d04SimHash, d05EmbeddingNearDup,
-      d06EmbeddingLsh, d07DedupKeeper, d08NgramStopList, d09MinHashStopList)
+      d06EmbeddingLsh, d07DedupKeeper, d08NgramStopList, d09MinHashStopList,
+      d10SimHashStopList)
 }

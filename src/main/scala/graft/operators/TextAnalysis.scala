@@ -175,7 +175,86 @@ object TextAnalysis {
           sum(col("total_tokens")).over(Window.partitionBy())))
   }
 
+  /** Eval-set selector for t07: 49 splits original/twin pairs across
+    * train/eval (the dedup corpus's twins sit at doc_id + 100000, and
+    * 100000 % 49 = 40 ≠ 0, so an eval original's near-copy twin lands in
+    * train — real contamination to catch). A modulus dividing 100000 (e.g.
+    * 50) would keep every pair on one side and the check would be vacuous. */
+  private val EvalMod = 49
+
+  /** t07 — training-data decontamination: flag train documents that share
+    * any word-shingle with the (small, held-out) eval set — the standard
+    * n-gram-overlap benchmark-contamination check. 100 TB shape: the eval
+    * side is an eval BENCHMARK — small by nature — so its distinct shingle
+    * set broadcasts and the train side never shuffles; per-doc overlap is a
+    * map-side join + one aggregation keyed by doc_id. */
+  val t07Decontamination = QueryDef(
+    "t07_decontamination", {
+      val ex =
+        s"""SELECT doc_id, unnest(list_distinct(list_transform(${shinglesSql(tokensSql("t"))}, sg -> ${polyHashSql("sg")}))) AS s
+           |FROM (${Dedup.corpusSql.replace("\n", " ")})""".stripMargin
+      s"""WITH ex AS (${ex.replace("\n", " ")}),
+         |ev AS (SELECT DISTINCT s FROM ex WHERE doc_id % $EvalMod = 0),
+         |tr AS (SELECT doc_id, s FROM ex WHERE doc_id % $EvalMod <> 0)
+         |SELECT tr.doc_id, CAST(count(ev.s) AS BIGINT) AS n_shared,
+         |       count(ev.s) > 0 AS contaminated
+         |FROM tr LEFT JOIN ev USING (s)
+         |GROUP BY tr.doc_id""".stripMargin
+    }) { (s, d) =>
+    val ex = Dedup.corpus(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(shingles(col("t")), sg => polyHash(sg)))).as("s"))
+    val ev = ex.filter(col("doc_id") % EvalMod === 0)
+      .select(col("s")).distinct()
+      .withColumn("m", lit(1))
+    ex.filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(ev), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(col("m")).as("n_shared"))
+      .withColumn("contaminated", col("n_shared") > 0)
+  }
+
+  private val ShardBuckets = 16
+  /** Small enough that every test bucket crosses several shard boundaries —
+    * a budget above the per-bucket token mass would leave one shard per
+    * bucket and never exercise the packing arithmetic (the c01 lesson). */
+  private val ShardTokenBudget = 500.0
+
+  /** t08 — training-shard planning: pack documents into shards of ≈budget
+    * tokens. A single global running sum would serialize on one reducer, so
+    * the plan is two-level: hash-bucket the corpus ([[ShardBuckets]]-way
+    * parallelism), then a per-bucket running token sum assigns each doc to
+    * the shard its PRECEDING bucket mass fills — shard boundaries are
+    * deterministic given (bucket, doc_id) order. At 100 TB, buckets are the
+    * parallelism knob; each bucket's window sorts only its own partition. */
+  val t08ShardPlan = QueryDef(
+    "t08_shard_plan", {
+      val toks = tokensSql("text")
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % $ShardBuckets AS bucket,
+         |         CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT doc_id, bucket, n_tokens,
+         |  CAST(bucket * 1000 + floor((cum - n_tokens) / $ShardTokenBudget) AS BIGINT) AS shard_id
+         |FROM c""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % ShardBuckets).as("bucket"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"),
+        (col("bucket") * 1000 +
+          floor((col("cum") - col("n_tokens")) / ShardTokenBudget)).cast("long")
+          .as("shard_id"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01TokenCount, t02Quality, t03LangId, t04Fingerprint, t05BpeTokens,
-      t06Mixture)
+      t06Mixture, t07Decontamination, t08ShardPlan)
 }

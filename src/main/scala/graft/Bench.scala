@@ -63,6 +63,19 @@ object Bench {
         // init — never swallow this silently
         System.err.println(s"[bench] WARMUP FAILED (flagship query): $e")
     }
+    // the flagship only touches the billing tables — also warm the
+    // documents/embeddings read paths and the text/vector codegen, or the
+    // alphabetically-first corpus query (c01) absorbs that one-time cost
+    // into all of its timed runs (caches are still cleared per timed run)
+    Seq("t01_token_count", "s03_centroids").foreach { n =>
+      SparkEntry.queries.get(n).foreach { f =>
+        try runNoop(f(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
+        }
+      }
+    }
+    spark.catalog.clearCache()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runs).map { _ =>

@@ -218,7 +218,7 @@ object Similarity {
         x => x.getField("centroid").cast("float")).as("cvec"))
       .select(col("label"), col("cvec"), normCol(col("cvec")).as("cnorm"))
       .collect()
-    val centArr = array(centRows.map { r =>
+    val centArr = array(centRows.toIndexedSeq.map { r =>
       struct(
         lit(r.getInt(0)).as("cell"),
         typedlit(r.getSeq[Float](1)).as("cvec"),

@@ -25,7 +25,7 @@ object Skew {
     * so a repartitioned retry could re-salt rows mid-stage. Any spread works
     * for algebraic aggregation; content hashing keeps it reproducible. */
   private def contentSalt(df: DataFrame, salt: Int): Column =
-    pmod(hash(df.columns.map(col): _*), lit(salt))
+    pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salt))
 
   def saltedSum(df: DataFrame, keys: Seq[String], salt: Int,
                 sumCols: Seq[String]): DataFrame = {

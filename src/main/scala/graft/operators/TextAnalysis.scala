@@ -254,7 +254,75 @@ object TextAnalysis {
           .as("shard_id"))
   }
 
+  /** t09 — intra-document repetition scoring (the Gopher-style "repeated
+    * content" quality signal): fraction of adjacent token pairs that are
+    * identical. Pure per-row array arithmetic, no shuffle. DuckDB's
+    * `generate_series(1, 0)` is empty while Spark's `sequence(1, 0)` counts
+    * DOWN — the `n >= 2` guard keeps the engines identical on degenerate
+    * docs. */
+  val t09Repetition = QueryDef(
+    "t09_repetition", {
+      val toks = tokensSql("text")
+      val dups = s"len(list_filter(generate_series(1, len($toks) - 1), i -> $toks[i] = $toks[i + 1]))"
+      s"""SELECT doc_id,
+         |  CAST(len($toks) AS BIGINT) AS n_tokens,
+         |  CAST($dups AS BIGINT) AS n_adjacent_dups,
+         |  ${Stable.sqlR4(s"CASE WHEN len($toks) > 1 THEN CAST($dups AS DOUBLE) / (len($toks) - 1) ELSE 0.0 END")} AS rep_ratio
+         |FROM documents""".stripMargin
+    }) { (s, d) =>
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val dups = when(n >= 2,
+      size(filter(sequence(lit(1), n - 1),
+        i => element_at(toks, i) === element_at(toks, i + 1))))
+      .otherwise(lit(0))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      dups.cast("long").as("n_adjacent_dups"),
+      Stable.r4(when(n > 1, dups.cast("double") / (n - 1)).otherwise(lit(0.0)))
+        .as("rep_ratio"))
+  }
+
+  /** Per-language keep rates (permille) for t10 — the mixture a training run
+    * wants, not the mixture the crawl produced. */
+  private val MixtureRates: Seq[(String, Int)] =
+    Seq("en" -> 1000, "de" -> 500, "fr" -> 500, "es" -> 250, "zh" -> 250)
+
+  /** t10 — deterministic mixture resampling: downsample each language to its
+    * target rate by hashing the DOCUMENT ID against a permille threshold.
+    * Hash-gating (vs `rand()`) makes the sample a pure row-local predicate —
+    * reproducible across retries, engines, and partitionings, and the filter
+    * pushes down to the scan. No shuffle at all.
+    *
+    * The raw polynomial hash of a SHORT digit string is nearly linear in the
+    * digits, so `% 1000` of it clusters (ids 0-9 gate to 48-57, etc.);
+    * squaring mod the prime mixes it — h² stays exact in int64
+    * ((1e9+7)² < 2⁶³ is false, but h ≤ 1e9+6 ⇒ h² ≤ ~1.0e18 < 2⁶³). */
+  val t10MixtureSample = QueryDef(
+    "t10_mixture_sample", {
+      val h = polyHashSql("CAST(doc_id AS VARCHAR)")
+      val gate = s"((($h) * ($h)) % ${TextOps.HashMod})"
+      val rateCase = MixtureRates
+        .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+        .mkString("CASE ", " ", " ELSE 0 END")
+      s"""SELECT doc_id, source, lang
+         |FROM documents
+         |WHERE $gate % 1000 < $rateCase""".stripMargin
+    }) { (s, d) =>
+    val h = polyHash(col("doc_id").cast("string"))
+    val gate = ((h * h) % TextOps.HashMod) % 1000
+    val rate = MixtureRates.tail.foldLeft(
+      when(col("lang") === MixtureRates.head._1, MixtureRates.head._2)) {
+      case (acc, (l, r)) => acc.when(col("lang") === l, r)
+    }.otherwise(lit(0))
+    Tables.documents(s, d)
+      .filter(gate < rate)
+      .select(col("doc_id"), col("source"), col("lang"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01TokenCount, t02Quality, t03LangId, t04Fingerprint, t05BpeTokens,
-      t06Mixture, t07Decontamination, t08ShardPlan)
+      t06Mixture, t07Decontamination, t08ShardPlan, t09Repetition,
+      t10MixtureSample)
 }

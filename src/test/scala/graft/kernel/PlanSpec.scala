@@ -80,6 +80,20 @@ class PlanSpec extends SparkSpec {
     assert(CorpusPipeline.c01CorpusClean.fn(spark, sf).count() > 0)
   }
 
+  test("t07 decontamination broadcasts the eval side; t08 sharding never opens a global window") {
+    import graft.operators.TextAnalysis
+    val t07 = planOf(TextAnalysis.t07Decontamination.fn(spark, sf))
+    // the benchmark shingle set must reach the train side as a broadcast —
+    // a sort-merge join here would shuffle the whole train corpus
+    assert(t07.contains("BroadcastHashJoin"), s"t07 lost its broadcast:\n$t07")
+    assert(!t07.contains("SortMergeJoin"), s"t07 shuffles the train side:\n$t07")
+    val t08 = planOf(TextAnalysis.t08ShardPlan.fn(spark, sf))
+    // the running sum must stay partitioned by bucket — a Window with an
+    // empty partition spec serializes the whole corpus onto one task
+    assert(t08.contains("Window"), s"t08 lost its window:\n$t08")
+    assert(!t08.contains("SinglePartition"), s"t08 serializes on one task:\n$t08")
+  }
+
   test("the billing demo dim stays small enough to broadcast at any fact scale") {
     // dim cardinality = 41 rules × fact months — independent of fact ROWS
     val dim = BillingDemo.dim(spark, sf)

@@ -292,8 +292,9 @@ object TextAnalysis {
   /** t10 — deterministic mixture resampling: downsample each language to its
     * target rate by hashing the DOCUMENT ID against a permille threshold.
     * Hash-gating (vs `rand()`) makes the sample a pure row-local predicate —
-    * reproducible across retries, engines, and partitionings, and the filter
-    * pushes down to the scan. No shuffle at all.
+    * reproducible across retries, engines, and partitionings — evaluated
+    * directly above the scan (no shuffle; the hash is a custom expression,
+    * so it filters post-scan rather than at the parquet reader).
     *
     * The raw polynomial hash of a SHORT digit string is nearly linear in the
     * digits, so `% 1000` of it clusters (ids 0-9 gate to 48-57, etc.);

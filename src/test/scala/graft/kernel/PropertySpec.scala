@@ -72,6 +72,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("extra-discount base variants differ ONLY where the reference paths differ") {
+    import spark.implicits._
+    // SURVEY §4 discrepancy 1: the rate touches internal_cost on the live
+    // path and the mode-1 external base on the SQL path — nothing else.
+    val f = Seq(
+      fact("A").copy(internal_credits_cost = 11.0, internal_credits_consumption = 9.0))
+      .toDF()
+    def run(base: Modes.ExtraDiscountBase, mode: Int) = {
+      val rules = Seq(Rule("2026-01", "A", mode = Some(mode),
+        price = Some(2.0), discount = Some(0.8))).toDF()
+      Calculate.calculateWithCredits(f, rules, Map("A" -> 0.9),
+        extraDiscountBase = base)
+        .select("internal_cost", "internal_consumption", "external_consumption")
+        .collect().head
+    }
+    Seq(1, 2, 3).foreach { m =>
+      val live = run(Modes.ExtraDiscountBase.LivePython, m)
+      val sqlt = run(Modes.ExtraDiscountBase.SqlTemplate, m)
+      // internal_cost: only the live path discounts it
+      assert(math.abs(live.getDouble(0) - 111.0 * 0.9) < 1e-9)
+      assert(sqlt.getDouble(0) == 111.0)
+      // internal_consumption: neither path discounts the exported column
+      assert(live.getDouble(1) == 109.0 && sqlt.getDouble(1) == 109.0)
+      // external: only mode 1 under SqlTemplate sees the rate
+      if (m == 1) {
+        assert(math.abs(live.getDouble(2) - 109.0 * 0.8) < 1e-9)
+        assert(math.abs(sqlt.getDouble(2) - 109.0 * 0.9 * 0.8) < 1e-9)
+      } else assert(live.getDouble(2) == sqlt.getDouble(2))
+    }
+  }
+
   test("kernel is deterministic: two runs over the same input are identical") {
     import spark.implicits._
     val f = Seq(fact("A")).toDF()

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.QueryDef
+import graft.queries.{QueryDef, Stable}
 import graft.tables.Tables
 
 /** Multimodal-column plumbing: treat image/audio/video payloads as opaque
@@ -109,5 +109,31 @@ object Multimodal {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(m01BinaryMeta, m02FrameSample)
+  /** m03 — the [[featurize]] mapPartitions path as an oracle-checked query:
+    * runs the stub decoder (byte count / mean / min / max) over every
+    * payload. The corpus is ASCII, so bytes == codepoints and DuckDB can
+    * reproduce the stub's arithmetic exactly — which makes the
+    * per-partition-batch execution path itself oracle-checked, not just
+    * unit-tested. At scale this is the plan shape real decoders run in:
+    * one partition = one decoder init + a tight per-row loop, no shuffle. */
+  val m03Featurize = QueryDef(
+    "m03_featurize", {
+      val cps = "list_transform(split(text, ''), ch -> CAST(unicode(ch) AS BIGINT))"
+      s"""SELECT doc_id,
+         |  octet_length(encode(text)) AS n_bytes,
+         |  ${Stable.sqlR4(s"CAST(list_sum($cps) AS DOUBLE) / octet_length(encode(text))")} AS byte_mean,
+         |  CAST(list_min($cps) AS BIGINT) AS byte_min,
+         |  CAST(list_max($cps) AS BIGINT) AS byte_max
+         |FROM documents""".stripMargin
+    }) { (s, d) =>
+    featurize(Tables.documents(s, d), payloadCol = "text", idCol = "doc_id")
+      .select(
+        col("doc_id"),
+        element_at(col("features"), 1).cast("long").as("n_bytes"),
+        Stable.r4(element_at(col("features"), 2)).as("byte_mean"),
+        element_at(col("features"), 3).cast("long").as("byte_min"),
+        element_at(col("features"), 4).cast("long").as("byte_max"))
+  }
+
+  val all: Seq[QueryDef] = Seq(m01BinaryMeta, m02FrameSample, m03Featurize)
 }

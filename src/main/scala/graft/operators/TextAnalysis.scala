@@ -239,7 +239,7 @@ object TextAnalysis {
          |         CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id) AS BIGINT) AS cum
          |  FROM t)
          |SELECT doc_id, bucket, n_tokens,
-         |  CAST(bucket * 1000 + floor((cum - n_tokens) / $ShardTokenBudget) AS BIGINT) AS shard_id
+         |  CAST(floor((cum - n_tokens) / $ShardTokenBudget) * $ShardBuckets + bucket AS BIGINT) AS shard_id
          |FROM c""".stripMargin
     }) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
@@ -248,9 +248,12 @@ object TextAnalysis {
       .select(col("doc_id"), (col("doc_id") % ShardBuckets).as("bucket"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
+      // interleaved id (seq × buckets + bucket) stays collision-free no
+      // matter how many shards a bucket fills — a bucket×constant encoding
+      // would collide once a bucket exceeds the constant
       .select(col("doc_id"), col("bucket"), col("n_tokens"),
-        (col("bucket") * 1000 +
-          floor((col("cum") - col("n_tokens")) / ShardTokenBudget)).cast("long")
+        (floor((col("cum") - col("n_tokens")) / ShardTokenBudget) * ShardBuckets +
+          col("bucket")).cast("long")
           .as("shard_id"))
   }
 

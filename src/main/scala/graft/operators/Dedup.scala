@@ -574,6 +574,75 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star/small-star — the
+    * O(log diameter) rounds formulation (vs [[keeperSelection]]'s
+    * min-label propagation at O(diameter) rounds). Same contract: returns
+    * (node, cluster) with cluster = the component's minimum id. Near-dup
+    * components are shallow, so the simple propagation usually wins on
+    * constant factors; THIS is the shape for adversarially deep graphs
+    * (long mutation chains), where a path of length d needs d propagation
+    * rounds but only ~log d star rounds. Each round is two
+    * groupBy-min + join passes over the edge set, localCheckpoint'd like
+    * the propagation loop (same lineage-growth failure mode).
+    *
+    *  - large-star: every neighbor v > u links to m = min(Γ(u) ∪ u)
+    *  - small-star: every smaller neighbor (and u) links to m
+    *
+    * Fixpoint: the edge set stabilizes as per-component stars rooted at
+    * the minimum; labels read off the star edges, singletons keep
+    * themselves. Equivalence with union-find is property-tested
+    * (DedupSpec). */
+  def keeperSelectionStar(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // canonical (small, large) edges, self-loops dropped
+    var e = pairs
+      .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
+      .distinct()
+      .localCheckpoint()
+
+    def canonical(ed: DataFrame): DataFrame = ed
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("lo"), greatest(col("u"), col("v")).as("hi"))
+      .distinct()
+
+    def largeStar(ed: DataFrame): DataFrame = {
+      val bidir = ed.select(col("lo").as("u"), col("hi").as("v"))
+        .unionAll(ed.select(col("hi").as("u"), col("lo").as("v")))
+      val m = bidir.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
+      canonical(
+        bidir.join(m, "u").filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v")))
+    }
+
+    def smallStar(ed: DataFrame): DataFrame = {
+      // edges already point (hi → lo); per hi-node, link all smaller
+      // neighbors and the node itself to the smallest neighbor
+      val m = ed.groupBy("hi").agg(min(col("lo")).as("m"))
+      val linked = ed.join(m, "hi")
+        .select(col("lo").as("u"), col("m").as("v"))
+        .unionAll(m.select(col("hi").as("u"), col("m").as("v")))
+      canonical(linked)
+    }
+
+    var iter = 0
+    var stable = false
+    while (!stable && iter < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // canonical + distinct on both sides ⇒ equal iff same count and no
+      // element of next missing from e
+      stable = next.count() == e.count() &&
+        next.exceptAll(e).limit(1).count() == 0L
+      e = next
+      iter += 1
+    }
+
+    val labels = e.select(col("hi").as("node"), col("lo").as("cluster"))
+    nodes.select(col("doc_id").cast("long").as("node"))
+      .join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
+  }
+
   /** d07 — what a real corpus dedup ships: d03's verified near-dup PAIRS
     * folded into clusters, one keeper (min doc_id) per cluster, every corpus
     * doc labeled. Singletons keep themselves. The oracle re-derives the

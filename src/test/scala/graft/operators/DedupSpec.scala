@@ -5,13 +5,20 @@ import graft.kernel.SparkSpec
 
 class DedupSpec extends SparkSpec {
 
-  private def keepers(nodeIds: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def run(
+      fn: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame)(
+      nodeIds: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     val nodes = nodeIds.toDF("doc_id")
     val edges = pairs.toDF("id_a", "id_b")
-    Dedup.keeperSelection(nodes, edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fn(nodes, edges).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
+
+  private def keepers(nodeIds: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    run(Dedup.keeperSelection(_, _))(nodeIds, pairs)
+
+  private def starKeepers(nodeIds: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    run(Dedup.keeperSelectionStar(_, _))(nodeIds, pairs)
 
   test("keeperSelection: chain component collapses to its min id") {
     // 1-2, 2-3, 3-4 is one component; 10 is a singleton
@@ -58,6 +65,16 @@ class DedupSpec extends SparkSpec {
         i -> find(i.toInt).toLong
       }.toMap
       assert(keepers(ids, pairs) == expected)
+      // the O(log d) large-star/small-star variant must agree exactly
+      assert(starKeepers(ids, pairs) == expected)
     }
+  }
+
+  test("keeperSelectionStar: long chain and singletons (the deep-graph case it exists for)") {
+    val ids = (1L to 17L) :+ 40L
+    val path = (1L to 17L).sliding(2).map(s => (s(1), s.head)).toSeq
+    val m = starKeepers(ids, path)
+    assert((1L to 17L).forall(m(_) == 1L))
+    assert(m(40L) == 40L) // isolated node keeps itself
   }
 }

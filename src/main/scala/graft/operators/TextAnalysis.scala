@@ -273,18 +273,23 @@ object TextAnalysis {
          |  ${Stable.sqlR4(s"CASE WHEN len($toks) > 1 THEN CAST($dups AS DOUBLE) / (len($toks) - 1) ELSE 0.0 END")} AS rep_ratio
          |FROM documents""".stripMargin
     }) { (s, d) =>
-    val toks = tokens(col("text"))
+    // materialize the token array ONCE per row: element_at inside the
+    // lambda otherwise re-evaluates the split per sequence element —
+    // O(n²) splits per document (observed 12s vs 0.3s at sf0.1)
+    val toks = col("toks")
     val n = size(toks)
     val dups = when(n >= 2,
       size(filter(sequence(lit(1), n - 1),
         i => element_at(toks, i) === element_at(toks, i + 1))))
       .otherwise(lit(0))
-    Tables.documents(s, d).select(
-      col("doc_id"),
-      n.cast("long").as("n_tokens"),
-      dups.cast("long").as("n_adjacent_dups"),
-      Stable.r4(when(n > 1, dups.cast("double") / (n - 1)).otherwise(lit(0.0)))
-        .as("rep_ratio"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        n.cast("long").as("n_tokens"),
+        dups.cast("long").as("n_adjacent_dups"),
+        Stable.r4(when(n > 1, dups.cast("double") / (n - 1)).otherwise(lit(0.0)))
+          .as("rep_ratio"))
   }
 
   /** Per-language keep rates (permille) for t10 — the mixture a training run

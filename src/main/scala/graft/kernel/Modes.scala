@@ -87,9 +87,10 @@ object Modes {
   /** Applies steps 3–6 to a rule-tagged fact. Expects the fact measures plus
     * the 6 payload columns from [[RuleMatch.addRuleTag]].
     *
-    * Extra discount multiplies `internal_cost` (the live-path behavior,
-    * calculate/service.py:209), not the SQL twin's consumption base —
-    * SURVEY.md §4 resolves it in this direction. Mode 4's
+    * Which base the extra-discount rate multiplies is governed by
+    * [[ExtraDiscountBase]]: `internal_cost` under the default LivePython
+    * (calculate/service.py:209), or the mode-1 consumption base under the
+    * SqlTemplate opt-in (calculate/sql_template.py:130,175). Mode 4's
     * `discount_amount` is governed by [[Mode4DiscountAmount]] (live-Python
     * default: stays 0.0).
     */

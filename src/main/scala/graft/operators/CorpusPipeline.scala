@@ -20,7 +20,7 @@ object CorpusPipeline {
     * mass sits ≈0.3–0.45 (stop_ratio is low for random-vocab text), so 0.35
     * keeps a real fraction of documents — a cutoff above the mass (e.g. 0.5)
     * makes the keeper∩quality join vacuously empty and the oracle check
-    * proves only schema. CorpusPipelineSpec pins non-emptiness. */
+    * proves only schema. PlanSpec pins non-emptiness on the fixture. */
   private[operators] val QualityThreshold = 0.35
 
   val c01CorpusClean = QueryDef(

@@ -368,9 +368,11 @@ object Dedup {
     * filtering before signing fixes the skew at its source. Opt-in (d03/d04
     * keep the unfiltered space and their oracles unchanged). */
   private def stopListedHashSets(s: SparkSession, d: String, maxDf: Int): DataFrame = {
+    // ex feeds the df count AND the anti-join (2 refs) — cache, as in d08
     val ex = shingled(s, d)
       .select(col("doc_id"),
         explode(array_distinct(transform(col("sh"), sg => polyHash(sg)))).as("s"))
+      .cache()
     val hot = ex.groupBy("s").agg(count(lit(1)).as("dfreq"))
       .filter(col("dfreq") > maxDf)
       .select("s")
@@ -637,7 +639,10 @@ object Dedup {
       iter += 1
     }
 
-    val labels = e.select(col("hi").as("node"), col("lo").as("cluster"))
+    // one row per node even if maxIter cut the loop before the star
+    // fixpoint (an unconverged edge set can hold several (hi, lo) rows per
+    // hi — min keeps the contract identical to keeperSelection's)
+    val labels = e.groupBy(col("hi").as("node")).agg(min(col("lo")).as("cluster"))
     nodes.select(col("doc_id").cast("long").as("node"))
       .join(labels, Seq("node"), "left")
       .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))

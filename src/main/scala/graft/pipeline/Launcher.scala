@@ -80,6 +80,17 @@ object Launcher {
     val today = flag("--today").map(LocalDate.parse).getOrElse(LocalDate.now())
     val monthFmt = DateTimeFormatter.ofPattern("yyyyMM")
 
+    // reject contradictory flag combinations instead of silently dropping
+    // one side and alerting "complete" on work that never ran
+    require(!(flag("--backfill").isDefined && flag("--accounts").isDefined),
+      "--backfill recomputes ALL accounts; combine --month with --accounts for a scoped repair")
+    require(flag("--window").isEmpty || flag("--accounts").isDefined,
+      "--window only applies to the --accounts repair path (E1 uses the fixed lookback)")
+    for (w <- flag("--window"); m <- flag("--month"))
+      require(m == today.format(monthFmt),
+        s"--window is anchored to --today ($today), which is not in month $m — " +
+          "drop --window for a whole-month repair or set --today inside the month")
+
     (flag("--backfill"), flag("--accounts"), flag("--daemon")) match {
       case (Some(month), _, _) => // E2: whole named month, no day filter
         Jobs.runMonth(spark, config.odsPath, config.dimPath, config.targetPath,

@@ -22,8 +22,14 @@ object Skew {
     * exact; pass the merge expression per output column. */
   /** Row-content salt: deterministic for a given row regardless of partition
     * layout — `monotonically_increasing_id`/`rand` are seeded per partition,
-    * so a repartitioned retry could re-salt rows mid-stage. Any spread works
-    * for algebraic aggregation; content hashing keeps it reproducible. */
+    * so a repartitioned retry could re-salt rows mid-stage (non-deterministic
+    * shuffle keys are a known double-count/loss hazard under partial stage
+    * retry). Known boundary: rows that are byte-identical in EVERY column
+    * share one salt, so a hot key made of exact duplicate rows is not spread
+    * — but that case is already handled upstream of the shuffle by map-side
+    * partial aggregation (identical rows combine within each map task), so
+    * the salt only needs to spread DISTINCT rows, which content hashing
+    * does. */
   private def contentSalt(df: DataFrame, salt: Int): Column =
     pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salt))
 

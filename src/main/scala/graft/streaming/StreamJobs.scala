@@ -118,6 +118,7 @@ object StreamJobs {
       .withColumn("text_md5", md5(col(textCol).cast("binary")))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_md5")
+      .drop("text_md5") // internal state key — callers get the input schema back
 
   /** Run the billing kernel per micro-batch against a static dim, writing
     * each conformed batch to the idempotent partitioned sink. */

@@ -100,6 +100,21 @@ class LauncherSpec extends SparkSpec {
       Set("2026-01-14"))
   }
 
+  test("contradictory CLI flags are rejected, not silently dropped") {
+    // each of these used to drop one flag and alert "complete" on work
+    // that never ran
+    intercept[IllegalArgumentException] {
+      Launcher.run(spark, Array("a", "b", "c", "--backfill", "202601", "--accounts", "A"))
+    }
+    intercept[IllegalArgumentException] {
+      Launcher.run(spark, Array("a", "b", "c", "--window", "3"))
+    }
+    intercept[IllegalArgumentException] { // window anchored to today, month in the past
+      Launcher.run(spark, Array("a", "b", "c",
+        "--accounts", "A", "--month", "190001", "--window", "3"))
+    }
+  }
+
   test("HttpAlerter builds the reference webhook JSON shape with escaping") {
     val a = new HttpAlerter("http://localhost:1/unused")
     assert(a.payload("hi") == """{"msg_type":"text","content":{"text":"hi"}}""")

@@ -40,5 +40,65 @@ object CorpusPipeline {
       .select(col("doc_id"), col("quality_score"))
   }
 
-  val all: Seq[QueryDef] = Seq(c01CorpusClean)
+  private val RepetitionCap = 0.08
+  private val GateLang = "en"
+
+  /** c02 — the Gopher-style per-document quality GATE: quality score ≥
+    * threshold ∧ repetition ≤ cap ∧ language-ID agreement, all from ONE
+    * materialized token array in ONE scan — zero joins, zero shuffles
+    * (PlanSpec asserts no Exchange). This is the other half of corpus
+    * cleaning: c01 removes near-DUPLICATES (needs the pair/cluster joins),
+    * c02 removes low-QUALITY rows (pure row-local signals — at 100 TB this
+    * is a map-only pass, the cheapest possible shape). The oracle composes
+    * the t02/t09/t03 oracles by doc_id join, pinning that the fused
+    * single-pass signals equal the standalone operators'. */
+  val c02QualityGate = QueryDef(
+    "c02_quality_gate",
+    s"""WITH q AS (${TextAnalysis.t02Quality.oracle.get.replace("\n", "\n  ")}),
+       |r AS (${TextAnalysis.t09Repetition.oracle.get.replace("\n", "\n  ")}),
+       |l AS (${TextAnalysis.t03LangId.oracle.get.replace("\n", "\n  ")})
+       |SELECT q.doc_id, q.quality_score, r.rep_ratio, l.predicted_lang
+       |FROM q JOIN r ON r.doc_id = q.doc_id JOIN l ON l.doc_id = q.doc_id
+       |WHERE q.quality_score >= $QualityThreshold
+       |  AND r.rep_ratio <= $RepetitionCap
+       |  AND l.predicted_lang = '$GateLang'""".stripMargin) { (s, d) =>
+    import graft.queries.Stable
+    import TextAnalysis.{langMarkers, stopwords}
+    val toks = col("toks")
+    val n = size(toks)
+    // t02's quality formula, verbatim over the shared token array
+    val nTok = n.cast("double")
+    val stopRatio = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / n
+    val diversity = size(array_distinct(toks)).cast("double") / n
+    val lengthPrior = least(nTok / 100.0, lit(1.0))
+    val quality = Stable.r4(
+      lit(0.4) * stopRatio + lit(0.3) * diversity + lit(0.3) * lengthPrior)
+    // t09's repetition formula
+    val dups = when(n >= 2,
+      size(filter(sequence(lit(1), n - 1),
+        i => element_at(toks, i) === element_at(toks, i + 1))))
+      .otherwise(lit(0))
+    val rep = Stable.r4(
+      when(n > 1, dups.cast("double") / (n - 1)).otherwise(lit(0.0)))
+    // t03's marker-score language ID (scores materialized once, as in t03)
+    def score(ws: Seq[String]) = size(filter(toks, t => t.isin(ws: _*))).cast("long")
+    val scored = graft.tables.Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select((Seq(col("doc_id"), toks, quality.as("quality_score"), rep.as("rep_ratio")) ++
+        langMarkers.map { case (l, ws) => score(ws).as(s"score_$l") }): _*)
+    val g = greatest(langMarkers.map(l => col(s"score_${l._1}")): _*)
+    val predicted = langMarkers.tail.foldLeft(
+      when(col("score_en") === g, "en")) { case (acc, (l, _)) =>
+      acc.when(col(s"score_$l") === g, l)
+    }
+    scored
+      .withColumn("predicted_lang", predicted)
+      .filter(col("quality_score") >= QualityThreshold &&
+        col("rep_ratio") <= RepetitionCap &&
+        col("predicted_lang") === GateLang)
+      .select(col("doc_id"), col("quality_score"), col("rep_ratio"),
+        col("predicted_lang"))
+  }
+
+  val all: Seq[QueryDef] = Seq(c01CorpusClean, c02QualityGate)
 }

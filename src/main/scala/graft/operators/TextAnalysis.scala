@@ -30,7 +30,7 @@ object TextAnalysis {
       size(array_distinct(toks)).cast("long").as("n_distinct_tokens"))
   }
 
-  private val stopwords = Seq("the", "a", "and", "of", "to", "in")
+  private[operators] val stopwords = Seq("the", "a", "and", "of", "to", "in")
 
   /** t02 — quality scoring: stopword ratio, lexical diversity, length prior.
     * The score formula is arbitrary but engine-stable (identical op order). */
@@ -65,7 +65,7 @@ object TextAnalysis {
   /** language → marker tokens (toy n-gram-free heuristic; the synthetic
     * corpus is English-vocab so predictions skew 'en' — the operator shape
     * is what matters, and the oracle checks it exactly). */
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  private[operators] val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of"),
     "de" -> Seq("der", "die", "und", "nicht"),
     "fr" -> Seq("le", "la", "et", "les"),

@@ -81,6 +81,15 @@ class PlanSpec extends SparkSpec {
     assert(CorpusPipeline.c01CorpusClean.fn(spark, sf).count() > 0)
   }
 
+  test("c02 quality gate is a map-only pass — no Exchange anywhere, and non-vacuous") {
+    import graft.operators.CorpusPipeline
+    val df = CorpusPipeline.c02QualityGate.fn(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("Exchange"),
+      s"the single-pass quality gate grew a shuffle:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("t07 decontamination broadcasts the eval side; t08 sharding never opens a global window") {
     import graft.operators.TextAnalysis
     val t07 = planOf(TextAnalysis.t07Decontamination.fn(spark, sf))

@@ -82,10 +82,19 @@ object CorpusPipeline {
       when(n > 1, dups.cast("double") / (n - 1)).otherwise(lit(0.0)))
     // t03's marker-score language ID (scores materialized once, as in t03)
     def score(ws: Seq[String]) = size(filter(toks, t => t.isin(ws: _*))).cast("long")
+    // __barrier (non-deterministic, always ≥ 0, dropped below) pins the
+    // gate ABOVE this projection: predicate pushdown otherwise rewrites the
+    // filter through both projects, re-inlining the tokenizing split ~10×
+    // into one giant scan-level condition (observed 5s vs ~1s at sf0.1).
+    // Pushdown requires every project field to be deterministic, so the
+    // barrier blocks it — but ONLY while the column is referenced (unused ⇒
+    // pruned ⇒ project deterministic again), hence the no-op `>= 0`
+    // conjunct in the filter (isNotNull would constant-fold away).
     val scored = graft.tables.Tables.documents(s, d)
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select((Seq(col("doc_id"), toks, quality.as("quality_score"), rep.as("rep_ratio")) ++
-        langMarkers.map { case (l, ws) => score(ws).as(s"score_$l") }): _*)
+        langMarkers.map { case (l, ws) => score(ws).as(s"score_$l") } :+
+        monotonically_increasing_id().as("__barrier")): _*)
     val g = greatest(langMarkers.map(l => col(s"score_${l._1}")): _*)
     val predicted = langMarkers.tail.foldLeft(
       when(col("score_en") === g, "en")) { case (acc, (l, _)) =>
@@ -95,7 +104,8 @@ object CorpusPipeline {
       .withColumn("predicted_lang", predicted)
       .filter(col("quality_score") >= QualityThreshold &&
         col("rep_ratio") <= RepetitionCap &&
-        col("predicted_lang") === GateLang)
+        col("predicted_lang") === GateLang &&
+        col("__barrier") >= 0)
       .select(col("doc_id"), col("quality_score"), col("rep_ratio"),
         col("predicted_lang"))
   }

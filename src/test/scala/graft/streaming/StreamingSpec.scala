@@ -95,6 +95,32 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dedup").count() == 2)
   }
 
+  test("dedupStream re-admits content once the watermark evicts its state (bounded-state tradeoff)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    stream.addData((Timestamp.valueOf("2026-01-01 01:00:00"), 1L, "alpha"))
+    val q = StreamJobs
+      .dedupStream(stream.toDF().toDF("ts", "doc_id", "text"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_evict")
+      .outputMode("append").start()
+    q.processAllAvailable()
+
+    // push the watermark far past alpha's ts + 10min, evicting its state…
+    stream.addData((Timestamp.valueOf("2026-01-01 05:00:00"), 2L, "beta"))
+    q.processAllAvailable()
+    // …so a re-arrival of the same content is ADMITTED, not deduped: the
+    // state is bounded by (ingest rate × watermark), and the price is
+    // exactly this — duplicates further apart than the watermark survive
+    // (a downstream batch d01 pass catches them)
+    stream.addData((Timestamp.valueOf("2026-01-01 05:01:00"), 3L, "alpha"))
+    q.processAllAvailable(); q.stop()
+
+    val ids = spark.table("dedup_evict").select($"doc_id")
+      .as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 3L))
+  }
+
   test("streamingKernel per-batch output equals the batch kernel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -145,10 +145,14 @@ object KernelQueries {
 
   private val etlLiteral = "2026-02-01 00:00:00"
 
-  /** modes + conform as a SQL suffix appended to a `tagged` CTE. Mode-4
-    * `discount_amount` follows the live-Python default (stays 0.0 —
-    * Modes.Mode4DiscountAmount.LivePython, calculate/service.py:79-81). */
-  private def kernelSuffixSql: String = {
+  /** modes + conform as a SQL suffix appended to a `tagged` CTE. With
+    * `sqlVariant = false` (default) both E4 discrepancy flags follow the
+    * live-Python defaults (extra rate on internal_cost; mode-4
+    * discount_amount stays 0.0 — calculate/service.py:209,79-81). With
+    * `sqlVariant = true` it reproduces the SQL template instead: rate on
+    * the mode-1 consumption base, discount_amount = credit part
+    * (calculate/sql_template.py:130,175,184-190). */
+  private def kernelSuffixSql(sqlVariant: Boolean = false): String = {
     val selectedSum = CreditColumns
       .map(c =>
         s"(CASE WHEN list_contains(string_split(coalesce(credit_fields, ''), '/'), '$c') THEN $c ELSE 0.0 END)")
@@ -162,10 +166,13 @@ object KernelQueries {
       case c if BillingSchema.StringDefaultCols.contains(c) => s"coalesce($c, '') AS $c"
       case c => s"${Stable.sqlR4(s"coalesce($c, 0.0)")} AS $c"
     }.mkString(",\n  ")
+    val costRate = if (sqlVariant) "" else s" * ${BillingDemo.extraRateSql}"
+    val mode1Rate = if (sqlVariant) s" * ${BillingDemo.extraRateSql}" else ""
+    val m4Da = if (sqlVariant) "WHEN 4 THEN m4part" else ""
     s""",
        |derived AS (
        |  SELECT *,
-       |    (cost + internal_credits_cost) * ${BillingDemo.extraRateSql} AS internal_cost,
+       |    (cost + internal_credits_cost)$costRate AS internal_cost,
        |    cost + internal_credits_consumption AS internal_consumption,
        |    CASE WHEN coalesce(price, 1.0) != 0.0
        |         THEN ($selectedSum) / coalesce(price, 1.0)
@@ -174,13 +181,14 @@ object KernelQueries {
        |finished AS (
        |  SELECT *,
        |    CASE mode
-       |      WHEN 1 THEN internal_consumption * discount
+       |      WHEN 1 THEN internal_consumption$mode1Rate * discount
        |      WHEN 2 THEN usage_amount_in_pricing_units * price
        |      WHEN 3 THEN usage_amount_in_pricing_units * price * discount
        |      WHEN 4 THEN cost_at_list * coalesce(discount, 1.0) + m4part * coalesce(discount, 1.0)
        |      ELSE 0.0 END AS external_consumption,
        |    CASE mode
        |      WHEN 1 THEN internal_credits_consumption
+       |      $m4Da
        |      ELSE 0.0 END AS discount_amount
        |  FROM derived)
        |SELECT
@@ -190,7 +198,7 @@ object KernelQueries {
 
   val q22KernelFull = QueryDef(
     "q22_kernel_full",
-    taggedSql + kernelSuffixSql) { (s, d) =>
+    taggedSql + kernelSuffixSql()) { (s, d) =>
     val out = Calculate.calculateWithCredits(
       BillingDemo.fact(s, d), BillingDemo.dim(s, d), BillingDemo.demoExtraDiscount)
     roundDoubles(
@@ -232,7 +240,7 @@ object KernelQueries {
 
   val q23KernelFromArrays = QueryDef(
     "q23_kernel_from_arrays",
-    taggedSqlFor(factFromArraysSql) + kernelSuffixSql) { (s, d) =>
+    taggedSqlFor(factFromArraysSql) + kernelSuffixSql()) { (s, d) =>
     val raw = BillingDemo.rawFact(s, d)
       .drop(CreditColumns :+ "internal_credits_cost" :+ "internal_credits_consumption": _*)
     val fact = Credits.deriveCredits(raw)
@@ -246,6 +254,26 @@ object KernelQueries {
       Conform.conformToTarget(out, lit(etlLiteral).cast("timestamp")))
   }
 
+  // ---------- q24: the E4 SQL-template variant, end-to-end ----------
+
+  /** q24 — the kernel under BOTH SqlTemplate flags (E4,
+    * calculate/sql_template.py): extra rate on the mode-1 consumption base
+    * instead of internal_cost, and mode-4 `discount_amount` = credit part.
+    * Same plan shape as q22 (single fact scan + 8 broadcast joins); this
+    * pins the variant semantics end-to-end against the oracle, where
+    * ModesSpec pins them per-formula. */
+  val q24KernelSqlVariant = QueryDef(
+    "q24_kernel_sql_variant",
+    taggedSql + kernelSuffixSql(sqlVariant = true)) { (s, d) =>
+    import graft.kernel.Modes
+    val out = Calculate.calculateWithCredits(
+      BillingDemo.fact(s, d), BillingDemo.dim(s, d), BillingDemo.demoExtraDiscount,
+      Modes.Mode4DiscountAmount.SqlTemplate, Modes.ExtraDiscountBase.SqlTemplate)
+    roundDoubles(
+      Conform.conformToTarget(out, lit(etlLiteral).cast("timestamp")))
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q20CreditsPivot, q21RuleMatch, q22KernelFull, q23KernelFromArrays)
+    Seq(q20CreditsPivot, q21RuleMatch, q22KernelFull, q23KernelFromArrays,
+      q24KernelSqlVariant)
 }

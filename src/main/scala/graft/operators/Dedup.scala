@@ -491,6 +491,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), hamming.cast("long").as("hamming"))
   }
 
+  /** d11 — INCREMENTAL ingest dedup: drop incoming documents whose exact
+    * content already exists in the historical corpus — the shape a daily
+    * ingest actually runs (d01 dedups a corpus against itself; this dedups
+    * a new batch against history). Fixture: the incoming batch is every
+    * existing doc re-ingested (all dropped) plus the mutated twins (all
+    * kept), so both outcomes are exercised.
+    *
+    * 100 TB shape: an anti-join keyed by the content hash — the historical
+    * side is corpus-sized, so it shuffles by hash rather than broadcasting;
+    * the standard hardening is a bloom-filter pre-pass on the (small)
+    * incoming side's hashes to skip re-reading cold history partitions.
+    * Semi/anti joins never multiply rows, so skew is bounded by the
+    * incoming batch. */
+  val d11IncrementalDedup = QueryDef(
+    "d11_dedup_incremental",
+    """WITH existing AS (SELECT md5(text) AS h FROM documents),
+      |incoming AS (
+      |  SELECT doc_id + 200000 AS doc_id, md5(text) AS h FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |         md5(substring(lower(trim(text)), 15)) AS h
+      |  FROM documents)
+      |SELECT i.doc_id, i.h AS content_md5
+      |FROM incoming i ANTI JOIN existing e USING (h)""".stripMargin) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val existing = docs.select(md5(col("text").cast("binary")).as("h"))
+    val incoming = docs
+      .select((col("doc_id") + 200000).as("doc_id"), md5(col("text").cast("binary")).as("h"))
+      .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"),
+        md5(lower(trim(col("text"))).substr(lit(15), length(lower(trim(col("text"))))).cast("binary")).as("h")))
+    incoming
+      .join(existing, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h").as("content_md5"))
+  }
+
   // ---------- d06: embedding near-dup via LSH buckets (the scale path) ----------
 
   /** d06 — the DEFAULT embedding near-dup: candidate pairs come from an
@@ -677,5 +712,5 @@ object Dedup {
   val all: Seq[QueryDef] =
     Seq(d01Exact, d02NgramJaccard, d03MinHashLsh, d04SimHash, d05EmbeddingNearDup,
       d06EmbeddingLsh, d07DedupKeeper, d08NgramStopList, d09MinHashStopList,
-      d10SimHashStopList)
+      d10SimHashStopList, d11IncrementalDedup)
 }

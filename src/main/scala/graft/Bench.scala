@@ -78,19 +78,30 @@ object Bench {
     spark.catalog.clearCache()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val measured = (1 to runs).map { _ =>
         // queries may cache intermediates — drop them so one run's cache
         // doesn't serve the next run (or pressure the next query's heap)
         spark.catalog.clearCache()
+        val s0 = stealTicks()
         val t0 = System.nanoTime()
-        try { runNoop(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+        try {
+          runNoop(fn(spark, sfDir))
+          val sec = (System.nanoTime() - t0) / 1e9
+          val s1 = stealTicks()
+          (sec, if (s0 >= 0 && s1 >= 0) s1 - s0 else -1L)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          (-1.0, -1L)
         }
-      }.filter(_ >= 0).sorted
+      }.filter(_._1 >= 0)
+      val times = measured.map(_._1).sorted
       val median = if (times.isEmpty) -1.0 else times(times.size / 2)
       val min = if (times.isEmpty) -1.0 else times.head
-      (name, median, min)
+      // per-query steal across all its runs: round 3's q24 "12× regression"
+      // was entirely a host-steal burst (71.7s contaminated vs 5.4s clean) —
+      // this field makes that diagnosable per query instead of per run
+      val steal = if (measured.exists(_._2 >= 0)) measured.map(_._2).max(Ordering.Long) else -1L
+      (name, median, min, steal)
     }
     val steal1 = stealTicks()
     val (cpuUser, cpuSys) = processCpuSeconds()
@@ -99,11 +110,14 @@ object Bench {
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qMedian = fmt(results.map(r => r._1 -> r._2))
     val qMin = fmt(results.map(r => r._1 -> r._3))
+    val qSteal = results.map { case (k, _, _, s) => "\"" + k + "\":" + s }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val stealDelta = if (steal0 >= 0 && steal1 >= 0) steal1 - steal0 else -1L
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qMedian,""" +
-        s""""queries_min":$qMin,"runs":$runs,"cpu_user_sec":$cpuUser,""" +
+        s""""queries_min":$qMin,"queries_steal_ticks":$qSteal,"runs":$runs,""" +
+        s""""cpu_user_sec":$cpuUser,""" +
         s""""cpu_sys_sec":$cpuSys,"host_steal_ticks":$stealDelta,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -84,6 +84,19 @@ object Launcher {
     // one side and alerting "complete" on work that never ran
     require(!(flag("--backfill").isDefined && flag("--accounts").isDefined),
       "--backfill recomputes ALL accounts; combine --month with --accounts for a scoped repair")
+    require(
+      !(flag("--daemon").isDefined &&
+        (flag("--backfill").isDefined || flag("--accounts").isDefined)),
+      "--daemon loops the E1 daily tick; it cannot be combined with the " +
+        "one-shot --backfill/--accounts paths (which would silently win)")
+    // a malformed month (e.g. '2026-01') would match zero invoice_month
+    // partitions and still alert "complete" on zero work — fail fast instead,
+    // like --today/--daemon already do via LocalDate/LocalTime.parse
+    for (m <- flag("--backfill") ++ flag("--month"))
+      require(
+        try { java.time.YearMonth.parse(m, monthFmt); true }
+        catch { case _: java.time.format.DateTimeParseException => false },
+        s"month '$m' does not parse as yyyyMM")
     require(flag("--window").isEmpty || flag("--accounts").isDefined,
       "--window only applies to the --accounts repair path (E1 uses the fixed lookback)")
     for (w <- flag("--window"); m <- flag("--month"))

@@ -25,11 +25,12 @@ object Skew {
     * so a repartitioned retry could re-salt rows mid-stage (non-deterministic
     * shuffle keys are a known double-count/loss hazard under partial stage
     * retry). Known boundary: rows that are byte-identical in EVERY column
-    * share one salt, so a hot key made of exact duplicate rows is not spread
-    * — but that case is already handled upstream of the shuffle by map-side
-    * partial aggregation (identical rows combine within each map task), so
-    * the salt only needs to spread DISTINCT rows, which content hashing
-    * does. */
+    * share one salt, so a hot key made of exact duplicate rows is not spread.
+    * For [[saltedSum]] that is harmless — map-side partial aggregation
+    * combines identical rows within each map task before the shuffle, so the
+    * salt only needs to spread DISTINCT rows, which content hashing does.
+    * A join shuffle has no map-side combine, so [[saltedJoin]] exposes
+    * `collapseDuplicates` to restore the same property (see there). */
   private def contentSalt(df: DataFrame, salt: Int): Column =
     pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salt))
 
@@ -48,16 +49,38 @@ object Skew {
   /** Equi-join with the left side salted and the right side replicated
     * `salt` ways. Semantics equal `left.join(right, keys, joinType)` for
     * row-preserving join types (inner/left). Use when the right side is too
-    * big to broadcast and the left's key distribution is skewed. */
+    * big to broadcast and the left's key distribution is skewed.
+    *
+    * Residual limitation (unlike [[saltedSum]], where map-side partial
+    * aggregation absorbs duplicates before the shuffle): byte-identical
+    * duplicate left ROWS share one content salt, so a hot key whose volume
+    * is exact duplicates still lands on a single reducer. When that shape is
+    * expected, set `collapseDuplicates = true`: the left side is collapsed
+    * to distinct rows + a multiplicity count before the join (the map-side
+    * combine the join shuffle lacks), and each joined row is re-expanded
+    * `count` times afterwards — multiset semantics are preserved exactly,
+    * and the shuffle only ever carries distinct rows, which content salting
+    * does spread. */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-                 salt: Int, joinType: String = "inner"): DataFrame = {
+                 salt: Int, joinType: String = "inner",
+                 collapseDuplicates: Boolean = false): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"salted join is row-preserving only for inner/left, got $joinType")
-    val saltedLeft = left.withColumn("__salt", contentSalt(left, salt))
+    val leftIn =
+      if (collapseDuplicates)
+        left.groupBy(left.columns.toIndexedSeq.map(col): _*)
+          .agg(count(lit(1)).as("__dup"))
+      else left
+    val saltedLeft = leftIn.withColumn("__salt", contentSalt(left, salt))
     val replicatedRight = right
       .withColumn("__salt", explode(sequence(lit(0), lit(salt - 1))))
-    saltedLeft
+    val joined = saltedLeft
       .join(replicatedRight, keys :+ "__salt", joinType)
       .drop("__salt")
+    if (collapseDuplicates)
+      joined
+        .withColumn("__i", explode(sequence(lit(1L), col("__dup"))))
+        .drop("__dup", "__i")
+    else joined
   }
 }

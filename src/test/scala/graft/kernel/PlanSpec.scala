@@ -90,6 +90,33 @@ class PlanSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("c02's pushdown barrier holds — the tokenizer is computed once, below the gate") {
+    import graft.operators.CorpusPipeline
+    // the no-Exchange assertion above would NOT catch the failure the
+    // barrier protects against: pushdown re-inlining the tokenizing split
+    // into every signal of a scan-level filter adds no Exchange, just ~10×
+    // the work (observed 5× at sf0.1). Pin the barrier itself.
+    val qe = CorpusPipeline.c02QualityGate.fn(spark, sf).queryExecution
+    val tokenizer = "split(lower(trim"
+    val planStr = qe.executedPlan.toString
+    val occurrences = planStr.sliding(tokenizer.length).count(_ == tokenizer)
+    assert(occurrences == 1,
+      s"tokenizer inlined $occurrences times (barrier collapsed?):\n$planStr")
+    // and structurally: the optimized plan keeps a Filter ABOVE the Project
+    // that materializes the token array (pushdown would sink it below)
+    val optimized = qe.optimizedPlan
+    val filterAboveTokenProject = optimized.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.find {
+            case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+              p.projectList.exists(_.toString.contains(tokenizer))
+            case _ => false
+          }.isDefined => f
+    }
+    assert(filterAboveTokenProject.isDefined,
+      s"no Filter above the tokenizing Project — pushdown sank the gate:\n$optimized")
+  }
+
   test("t07 decontamination broadcasts the eval side; t08 sharding never opens a global window") {
     import graft.operators.TextAnalysis
     val t07 = planOf(TextAnalysis.t07Decontamination.fn(spark, sf))

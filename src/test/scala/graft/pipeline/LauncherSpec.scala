@@ -113,6 +113,26 @@ class LauncherSpec extends SparkSpec {
       Launcher.run(spark, Array("a", "b", "c",
         "--accounts", "A", "--month", "190001", "--window", "3"))
     }
+    intercept[IllegalArgumentException] { // daemon loop vs one-shot backfill
+      Launcher.run(spark, Array("a", "b", "c",
+        "--backfill", "202601", "--daemon", "02:00"))
+    }
+    intercept[IllegalArgumentException] { // daemon loop vs one-shot repair
+      Launcher.run(spark, Array("a", "b", "c",
+        "--accounts", "A", "--daemon", "02:00"))
+    }
+  }
+
+  test("malformed month arguments fail fast instead of matching zero partitions") {
+    intercept[IllegalArgumentException] {
+      Launcher.run(spark, Array("a", "b", "c", "--backfill", "2026-01"))
+    }
+    intercept[IllegalArgumentException] {
+      Launcher.run(spark, Array("a", "b", "c", "--backfill", "20261"))
+    }
+    intercept[IllegalArgumentException] {
+      Launcher.run(spark, Array("a", "b", "c", "--accounts", "A", "--month", "jan26"))
+    }
   }
 
   test("HttpAlerter builds the reference webhook JSON shape with escaping") {

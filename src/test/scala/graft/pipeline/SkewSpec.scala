@@ -32,4 +32,24 @@ class SkewSpec extends SparkSpec {
       assert(salted == plain, s"joinType=$jt")
     }
   }
+
+  test("saltedJoin collapseDuplicates preserves multiset semantics exactly") {
+    import spark.implicits._
+    // the shape the content salt can't spread: a hot key whose volume is
+    // exact duplicate rows (all columns identical)
+    val left = (Seq.fill(300)(("HOT", 1)) ++ Seq(("HOT", 2), ("miss", 3),
+      ("miss", 3))).toDF("k", "lv")
+    val right = Seq(("HOT", 1.0), ("other", 2.0)).toDF("k", "rv")
+    Seq("inner", "left").foreach { jt =>
+      def multiset(df: org.apache.spark.sql.DataFrame) =
+        df.selectExpr("k", "lv", "rv").collect()
+          .map(r => (r.getString(0), r.getInt(1),
+            if (r.isNullAt(2)) null else r.getDouble(2)))
+          .groupBy(identity).view.mapValues(_.size).toMap
+      val plain = multiset(left.join(right, Seq("k"), jt))
+      val salted = multiset(Skew.saltedJoin(left, right, Seq("k"), salt = 4,
+        joinType = jt, collapseDuplicates = true))
+      assert(salted == plain, s"joinType=$jt")
+    }
+  }
 }

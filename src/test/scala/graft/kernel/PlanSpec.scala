@@ -131,6 +131,23 @@ class PlanSpec extends SparkSpec {
     assert(!t08.contains("SinglePartition"), s"t08 serializes on one task:\n$t08")
   }
 
+  test("q25 as-of join plans as union+window — no join operator at all") {
+    import graft.operators.Temporal
+    val plan = planOf(Temporal.q25AsofJoin.fn(spark, sf))
+    // the 100 TB shape: one shuffle on the key, a running last() — any Join
+    // node means the inequality formulation (nested-loop at scale) crept in
+    assert(!plan.contains("Join"), s"as-of join grew a join operator:\n$plan")
+    assert(plan.contains("Window"), s"as-of join lost its window:\n$plan")
+  }
+
+  test("q26 range join is a bucket equi-join — no nested-loop/cartesian") {
+    import graft.operators.Temporal
+    val plan = planOf(Temporal.q26RangeJoin.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"range join went cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join planned as a nested loop (naive BETWEEN shape):\n$plan")
+  }
+
   test("the billing demo dim stays small enough to broadcast at any fact scale") {
     // dim cardinality = 41 rules × fact months — independent of fact ROWS
     val dim = BillingDemo.dim(spark, sf)

@@ -327,9 +327,33 @@ object CoreQueries {
         r4(avg(k)).as("avg_k"))
   }
 
+  /** Multi-level aggregation in one pass (ROLLUP): per (returnflag,
+    * linestatus), per returnflag, and the grand total. Spark expands the
+    * rollup into an Expand node feeding ONE hash aggregate — one shuffle
+    * for all three levels, vs three scans + three shuffles hand-unioned.
+    * `grouping_id` (standard SQL bitmask, identical in DuckDB) disambiguates
+    * a rolled-up NULL from NULL-as-data. The measure is integral quantity
+    * summed as BIGINT, so every level — including the grand total over the
+    * whole table — is exact, not float-association-order-dependent. */
+  val q27Rollup = QueryDef(
+    "q27_rollup",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS lvl,
+       |  count(*) AS n_rows,
+       |  ${Stable.sqlSumBig("CAST(l_quantity AS BIGINT)")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        grouping_id().cast("long").as("lvl"),
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01AggGrain, q02AggWide, q03MinMax, q04Distinct, q05Filter, q06Range,
     q07In, q08Join, q09SemiJoin, q10Union, q11Limit, q12MonthFmt,
     q13EventsWindow, q14TopPerKey, q15Sessionize, q16Quantiles, q17SaltedAgg,
-    q18JsonExtract, q19QuantilesApprox)
+    q18JsonExtract, q19QuantilesApprox, q27Rollup)
 }

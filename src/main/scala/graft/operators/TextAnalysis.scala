@@ -330,8 +330,76 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("lang"))
   }
 
+  /** Java∩RE2 regex subset (t05's dialect rule): no backreferences, no
+    * lookaround, explicit classes — identical semantics in Spark (java.util
+    * .regex) and DuckDB (RE2). */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^ \\t\\n]+"
+
+  /** t11 — PII scrubbing: redact emails and URLs, count what was removed.
+    * The synthetic corpus text carries no PII (random vocab), so the query
+    * first CONSTRUCTS a deterministic PII-bearing column from document
+    * fields — identically in both engines — and scrubs that; a scrub whose
+    * fixture contains nothing to scrub would pass vacuously (the c01
+    * lesson). Per-row regex map, no shuffle; at 100 TB the regex cost is
+    * embarrassingly parallel and the patterns are RE2-safe (linear-time,
+    * no catastrophic backtracking even on adversarial documents). */
+  val t11PiiScrub = QueryDef(
+    "t11_pii_scrub", {
+      val dirty = "concat('mail ', lang, '-', CAST(doc_id AS VARCHAR), " +
+        "'@example.com or https://', source, '.example.org/', " +
+        "CAST(doc_id AS VARCHAR), ' ', substr(text, 1, 40))"
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all($dirty, '$EmailRe')) AS n_emails,
+         |  len(regexp_extract_all($dirty, '$UrlRe')) AS n_urls,
+         |  regexp_replace(regexp_replace($dirty, '$UrlRe', '<URL>', 'g'),
+         |                 '$EmailRe', '<EMAIL>', 'g') AS scrubbed
+         |FROM documents""".stripMargin
+    }) { (s, d) =>
+    val dirty = concat(
+      lit("mail "), col("lang"), lit("-"), col("doc_id").cast("string"),
+      lit("@example.com or https://"), col("source"), lit(".example.org/"),
+      col("doc_id").cast("string"), lit(" "), substring(col("text"), 1, 40))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(regexp_extract_all(dirty, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(dirty, lit(UrlRe), lit(0))).cast("long").as("n_urls"),
+      regexp_replace(regexp_replace(dirty, UrlRe, "<URL>"), EmailRe, "<EMAIL>")
+        .as("scrubbed"))
+  }
+
+  /** Exact per-stratum budget for t12. */
+  private val SampleK = 10
+
+  /** t12 — exact-k stratified sampling: the k documents per language with
+    * the smallest mixed id-hash (t10's gate) — a deterministic "give me
+    * EXACTLY k docs per stratum" sampler, where t10's permille gate gives a
+    * RATE. One shuffle keyed by stratum + a per-group sort bounded by group
+    * size; ties impossible because doc_id breaks them. At 100 TB with a
+    * huge stratum this is the window top-k shape q14 uses — no global
+    * sort, no single-task serialization. */
+  val t12StratifiedSample = QueryDef(
+    "t12_stratified_sample", {
+      val h = polyHashSql("CAST(doc_id AS VARCHAR)")
+      val gate = s"((($h) * ($h)) % ${TextOps.HashMod})"
+      s"""SELECT lang, doc_id, source FROM (
+         |  SELECT lang, doc_id, source,
+         |         row_number() OVER (PARTITION BY lang
+         |                            ORDER BY $gate, doc_id) AS rn
+         |  FROM documents) WHERE rn <= $SampleK""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val h = polyHash(col("doc_id").cast("string"))
+    val gate = (h * h) % TextOps.HashMod
+    Tables.documents(s, d)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(gate.asc, col("doc_id").asc)))
+      .filter(col("rn") <= SampleK)
+      .select(col("lang"), col("doc_id"), col("source"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01TokenCount, t02Quality, t03LangId, t04Fingerprint, t05BpeTokens,
       t06Mixture, t07Decontamination, t08ShardPlan, t09Repetition,
-      t10MixtureSample)
+      t10MixtureSample, t11PiiScrub, t12StratifiedSample)
 }

@@ -1,0 +1,38 @@
+package graft.operators
+
+import graft.kernel.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("t11 scrub is non-vacuous: every row had an email and a URL, and none survive") {
+    val out = TextAnalysis.t11PiiScrub.fn(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("n_emails") < 1 || col("n_urls") < 1).count() == 0,
+        "fixture rows must actually contain PII to scrub (the c01 vacuity lesson)")
+      assert(out.filter(!col("scrubbed").contains("<EMAIL>") ||
+        !col("scrubbed").contains("<URL>")).count() == 0)
+      // nothing matching the patterns remains after the scrub
+      assert(out.filter(col("scrubbed").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")).count() == 0)
+      assert(out.filter(col("scrubbed").rlike("https?://")).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("t12 returns exactly min(k, stratum size) rows per language, deterministically") {
+    val docs = graft.tables.Tables.documents(spark, sf)
+    val expected = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> math.min(10L, r.getLong(1))).toMap
+    val got = TextAnalysis.t12StratifiedSample.fn(spark, sf)
+    val counts = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == expected)
+    // deterministic: a second run picks the identical doc set
+    val ids1 = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = TextAnalysis.t12StratifiedSample.fn(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+}

@@ -120,6 +120,33 @@ object StreamJobs {
       .dropDuplicatesWithinWatermark("text_md5")
       .drop("text_md5") // internal state key — callers get the input schema back
 
+  /** Stream-stream interval join — the streaming twin of the batch q26
+    * range join: pair each left event with the right events on the same
+    * `key` whose timestamps fall within `[leftTs, leftTs + within]`.
+    *
+    * Both sides are watermarked AND the join condition carries the
+    * time-range conjunct — that pair is what lets Spark derive a state
+    * retention bound per side (right rows older than
+    * `watermark − within` are evicted); an equi-join alone on two streams
+    * would buffer both FOREVER. Output columns: left columns plus right's
+    * non-key columns prefixed `r_`. */
+  def intervalJoinStream(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      within: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
+    require(leftTs != rightTs, "rename one side's ts column (join needs distinct names)")
+    val l = left.withWatermark(leftTs, watermark)
+    val r0 = right.withWatermark(rightTs, watermark)
+    val r = r0.columns.foldLeft(r0) { (df, c) =>
+      if (c == key || c == rightTs) df else df.withColumnRenamed(c, s"r_$c")
+    }
+    l.join(r,
+      l(key) === r(key) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $within"))
+      .drop(r(key))
+  }
+
   /** Run the billing kernel per micro-batch against a static dim, writing
     * each conformed batch to the idempotent partitioned sink. */
   def streamingKernel(

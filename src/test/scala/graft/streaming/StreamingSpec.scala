@@ -121,6 +121,45 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 3L))
   }
 
+  test("intervalJoinStream pairs events within the bound and matches the batch join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // left: incidents; right: observations on the same key — within 1 hour
+    val lData = Seq(
+      (Timestamp.valueOf("2026-01-01 01:00:00"), 1L, "inc1"),
+      (Timestamp.valueOf("2026-01-01 05:00:00"), 1L, "inc2"),
+      (Timestamp.valueOf("2026-01-01 01:00:00"), 2L, "inc3"))
+    val rData = Seq(
+      (Timestamp.valueOf("2026-01-01 01:00:00"), 1L, 10.0), // at-instant: in
+      (Timestamp.valueOf("2026-01-01 01:59:00"), 1L, 11.0), // within: in
+      (Timestamp.valueOf("2026-01-01 02:01:00"), 1L, 12.0), // past bound: out
+      (Timestamp.valueOf("2026-01-01 00:59:00"), 1L, 13.0), // before left: out
+      (Timestamp.valueOf("2026-01-01 01:30:00"), 2L, 14.0)) // other key: in for inc3
+
+    val ls = MemoryStream[(Timestamp, Long, String)]
+    val rs = MemoryStream[(Timestamp, Long, Double)]
+    ls.addData(lData: _*); rs.addData(rData: _*)
+    val joined = StreamJobs.intervalJoinStream(
+      ls.toDF().toDF("l_ts", "k", "name"),
+      rs.toDF().toDF("r_ts", "k", "obs"),
+      key = "k", leftTs = "l_ts", rightTs = "r_ts", within = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ivjoin")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("ivjoin").select($"name", $"r_obs")
+      .as[(String, Double)].collect().toSet
+    assert(got == Set(("inc1", 10.0), ("inc1", 11.0), ("inc3", 14.0)))
+
+    // semantics equal the batch interval join on the same data
+    val batch = lData.toDF("l_ts", "k", "name").as("l")
+      .join(rData.toDF("r_ts", "k", "obs").as("r"),
+        $"l.k" === $"r.k" && $"r_ts" >= $"l_ts" &&
+          $"r_ts" <= $"l_ts" + org.apache.spark.sql.functions.expr("INTERVAL 1 hour"))
+      .select($"name", $"obs").as[(String, Double)].collect().toSet
+    assert(got == batch)
+  }
+
   test("streamingKernel per-batch output equals the batch kernel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -2,7 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-// temporary dev probe — not committed
+/** Dev probe: run named queries from [[SparkEntry.queries]] in one JVM,
+  * print executed-plan size and 2 timed runs each (cache cleared between
+  * runs). The minimal harness for "is this query slow, or was the bench
+  * contaminated?" — e.g. `runMain graft.Probe q22_kernel_full
+  * q24_kernel_sql_variant` with `SPARK_GRAFT_SF_DIR` set. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

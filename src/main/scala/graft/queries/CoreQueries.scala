@@ -351,9 +351,33 @@ object CoreQueries {
         sum(col("l_quantity").cast("long")).as("sum_qty"))
   }
 
+  /** q28 — top-10 hottest user_ids via the Misra-Gries sketch aggregator
+    * ([[graft.functions.HeavyHitters]]). The sketch capacity (512) exceeds
+    * the distinct-user count at every test SF, so the sketch is EXACT here
+    * and hash-matches the plain groupBy-count oracle — while keeping the
+    * bounded-memory mergeable shape that at 1e9 keys shuffles
+    * numPartitions × 512 entries instead of every key. HeavyHittersSpec
+    * pins the approximation bound when capacity < distinct. */
+  val q28HeavyHitters = QueryDef(
+    "q28_heavy_hitters",
+    """SELECT user_id, cnt FROM (
+      |  SELECT user_id, count(*) AS cnt,
+      |         row_number() OVER (ORDER BY count(*) DESC, user_id) AS rn
+      |  FROM events GROUP BY user_id) WHERE rn <= 10""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val sketch = udaf(new graft.functions.HeavyHitters(512))
+    Tables.events(s, d)
+      .agg(sketch(col("user_id")).as("hh"))
+      .select(explode(col("hh")).as(Seq("user_id", "cnt")))
+      .withColumn("rn", row_number().over(
+        Window.orderBy(col("cnt").desc, col("user_id"))))
+      .filter(col("rn") <= 10)
+      .select(col("user_id"), col("cnt"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01AggGrain, q02AggWide, q03MinMax, q04Distinct, q05Filter, q06Range,
     q07In, q08Join, q09SemiJoin, q10Union, q11Limit, q12MonthFmt,
     q13EventsWindow, q14TopPerKey, q15Sessionize, q16Quantiles, q17SaltedAgg,
-    q18JsonExtract, q19QuantilesApprox, q27Rollup)
+    q18JsonExtract, q19QuantilesApprox, q27Rollup, q28HeavyHitters)
 }

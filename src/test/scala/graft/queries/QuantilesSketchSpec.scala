@@ -27,4 +27,19 @@ class QuantilesSketchSpec extends SparkSpec {
       assert(math.abs(mq - emq) / emq < 0.1, s"$k qty median: approx $mq vs exact $emq")
     }
   }
+
+  test("q30 HLL distinct-user estimates track the exact counts per event_type") {
+    import org.apache.spark.sql.functions._
+    val exact = graft.tables.Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = CoreQueries.q30DistinctApprox.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, est) =>
+      val e = exact(k)
+      assert(math.abs(est - e).toDouble / e < 0.02,
+        s"$k: approx $est vs exact $e (rsd=0.01 sketch drifted past 2%)")
+    }
+  }
 }

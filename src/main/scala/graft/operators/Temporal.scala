@@ -35,8 +35,9 @@ object Temporal {
     * a right row at exactly the left timestamp matches).
     *
     * Output: every left column, plus each right payload column (right
-    * columns minus keys minus ts) as `asof_<col>`; left rows with no
-    * matching right row are dropped (inner semantics).
+    * columns minus keys minus ts) as `asof_<col>`. With `innerOnly` (the
+    * default) left rows with no matching right row are dropped; pass
+    * `innerOnly = false` for left-outer semantics (null payload instead).
     *
     * Ties: among right rows sharing the maximal timestamp, the one with
     * the lexicographically greatest payload struct wins (field order =
@@ -45,7 +46,7 @@ object Temporal {
     * `ts` must be the same numeric/orderable type on both sides (use
     * micros-since-epoch longs for timestamp data; see [[q25AsofJoin]]). */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-               ts: String): DataFrame = {
+               ts: String, innerOnly: Boolean = true): DataFrame = {
     val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == ts)
     require(payloadCols.nonEmpty, "right side needs at least one payload column")
     val leftOthers = left.columns.filterNot(c => keys.contains(c) || c == ts)
@@ -70,7 +71,8 @@ object Temporal {
 
     l.unionByName(r)
       .withColumn("__asof", last(col("__p"), ignoreNulls = true).over(w))
-      .filter(col("__src") === 1 && col("__asof").isNotNull)
+      .filter(col("__src") === 1 &&
+        (if (innerOnly) col("__asof").isNotNull else lit(true)))
       .select(
         keys.map(col) ++ Seq(col("__ts").as(ts)) ++ leftOthers.map(col) ++
           payloadCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)

@@ -413,10 +413,33 @@ object CoreQueries {
       .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("n_users_approx"))
   }
 
+  private val UnpivotMeasures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** q31 — UNPIVOT (melt): the four lineitem measures to long form
+    * (measure, val) — the inverse of q20's pivot, and the shape feature
+    * stores/metric pipelines want wide fact tables in. Spark's native
+    * `unpivot` plans as an Expand (one scan, rows × measures output, no
+    * shuffle); the oracle melts by the portable UNION ALL formulation —
+    * an independent shape, so the Expand path is cross-checked. */
+  val q31Unpivot = QueryDef(
+    "q31_unpivot",
+    UnpivotMeasures.map(m =>
+      s"""SELECT l_orderkey, l_linenumber, '$m' AS measure,
+         |  ${Stable.sqlR4(m)} AS val FROM lineitem""".stripMargin)
+      .mkString("\nUNION ALL\n")) { (s, d) =>
+    Tables.lineitem(s, d)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        UnpivotMeasures.map(col).toArray,
+        "measure", "val")
+      .select(col("l_orderkey"), col("l_linenumber"), col("measure"),
+        r4(col("val")).as("val"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01AggGrain, q02AggWide, q03MinMax, q04Distinct, q05Filter, q06Range,
     q07In, q08Join, q09SemiJoin, q10Union, q11Limit, q12MonthFmt,
     q13EventsWindow, q14TopPerKey, q15Sessionize, q16Quantiles, q17SaltedAgg,
     q18JsonExtract, q19QuantilesApprox, q27Rollup, q28HeavyHitters,
-    q29MovingAgg, q30DistinctApprox)
+    q29MovingAgg, q30DistinctApprox, q31Unpivot)
 }

@@ -43,6 +43,12 @@ class TemporalSpec extends SparkSpec {
     assert(got.map(_._3) == Set(1L, 2L, 5L)) // 3 (too early) and 4 (no key) dropped
     assert(got.find(_._3 == 2L).get._4 == 11L) // at-instant right row visible
     assert(got.find(_._3 == 5L).get._4 == 21L) // tie broken to greater rid
+
+    // left-outer variant keeps the unmatched rows with null payload
+    val outer = Temporal.asofJoin(left, right, Seq("k"), "us", innerOnly = false)
+    assert(outer.count() == 5)
+    assert(outer.filter(col("asof_rid").isNull).select("lid").collect()
+      .map(_.getLong(0)).toSet == Set(3L, 4L))
   }
 
   test("rangeJoin equals the naive BETWEEN join: boundaries, bucket spans, overlaps") {

@@ -148,6 +148,22 @@ class PlanSpec extends SparkSpec {
       s"range join planned as a nested loop (naive BETWEEN shape):\n$plan")
   }
 
+  test("q27/q29 shuffle exactly once; q31's unpivot Expand never shuffles") {
+    import graft.queries.CoreQueries
+    def exchanges(plan: String) =
+      "Exchange hashpartitioning".r.findAllIn(plan).size
+    val rollup = planOf(CoreQueries.q27Rollup.fn(spark, sf))
+    assert(exchanges(rollup) == 1,
+      s"ROLLUP should be Expand + ONE agg shuffle for all levels:\n$rollup")
+    val moving = planOf(CoreQueries.q29MovingAgg.fn(spark, sf))
+    assert(exchanges(moving) == 1,
+      s"moving agg should shuffle once, keyed by user:\n$moving")
+    val unpivot = planOf(CoreQueries.q31Unpivot.fn(spark, sf))
+    assert(!unpivot.contains("Exchange"),
+      s"unpivot is a map-only Expand — a shuffle crept in:\n$unpivot")
+    assert(unpivot.contains("Expand"), s"unpivot lost its Expand:\n$unpivot")
+  }
+
   test("the billing demo dim stays small enough to broadcast at any fact scale") {
     // dim cardinality = 41 rules × fact months — independent of fact ROWS
     val dim = BillingDemo.dim(spark, sf)

@@ -51,6 +51,47 @@ class TemporalSpec extends SparkSpec {
       .map(_.getLong(0)).toSet == Set(3L, 4L))
   }
 
+  test("asofJoin equals the naive join on seeded random data (500 left x 300 right)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // small ts range forces heavy key/ts collisions — the tie paths get hit
+    val left = (1 to 500).map(i =>
+      (s"k${rnd.nextInt(8)}", rnd.nextInt(40).toLong, i.toLong)).toDF("k", "us", "lid")
+    val right = (1 to 300).map(i =>
+      (s"k${rnd.nextInt(8)}", rnd.nextInt(40).toLong, i.toLong, rnd.nextInt(100) / 10.0))
+      .toDF("k", "us", "rid", "rv")
+
+    import org.apache.spark.sql.expressions.Window
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rid").collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val got = canon(Temporal.asofJoin(left, right, Seq("k"), "us")
+      .select(col("lid"), col("asof_rid").as("rid")))
+    val naive = canon(left.as("l")
+      .join(right.as("r"), col("l.k") === col("r.k") && col("r.us") <= col("l.us"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("l.lid"))
+          .orderBy(col("r.us").desc, col("r.rid").desc, col("r.rv").desc)))
+      .filter(col("rn") === 1))
+    assert(got == naive)
+  }
+
+  test("rangeJoin equals the naive join on seeded random intervals") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val ranges = (1 to 200).map { i =>
+      val lo = rnd.nextInt(1000).toLong
+      (i.toLong, lo, lo + 1 + rnd.nextInt(300).toLong) // widths 1..300 vs bucket 100
+    }.toDF("range_id", "lo", "hi")
+    val events = (1 to 800).map(i => (rnd.nextInt(1100).toLong, i.toLong))
+      .toDF("us", "eid")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("range_id", "eid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(Temporal.rangeJoin(ranges, events, "lo", "hi", "us", bucketMicros = 100L))
+    val naive = pairs(ranges.crossJoin(events)
+      .filter(col("us") >= col("lo") && col("us") < col("hi")))
+    assert(got == naive)
+  }
+
   test("rangeJoin equals the naive BETWEEN join: boundaries, bucket spans, overlaps") {
     import spark.implicits._
     val w = 100L // bucket width

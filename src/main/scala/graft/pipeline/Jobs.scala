@@ -19,9 +19,20 @@ object Sink {
 
   val PartitionCols: Seq[String] = Seq("invoice_month", "usage_day")
 
-  def writePartitioned(df: DataFrame, path: String): Unit = {
+  /** `sortCols` orders rows WITHIN each written file (no extra shuffle —
+    * `sortWithinPartitions` is a per-task sort). Parquet records per-row-
+    * group min/max stats, so downstream point reads on a sort column skip
+    * whole row groups — at 100 TB, the per-account repair path (E3) reads
+    * 1/thousands of each day partition instead of scanning it. Callers
+    * that know the dominant read predicate pass it (the kernel entry
+    * points sort by billing_account_id); default keeps the layout as-is. */
+  def writePartitioned(df: DataFrame, path: String,
+                       sortCols: Seq[String] = Nil): Unit = {
     df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write
+    val sorted =
+      if (sortCols.isEmpty) df
+      else df.sortWithinPartitions(sortCols.map(col): _*)
+    sorted.write
       .mode("overwrite")
       .partitionBy(PartitionCols: _*)
       .parquet(path)
@@ -83,6 +94,9 @@ object Jobs {
     val fact = spark.read.parquet(odsPath)
     val dim = spark.read.parquet(dimPath)
     val out = computeMonth(fact, dim, invoiceMonth, dayRange, accounts, extraDiscount)
-    Sink.writePartitioned(out, targetPath)
+    // kernel output: dominant downstream point predicate is the account
+    // (E3 repair, per-account reporting) — lay files out for its row-group
+    // skipping
+    Sink.writePartitioned(out, targetPath, sortCols = Seq("billing_account_id"))
   }
 }

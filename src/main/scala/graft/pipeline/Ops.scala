@@ -107,7 +107,8 @@ object IsolatedRun {
         extraDiscount = extraDiscount))
     val failed = days.filter { day =>
       try {
-        Sink.writePartitioned(compute(day), targetPath)
+        Sink.writePartitioned(compute(day), targetPath,
+          sortCols = Seq("billing_account_id"))
         false
       } catch {
         case e: Throwable =>

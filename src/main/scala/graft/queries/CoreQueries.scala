@@ -436,10 +436,37 @@ object CoreQueries {
         r4(col("val")).as("val"))
   }
 
+  /** q32 — event-sequence assembly: each user's event ids in time order as
+    * one row (the behavioral-sequence shape session-mining and training-
+    * data pipelines build). `collect_list` has NO deterministic order under
+    * parallel merge, so the sort key rides INSIDE the collected struct and
+    * `array_sort` imposes the order after collection — partition-layout-
+    * independent. Joined to a string (ids are integral, so the rendering
+    * is engine-stable — never do this with floats). One shuffle keyed by
+    * user; per-group state is the user's own events. */
+  val q32EventSequence = QueryDef(
+    "q32_event_sequence",
+    """SELECT user_id,
+      |  count(*) AS n_events,
+      |  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY epoch_us(ts), event_id)
+      |    AS id_sequence
+      |FROM events GROUP BY user_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("us"), col("event_id")))),
+            e => e.getField("event_id").cast("string")),
+          ",").as("id_sequence"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01AggGrain, q02AggWide, q03MinMax, q04Distinct, q05Filter, q06Range,
     q07In, q08Join, q09SemiJoin, q10Union, q11Limit, q12MonthFmt,
     q13EventsWindow, q14TopPerKey, q15Sessionize, q16Quantiles, q17SaltedAgg,
     q18JsonExtract, q19QuantilesApprox, q27Rollup, q28HeavyHitters,
-    q29MovingAgg, q30DistinctApprox, q31Unpivot)
+    q29MovingAgg, q30DistinctApprox, q31Unpivot, q32EventSequence)
 }

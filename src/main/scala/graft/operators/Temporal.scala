@@ -49,6 +49,8 @@ object Temporal {
                ts: String, innerOnly: Boolean = true): DataFrame = {
     val payloadCols = right.columns.filterNot(c => keys.contains(c) || c == ts)
     require(payloadCols.nonEmpty, "right side needs at least one payload column")
+    require(!(left.columns ++ right.columns).exists(_.startsWith("__")),
+      "column names starting with __ collide with asofJoin internals")
     val leftOthers = left.columns.filterNot(c => keys.contains(c) || c == ts)
     val payloadT = StructType(
       right.schema.fields.filter(f => payloadCols.contains(f.name)))
@@ -88,6 +90,8 @@ object Temporal {
                 lo: String, hi: String, ts: String,
                 bucketMicros: Long): DataFrame = {
     require(bucketMicros > 0, "bucketMicros must be positive")
+    require(!(ranges.columns ++ events.columns).contains("__bucket"),
+      "column name __bucket collides with rangeJoin internals")
     // [lo, hi) covers buckets lo/w .. (hi-1)/w; an event has exactly ONE
     // bucket, so each qualifying pair joins exactly once
     val rb = ranges.withColumn("__bucket",

@@ -160,6 +160,28 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch)
   }
 
+  test("heavy-hitters sketch aggregates incrementally across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the sketch's mergeable state is exactly what streaming aggregation
+    // needs: each micro-batch folds into the same bounded buffer
+    val stream = MemoryStream[Long]
+    val sketch = udaf(new graft.functions.HeavyHitters(64))
+    val q = stream.toDF().toDF("k")
+      .agg(sketch(col("k")).as("hh"))
+      .select(explode(col("hh")).as(Seq("k", "cnt")))
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").start()
+    stream.addData(Seq.fill(5)(7L) :+ 1L: _*)
+    q.processAllAvailable()
+    stream.addData(Seq.fill(3)(7L) :+ 2L: _*)
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("hh_stream").as[(Long, Long)].collect().toMap
+    // capacity 64 > 3 distinct keys: exact counts across both batches
+    assert(got == Map(7L -> 8L, 1L -> 1L, 2L -> 1L))
+  }
+
   test("streamingKernel per-batch output equals the batch kernel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -463,10 +463,30 @@ object CoreQueries {
           ",").as("id_sequence"))
   }
 
+  /** q34 — INTERSECT / EXCEPT (q10 covers UNION): cohort membership
+    * algebra — users who both clicked and purchased, vs clicked only.
+    * Spark plans both as aggregate-free left-semi / left-anti joins over
+    * the distinct sets — one shuffle per side, no row explosion. */
+  val q34SetOps = QueryDef(
+    "q34_set_ops",
+    """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+      |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, 'both' AS rel FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+      |UNION ALL
+      |SELECT user_id, 'click_only' AS rel FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    def ids(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id")).distinct()
+    val c = ids("click")
+    val p = ids("purchase")
+    c.intersect(p).withColumn("rel", lit("both"))
+      .unionAll(c.except(p).withColumn("rel", lit("click_only")))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01AggGrain, q02AggWide, q03MinMax, q04Distinct, q05Filter, q06Range,
     q07In, q08Join, q09SemiJoin, q10Union, q11Limit, q12MonthFmt,
     q13EventsWindow, q14TopPerKey, q15Sessionize, q16Quantiles, q17SaltedAgg,
     q18JsonExtract, q19QuantilesApprox, q27Rollup, q28HeavyHitters,
-    q29MovingAgg, q30DistinctApprox, q31Unpivot, q32EventSequence)
+    q29MovingAgg, q30DistinctApprox, q31Unpivot, q32EventSequence, q34SetOps)
 }

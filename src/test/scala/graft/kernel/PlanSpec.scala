@@ -164,6 +164,18 @@ class PlanSpec extends SparkSpec {
     assert(unpivot.contains("Expand"), s"unpivot lost its Expand:\n$unpivot")
   }
 
+  test("q33 reconciles via one full-outer equi-join; q34 plans semi/anti joins") {
+    import graft.operators.Reconcile
+    import graft.queries.CoreQueries
+    val diff = planOf(Reconcile.q33SnapshotDiff.fn(spark, sf))
+    assert(diff.contains("FullOuter"), s"q33 lost its full-outer join:\n$diff")
+    assert(!diff.contains("CartesianProduct") &&
+      !diff.contains("BroadcastNestedLoopJoin"), s"q33 degraded:\n$diff")
+    val setops = planOf(CoreQueries.q34SetOps.fn(spark, sf))
+    assert(setops.contains("LeftSemi"), s"q34 INTERSECT lost its semi join:\n$setops")
+    assert(setops.contains("LeftAnti"), s"q34 EXCEPT lost its anti join:\n$setops")
+  }
+
   test("the billing demo dim stays small enough to broadcast at any fact scale") {
     // dim cardinality = 41 rules × fact months — independent of fact ROWS
     val dim = BillingDemo.dim(spark, sf)

@@ -483,10 +483,33 @@ object CoreQueries {
       .unionAll(c.except(p).withColumn("rel", lit("click_only")))
   }
 
+  /** q35 — correlated-subquery semantics: orders strictly above their own
+    * customer's average price. The oracle states it AS a correlated scalar
+    * subquery; the Spark side uses the decorrelated form Catalyst itself
+    * would rewrite to — an unpartitioned-safe window average per customer
+    * and a row-local comparison (one shuffle keyed by customer, no
+    * re-aggregation join). Comparison is on raw doubles BOTH sides — the
+    * same sum/count fold per customer group — with output rounding only. */
+  val q35AboveAvg = QueryDef(
+    "q35_above_avg",
+    s"""SELECT o_orderkey, o_custkey, ${Stable.sqlR4("o_totalprice")} AS total
+       |FROM orders o
+       |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
+       |                      WHERE i.o_custkey = o.o_custkey)""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(s, d)
+      .withColumn("cavg", avg("o_totalprice").over(w))
+      .filter(col("o_totalprice") > col("cavg"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        r4(col("o_totalprice")).as("total"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01AggGrain, q02AggWide, q03MinMax, q04Distinct, q05Filter, q06Range,
     q07In, q08Join, q09SemiJoin, q10Union, q11Limit, q12MonthFmt,
     q13EventsWindow, q14TopPerKey, q15Sessionize, q16Quantiles, q17SaltedAgg,
     q18JsonExtract, q19QuantilesApprox, q27Rollup, q28HeavyHitters,
-    q29MovingAgg, q30DistinctApprox, q31Unpivot, q32EventSequence, q34SetOps)
+    q29MovingAgg, q30DistinctApprox, q31Unpivot, q32EventSequence, q34SetOps,
+    q35AboveAvg)
 }

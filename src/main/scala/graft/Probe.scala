@@ -20,13 +20,17 @@ object Probe {
     spark.sparkContext.setLogLevel("WARN")
     def runNoop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val names = args.toSeq
+    // `--explain` prints each query's formatted physical plan (codegen
+    // span numbering included) instead of only the plan size
+    val explain = args.contains("--explain")
+    val names = args.toSeq.filterNot(_ == "--explain")
     // warmup
     runNoop(SparkEntry.entry(spark))
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
       val df = fn(spark, sfDir)
       println(s"===== $n plan size: ${df.queryExecution.executedPlan.toString.length}")
+      if (explain) df.explain("formatted")
       (1 to 2).foreach { i =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()

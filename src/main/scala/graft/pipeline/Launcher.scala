@@ -43,14 +43,21 @@ object Launcher {
       config.failureCsv, config.alerter, config.extraDiscount)
   }
 
+  /** Next daily fire time strictly after `now`: today at `at` if that is
+    * still ahead, else tomorrow at `at`. Pure — the daemon loop's only
+    * logic, extracted so the schedule arithmetic is testable (the loop
+    * itself is deliberately untestable: it never returns). */
+  def nextTick(now: LocalDateTime, at: LocalTime): LocalDateTime = {
+    val todayAt = now.toLocalDate.atTime(at)
+    if (todayAt.isAfter(now)) todayAt else todayAt.plusDays(1)
+  }
+
   /** Sleep until the next `at` (today or tomorrow), run a tick, repeat —
     * the reference's `schedule.every().day.at("05:00")` loop. */
   def daemon(spark: SparkSession, config: Config, at: LocalTime): Nothing = {
     while (true) {
       val now = LocalDateTime.now()
-      val todayAt = now.toLocalDate.atTime(at)
-      val next = if (todayAt.isAfter(now)) todayAt else todayAt.plusDays(1)
-      Thread.sleep(math.max(0L, Duration.between(now, next).toMillis))
+      Thread.sleep(math.max(0L, Duration.between(now, nextTick(now, at)).toMillis))
       runDaily(spark, config)
     }
     throw new IllegalStateException("unreachable")

@@ -135,6 +135,22 @@ class LauncherSpec extends SparkSpec {
     }
   }
 
+  test("daemon nextTick: today if still ahead, tomorrow once passed, never 'now' itself") {
+    import java.time.{LocalDateTime, LocalTime}
+    val at = LocalTime.parse("05:00")
+    assert(Launcher.nextTick(LocalDateTime.parse("2026-01-15T03:00:00"), at) ==
+      LocalDateTime.parse("2026-01-15T05:00:00"))
+    assert(Launcher.nextTick(LocalDateTime.parse("2026-01-15T06:00:00"), at) ==
+      LocalDateTime.parse("2026-01-16T05:00:00"))
+    // firing exactly at the tick must schedule TOMORROW, not re-fire now
+    // (the reference's schedule lib has the same no-immediate-refire rule)
+    assert(Launcher.nextTick(LocalDateTime.parse("2026-01-15T05:00:00"), at) ==
+      LocalDateTime.parse("2026-01-16T05:00:00"))
+    // month/year rollover
+    assert(Launcher.nextTick(LocalDateTime.parse("2026-12-31T23:59:59"), at) ==
+      LocalDateTime.parse("2027-01-01T05:00:00"))
+  }
+
   test("HttpAlerter builds the reference webhook JSON shape with escaping") {
     val a = new HttpAlerter("http://localhost:1/unused")
     assert(a.payload("hi") == """{"msg_type":"text","content":{"text":"hi"}}""")

@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
@@ -20,44 +22,58 @@ import org.apache.spark.sql.expressions.Aggregator
   * EXACT — which is what lets the q28 query hash-match a plain-SQL oracle
   * at test scale while keeping the bounded-memory shape for real scale.
   *
+  * The buffer is a MUTABLE HashMap, updated in place — the Aggregator
+  * contract explicitly allows `reduce`/`merge` to modify and return their
+  * buffer. A decrement round is still O(capacity) traversal (inherent to
+  * Misra-Gries; amortized O(1) per row, since rounds happen at most
+  * n/capacity times), but it no longer ALLOCATES a fresh capacity-entry
+  * map per untracked row the way an immutable `.map(...).toMap` rebuild
+  * did — on an adversarial mostly-distinct stream that rebuild made every
+  * input row pay capacity allocations.
+  *
   * Runs under ObjectHashAggregate (not whole-stage codegen) — the same
   * engine tier as `approx_percentile`/`collect_list`; map-side partial
   * aggregation still applies, which is the point.
   */
 final class HeavyHitters(capacity: Int)
-    extends Aggregator[Long, Map[Long, Long], Map[Long, Long]] {
+    extends Aggregator[Long, mutable.HashMap[Long, Long], Map[Long, Long]] {
   require(capacity > 0)
 
-  def zero: Map[Long, Long] = Map.empty
+  def zero: mutable.HashMap[Long, Long] = mutable.HashMap.empty
 
-  def reduce(b: Map[Long, Long], key: Long): Map[Long, Long] =
+  def reduce(b: mutable.HashMap[Long, Long], key: Long): mutable.HashMap[Long, Long] = {
     b.get(key) match {
-      case Some(c) => b.updated(key, c + 1L)
-      case None if b.size < capacity => b.updated(key, 1L)
+      case Some(c) => b.update(key, c + 1L)
+      case None if b.size < capacity => b.update(key, 1L)
       case None =>
-        // decrement-all: drop one "vote" from every tracked key
-        b.iterator.map { case (k, c) => k -> (c - 1L) }
-          .filter(_._2 > 0L).toMap
+        // decrement-all: drop one "vote" from every tracked key, in place
+        b.mapValuesInPlace((_, c) => c - 1L)
+        b.filterInPlace((_, c) => c > 0L)
     }
-
-  def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] = {
-    val combined = (a.keySet ++ b.keySet).iterator
-      .map(k => k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
-    if (combined.size <= capacity) combined
-    else {
-      // subtract the (capacity+1)-th largest count from everything — the
-      // standard mergeable-MG step, preserving the n/capacity error bound
-      val cut = combined.valuesIterator.toIndexedSeq.sorted(
-        Ordering[Long].reverse)(capacity)
-      combined.iterator.map { case (k, c) => k -> (c - cut) }
-        .filter(_._2 > 0L).toMap
-    }
+    b
   }
 
-  def finish(b: Map[Long, Long]): Map[Long, Long] = b
+  def merge(a: mutable.HashMap[Long, Long],
+            b: mutable.HashMap[Long, Long]): mutable.HashMap[Long, Long] = {
+    // fold the smaller side into the larger — merge cost tracks the
+    // smaller summary, and either argument may be mutated per the contract
+    val (into, from) = if (a.size >= b.size) (a, b) else (b, a)
+    from.foreach { case (k, c) => into.update(k, into.getOrElse(k, 0L) + c) }
+    if (into.size > capacity) {
+      // subtract the (capacity+1)-th largest count from everything — the
+      // standard mergeable-MG step, preserving the n/capacity error bound
+      val cut = into.valuesIterator.toIndexedSeq.sorted(
+        Ordering[Long].reverse)(capacity)
+      into.mapValuesInPlace((_, c) => c - cut)
+      into.filterInPlace((_, c) => c > 0L)
+    }
+    into
+  }
+
+  def finish(b: mutable.HashMap[Long, Long]): Map[Long, Long] = b.toMap
 
   // ExpressionEncoder keeps both as real Catalyst MapType values (kryo
   // would make the output an opaque binary blob the query couldn't explode)
-  def bufferEncoder: Encoder[Map[Long, Long]] = ExpressionEncoder()
+  def bufferEncoder: Encoder[mutable.HashMap[Long, Long]] = ExpressionEncoder()
   def outputEncoder: Encoder[Map[Long, Long]] = ExpressionEncoder()
 }

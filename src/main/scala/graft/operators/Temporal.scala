@@ -93,8 +93,13 @@ object Temporal {
     require(!(ranges.columns ++ events.columns).contains("__bucket"),
       "column name __bucket collides with rangeJoin internals")
     // [lo, hi) covers buckets lo/w .. (hi-1)/w; an event has exactly ONE
-    // bucket, so each qualifying pair joins exactly once
-    val rb = ranges.withColumn("__bucket",
+    // bucket, so each qualifying pair joins exactly once. Empty/inverted
+    // intervals (hi <= lo) are dropped UP FRONT: they can match nothing
+    // under the [lo, hi) contract, but sequence(a, b) with a > b would
+    // generate a DESCENDING bucket range — one junk row per bucket between
+    // hi and lo on dirty interval data, all discarded later by the residual
+    // filter at pure row-explosion cost.
+    val rb = ranges.filter(col(hi) > col(lo)).withColumn("__bucket",
       explode(sequence(floorDiv(col(lo), bucketMicros),
         floorDiv(col(hi) - 1, bucketMicros))))
     val eb = events.withColumn("__bucket", floorDiv(col(ts), bucketMicros))

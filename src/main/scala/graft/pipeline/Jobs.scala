@@ -25,13 +25,21 @@ object Sink {
     * whole row groups — at 100 TB, the per-account repair path (E3) reads
     * 1/thousands of each day partition instead of scanning it. Callers
     * that know the dominant read predicate pass it (the kernel entry
-    * points sort by billing_account_id); default keeps the layout as-is. */
+    * points sort by billing_account_id); default keeps the layout as-is.
+    *
+    * The task sort is (PartitionCols ++ sortCols), not sortCols alone:
+    * FileFormatWriter REQUIRES rows ordered by the partition columns and
+    * inserts its own per-task sort when the incoming ordering doesn't
+    * satisfy that — a sort that is free to discard the sortCols clustering
+    * once it spills. Prefixing the partition columns makes the incoming
+    * ordering satisfy the writer's requirement (no second sort), so the
+    * account clustering survives within each written partition. */
   def writePartitioned(df: DataFrame, path: String,
                        sortCols: Seq[String] = Nil): Unit = {
     df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val sorted =
       if (sortCols.isEmpty) df
-      else df.sortWithinPartitions(sortCols.map(col): _*)
+      else df.sortWithinPartitions((PartitionCols ++ sortCols).map(col): _*)
     sorted.write
       .mode("overwrite")
       .partitionBy(PartitionCols: _*)

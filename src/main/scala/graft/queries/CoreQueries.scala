@@ -352,27 +352,41 @@ object CoreQueries {
   }
 
   /** q28 — top-10 hottest user_ids via the Misra-Gries sketch aggregator
-    * ([[graft.functions.HeavyHitters]]). The sketch capacity (512) exceeds
-    * the distinct-user count at every test SF, so the sketch is EXACT here
-    * and hash-matches the plain groupBy-count oracle — while keeping the
-    * bounded-memory mergeable shape that at 1e9 keys shuffles
-    * numPartitions × 512 entries instead of every key. HeavyHittersSpec
-    * pins the approximation bound when capacity < distinct. */
+    * ([[graft.functions.HeavyHitters]]). The sketch capacity (4096) exceeds
+    * the distinct-user count at every test SF — sf0.1's events carry 1500
+    * distinct users, so 512 would silently go approximate there and break
+    * the exact oracle if the gate ever runs above sf0.01 — keeping the
+    * sketch EXACT (hash-matches the plain groupBy-count oracle) while
+    * staying bounded-memory mergeable: at 1e9 keys the shuffle carries
+    * numPartitions × 4096 entries instead of every key. HeavyHittersSpec
+    * pins the approximation bound when capacity < distinct.
+    *
+    * The top-10 is read off the sketch by sorting its ≤capacity entries
+    * with `array_sort` + `slice` — a pure projection over one row. A
+    * global `Window.orderBy` here would be semantically fine (the input is
+    * the bounded exploded sketch) but spams `WARN WindowExec: No Partition
+    * Defined` on every run, training readers to ignore the one warning
+    * that elsewhere flags a genuine serialize-everything hazard. */
   val q28HeavyHitters = QueryDef(
     "q28_heavy_hitters",
     """SELECT user_id, cnt FROM (
       |  SELECT user_id, count(*) AS cnt,
       |         row_number() OVER (ORDER BY count(*) DESC, user_id) AS rn
       |  FROM events GROUP BY user_id) WHERE rn <= 10""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val sketch = udaf(new graft.functions.HeavyHitters(512))
+    val sketch = udaf(new graft.functions.HeavyHitters(4096))
+    // comparator: count desc, then user_id asc — same tie-break as the
+    // oracle's ORDER BY count(*) DESC, user_id
+    val byCountDesc = (l: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =>
+      when(l.getField("value") > r.getField("value"), -1)
+        .when(l.getField("value") < r.getField("value"), 1)
+        .when(l.getField("key") < r.getField("key"), -1)
+        .when(l.getField("key") > r.getField("key"), 1)
+        .otherwise(0)
     Tables.events(s, d)
       .agg(sketch(col("user_id")).as("hh"))
-      .select(explode(col("hh")).as(Seq("user_id", "cnt")))
-      .withColumn("rn", row_number().over(
-        Window.orderBy(col("cnt").desc, col("user_id"))))
-      .filter(col("rn") <= 10)
-      .select(col("user_id"), col("cnt"))
+      .select(explode(slice(array_sort(map_entries(col("hh")), byCountDesc),
+        1, 10)).as("e"))
+      .select(col("e.key").as("user_id"), col("e.value").as("cnt"))
   }
 
   /** q29 — time-based moving aggregates: per user, the count and sum of
@@ -488,19 +502,25 @@ object CoreQueries {
     * subquery; the Spark side uses the decorrelated form Catalyst itself
     * would rewrite to — an unpartitioned-safe window average per customer
     * and a row-local comparison (one shuffle keyed by customer, no
-    * re-aggregation join). Comparison is on raw doubles BOTH sides — the
-    * same sum/count fold per customer group — with output rounding only. */
+    * re-aggregation join). The comparison itself runs on r4-ROUNDED values
+    * on both sides: the per-customer average is a double sum whose
+    * association order differs between Spark's partial aggregation and
+    * DuckDB's fold, so a price sitting epsilon from its group average could
+    * flip inclusion between engines if compared raw — the same
+    * oracle-stability convention every other query applies to its OUTPUT,
+    * applied here to the predicate too. */
   val q35AboveAvg = QueryDef(
     "q35_above_avg",
     s"""SELECT o_orderkey, o_custkey, ${Stable.sqlR4("o_totalprice")} AS total
        |FROM orders o
-       |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders i
-       |                      WHERE i.o_custkey = o.o_custkey)""".stripMargin) { (s, d) =>
+       |WHERE ${Stable.sqlR4("o_totalprice")} >
+       |      (SELECT ${Stable.sqlR4("avg(o_totalprice)")} FROM orders i
+       |       WHERE i.o_custkey = o.o_custkey)""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("o_custkey")
     Tables.orders(s, d)
       .withColumn("cavg", avg("o_totalprice").over(w))
-      .filter(col("o_totalprice") > col("cavg"))
+      .filter(r4(col("o_totalprice")) > r4(col("cavg")))
       .select(col("o_orderkey"), col("o_custkey"),
         r4(col("o_totalprice")).as("total"))
   }

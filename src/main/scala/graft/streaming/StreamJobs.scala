@@ -135,6 +135,18 @@ object StreamJobs {
       key: String, leftTs: String, rightTs: String,
       within: String = "1 hour", watermark: String = "1 hour"): DataFrame = {
     require(leftTs != rightTs, "rename one side's ts column (join needs distinct names)")
+    // the time-range conjunct resolves col(leftTs)/col(rightTs) by NAME
+    // across the joined frames — a ts name present on BOTH sides becomes an
+    // ambiguous reference that fails analysis with a misleading error, so
+    // reject it (and the r_ rename collision) here with a readable one
+    require(!left.columns.contains(rightTs),
+      s"left side must not contain the right ts column '$rightTs'")
+    require(!right.columns.contains(leftTs),
+      s"right side must not contain the left ts column '$leftTs'")
+    val renamed = right.columns.filterNot(c => c == key || c == rightTs).map(c => s"r_$c")
+    val collisions = renamed.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"left columns ${collisions.mkString(", ")} collide with the r_-renamed right columns")
     val l = left.withWatermark(leftTs, watermark)
     val r0 = right.withWatermark(rightTs, watermark)
     val r = r0.columns.foldLeft(r0) { (df, c) =>

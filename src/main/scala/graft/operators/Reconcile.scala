@@ -50,43 +50,80 @@ object Reconcile {
         compareCols.flatMap(c => Seq(col(s"old_$c"), col(s"new_$c"))): _*)
   }
 
-  /** q33 — reconcile two deterministically-derived snapshots of `events`:
+  /** The two deterministically-derived `events` snapshots q33/q36 diff:
     * new drops event_id % 13 == 0 (removed), doubles `value` where
     * event_id % 7 == 0 (changed), and appends shifted ids where
-    * event_id % 11 == 0 (added). The oracle rebuilds both snapshots and
-    * diffs them with an independent FULL JOIN + CASE formulation. */
-  val q33SnapshotDiff = QueryDef(
-    "q33_snapshot_diff", {
-      val newSnap =
-        """SELECT event_id, CASE WHEN event_id % 7 = 0 THEN value * 2.0 ELSE value END AS value
-          |  FROM events WHERE event_id % 13 <> 0
-          |UNION ALL
-          |SELECT event_id + 10000000, value FROM events WHERE event_id % 11 = 0""".stripMargin
-      s"""WITH o AS (SELECT event_id, value FROM events),
-         |n AS (${newSnap.replace("\n", "\n  ")})
-         |SELECT
-         |  COALESCE(o.event_id, n.event_id) AS event_id,
-         |  CASE WHEN o.event_id IS NULL THEN 'added'
-         |       WHEN n.event_id IS NULL THEN 'removed'
-         |       ELSE 'changed' END AS status,
-         |  ${Stable.sqlR4("o.value")} AS old_value,
-         |  ${Stable.sqlR4("n.value")} AS new_value
-         |FROM o FULL JOIN n ON o.event_id = n.event_id
-         |WHERE o.event_id IS NULL OR n.event_id IS NULL
-         |   OR o.value IS DISTINCT FROM n.value""".stripMargin
-    }) { (s, d) =>
+    * event_id % 11 == 0 (added). */
+  private def demoSnapshots(s: org.apache.spark.sql.SparkSession,
+                            d: String): (DataFrame, DataFrame) = {
     val ev = Tables.events(s, d).select(col("event_id"), col("value"))
-    val oldSnap = ev
     val newSnap = ev.filter(col("event_id") % 13 =!= 0)
       .withColumn("value",
         when(col("event_id") % 7 === 0, col("value") * 2.0).otherwise(col("value")))
       .unionAll(ev.filter(col("event_id") % 11 === 0)
         .select((col("event_id") + 10000000L).as("event_id"), col("value")))
+    (ev, newSnap)
+  }
+
+  /** Shared oracle: rebuilds both snapshots and diffs them with an
+    * independent FULL JOIN + CASE formulation. */
+  private val demoDiffSql: String = {
+    val newSnap =
+      """SELECT event_id, CASE WHEN event_id % 7 = 0 THEN value * 2.0 ELSE value END AS value
+        |  FROM events WHERE event_id % 13 <> 0
+        |UNION ALL
+        |SELECT event_id + 10000000, value FROM events WHERE event_id % 11 = 0""".stripMargin
+    s"""WITH o AS (SELECT event_id, value FROM events),
+       |n AS (${newSnap.replace("\n", "\n  ")})
+       |SELECT
+       |  COALESCE(o.event_id, n.event_id) AS event_id,
+       |  CASE WHEN o.event_id IS NULL THEN 'added'
+       |       WHEN n.event_id IS NULL THEN 'removed'
+       |       ELSE 'changed' END AS status,
+       |  ${Stable.sqlR4("o.value")} AS old_value,
+       |  ${Stable.sqlR4("n.value")} AS new_value
+       |FROM o FULL JOIN n ON o.event_id = n.event_id
+       |WHERE o.event_id IS NULL OR n.event_id IS NULL
+       |   OR o.value IS DISTINCT FROM n.value""".stripMargin
+  }
+
+  private def roundedDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
     snapshotDiff(oldSnap, newSnap, keys = Seq("event_id"), compareCols = Seq("value"))
       .select(col("event_id"), col("status"),
         Stable.r4(col("old_value")).as("old_value"),
         Stable.r4(col("new_value")).as("new_value"))
+
+  /** q33 — reconcile the two derived snapshots directly (each side shuffles
+    * once on the key for the full-outer join). */
+  val q33SnapshotDiff = QueryDef("q33_snapshot_diff", demoDiffSql) { (s, d) =>
+    val (oldSnap, newSnap) = demoSnapshots(s, d)
+    roundedDiff(oldSnap, newSnap)
   }
 
-  val all: Seq[QueryDef] = Seq(q33SnapshotDiff)
+  /** q36 — the SAME reconciliation executed through CO-BUCKETED snapshot
+    * tables: both snapshots are written with
+    * [[graft.pipeline.Bucketing.writeBucketed]] keyed by event_id, read
+    * back through the catalog (a path read would drop the bucket spec),
+    * and diffed. This executes the zero-shuffle claim in this file's
+    * header end-to-end: each side's scan already reports the join key's
+    * hash partitioning, so the full-outer join plans with ZERO Exchange —
+    * PlanSpec pins that. At 100 TB this is the difference between a daily
+    * audit that re-shuffles two full table snapshots and one that only
+    * streams co-located bucket pairs through the join. Results are
+    * identical to q33 (bucketing is a layout choice), hence the same
+    * oracle. */
+  val q36BucketedReconcile = QueryDef("q36_bucketed_reconcile", demoDiffSql) { (s, d) =>
+    import graft.pipeline.Bucketing
+    val (oldSnap, newSnap) = demoSnapshots(s, d)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_q36_buckets"
+    Bucketing.writeBucketed(oldSnap, "graft_q36_old", Seq("event_id"), 8,
+      Some(s"$root/old"))
+    Bucketing.writeBucketed(newSnap, "graft_q36_new", Seq("event_id"), 8,
+      Some(s"$root/new"))
+    roundedDiff(
+      Bucketing.readBucketed(s, "graft_q36_old"),
+      Bucketing.readBucketed(s, "graft_q36_new"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q33SnapshotDiff, q36BucketedReconcile)
 }

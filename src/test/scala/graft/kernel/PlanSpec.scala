@@ -176,6 +176,22 @@ class PlanSpec extends SparkSpec {
     assert(setops.contains("LeftAnti"), s"q34 EXCEPT lost its anti join:\n$setops")
   }
 
+  test("q36 co-bucketed reconcile joins with ZERO Exchange — and matches q33 exactly") {
+    import graft.operators.Reconcile
+    val df = Reconcile.q36BucketedReconcile.fn(spark, sf)
+    val plan = planOf(df)
+    // the claim under test: both snapshots were written bucketed by the
+    // join key, so NEITHER side shuffles for the full-outer join — the
+    // whole point of paying the bucket shuffle once at write time
+    assert(!plan.contains("Exchange"),
+      s"co-bucketed reconcile still shuffles:\n$plan")
+    assert(plan.contains("FullOuter"), s"q36 lost its full-outer join:\n$plan")
+    // layout must not change results: q36 ≡ q33 row-for-row
+    val direct = Reconcile.q33SnapshotDiff.fn(spark, sf)
+    assert(df.exceptAll(direct).isEmpty && direct.exceptAll(df).isEmpty,
+      "bucketed reconcile diverged from the direct q33 diff")
+  }
+
   test("the billing demo dim stays small enough to broadcast at any fact scale") {
     // dim cardinality = 41 rules × fact months — independent of fact ROWS
     val dim = BillingDemo.dim(spark, sf)

@@ -31,7 +31,7 @@ object Skew {
     * salt only needs to spread DISTINCT rows, which content hashing does.
     * A join shuffle has no map-side combine, so [[saltedJoin]] exposes
     * `collapseDuplicates` to restore the same property (see there). */
-  private def contentSalt(df: DataFrame, salt: Int): Column =
+  private[pipeline] def contentSalt(df: DataFrame, salt: Int): Column =
     pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salt))
 
   def saltedSum(df: DataFrame, keys: Seq[String], salt: Int,

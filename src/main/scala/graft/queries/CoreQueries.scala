@@ -307,6 +307,46 @@ object CoreQueries {
       .select(col("user_id"), r4(col("value")).as("sum_value"))
   }
 
+  /** q37 — [[graft.pipeline.Skew.saltedJoin]] as a declared, oracle-checked
+    * operator (q17 covers saltedSum; this covers the join half of the skew
+    * toolkit). The fixture is GENUINELY skewed: ~90% of events collapse
+    * onto one hot key, the shape where a plain shuffle join serializes the
+    * hot key's rows through a single reducer. The right side (per-key
+    * stats) carries a merge-join hint so it is non-broadcastable by
+    * construction — exactly the regime salting exists for (a broadcastable
+    * right side never needs it) — and the salted plan spreads the hot key
+    * over 8 reducers via the (key, salt) shuffle. The oracle is the PLAIN
+    * join: salting must be invisible in the result. PlanSpec pins the
+    * salted shuffle; SkewSpec pins the actual hot-key spread. */
+  val q37SaltedJoin = QueryDef(
+    "q37_salted_join",
+    s"""WITH l AS (
+       |  SELECT event_id,
+       |         CASE WHEN event_id % 10 < 9 THEN 7 ELSE user_id % 50 END AS skew_key,
+       |         value
+       |  FROM events),
+       |r AS (
+       |  SELECT user_id % 50 AS skew_key, count(*) AS key_n,
+       |         ${Stable.sqlR4("sum(value)")} AS key_sum
+       |  FROM events GROUP BY user_id % 50)
+       |SELECT l.event_id, l.skew_key, ${Stable.sqlR4("l.value")} AS value,
+       |       r.key_n, r.key_sum
+       |FROM l JOIN r USING (skew_key)""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val left = ev.select(
+      col("event_id"),
+      when(col("event_id") % 10 < 9, lit(7L))
+        .otherwise(col("user_id") % 50).as("skew_key"),
+      col("value"))
+    val right = ev
+      .groupBy((col("user_id") % 50).as("skew_key"))
+      .agg(count(lit(1)).as("key_n"), r4(sum("value")).as("key_sum"))
+      .hint("merge") // non-broadcastable right side: the salting regime
+    graft.pipeline.Skew.saltedJoin(left, right, keys = Seq("skew_key"), salt = 8)
+      .select(col("event_id"), col("skew_key"), r4(col("value")).as("value"),
+        col("key_n"), col("key_sum"))
+  }
+
   /** Semi-structured payload extraction (the `props` JSON column): parse →
     * typed field → aggregate. Spark's `get_json_object` is a codegen'd
     * per-row scalar (path evaluated against each string, no UDF); at scale
@@ -531,5 +571,5 @@ object CoreQueries {
     q13EventsWindow, q14TopPerKey, q15Sessionize, q16Quantiles, q17SaltedAgg,
     q18JsonExtract, q19QuantilesApprox, q27Rollup, q28HeavyHitters,
     q29MovingAgg, q30DistinctApprox, q31Unpivot, q32EventSequence, q34SetOps,
-    q35AboveAvg)
+    q35AboveAvg, q37SaltedJoin)
 }

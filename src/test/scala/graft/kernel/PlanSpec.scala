@@ -176,6 +176,19 @@ class PlanSpec extends SparkSpec {
     assert(setops.contains("LeftAnti"), s"q34 EXCEPT lost its anti join:\n$setops")
   }
 
+  test("q37 salted join shuffles on (key, salt) through a non-broadcast join") {
+    import graft.queries.CoreQueries
+    val plan = planOf(CoreQueries.q37SaltedJoin.fn(spark, sf))
+    // the merge hint must hold — a broadcast right side would make the
+    // salting dead code (the fact side would never shuffle at all)
+    assert(plan.contains("SortMergeJoin"), s"q37 right side got broadcast:\n$plan")
+    // and the join's shuffle must be keyed by (skew_key, __salt): that pair
+    // is what spreads one hot key's rows across `salt` reducers
+    assert("hashpartitioning\\(skew_key#\\d+L?, __salt#\\d+".r
+      .findFirstIn(plan).isDefined,
+      s"salted shuffle lost its __salt key:\n$plan")
+  }
+
   test("q36 co-bucketed reconcile joins with ZERO Exchange — and matches q33 exactly") {
     import graft.operators.Reconcile
     val df = Reconcile.q36BucketedReconcile.fn(spark, sf)

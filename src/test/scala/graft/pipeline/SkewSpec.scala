@@ -33,6 +33,25 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("q37 fixture: the hot key's rows actually spread across the salt space") {
+    import org.apache.spark.sql.functions._
+    import graft.tables.Tables
+    // the q37 left side: ~90% of events collapse onto skew_key 7 — assert
+    // the content salt scatters those rows over (nearly) all 8 reducers,
+    // i.e. the declared query's skew relief is real, not just plan shape
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val left = ev.select(
+      col("event_id"),
+      when(col("event_id") % 10 < 9, lit(7L))
+        .otherwise(col("user_id") % 50).as("skew_key"),
+      col("value"))
+    val hot = left.filter(col("skew_key") === 7L)
+    assert(hot.count() > left.count() * 8 / 10, "fixture lost its skew")
+    val spread = hot.select(Skew.contentSalt(left, 8).as("s"))
+      .distinct().count()
+    assert(spread >= 6, s"hot key only reached $spread of 8 salts")
+  }
+
   test("saltedJoin collapseDuplicates preserves multiset semantics exactly") {
     import spark.implicits._
     // the shape the content salt can't spread: a hot key whose volume is

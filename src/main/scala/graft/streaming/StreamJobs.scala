@@ -160,20 +160,24 @@ object StreamJobs {
   }
 
   /** Run the billing kernel per micro-batch against a static dim, writing
-    * each conformed batch to the idempotent partitioned sink. */
+    * each conformed batch to the idempotent partitioned sink. `etlTime` is
+    * injectable exactly as in the batch path, so a replayed stream is
+    * byte-comparable against the batch run (StreamingSpec pins that
+    * parity end-to-end on the sf0.001 fact). */
   def streamingKernel(
       factStream: DataFrame,
       dim: DataFrame,
       targetPath: String,
       checkpoint: String,
-      extraDiscount: Map[String, Double] = Map.empty): DataStreamWriter[org.apache.spark.sql.Row] =
+      extraDiscount: Map[String, Double] = Map.empty,
+      etlTime: org.apache.spark.sql.Column = current_timestamp()): DataStreamWriter[org.apache.spark.sql.Row] =
     factStream.writeStream
       .outputMode(OutputMode.Update())
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val out = Conform.conformToTarget(
-          Calculate.calculateWithCredits(batch, dim, extraDiscount))
+          Calculate.calculateWithCredits(batch, dim, extraDiscount), etlTime)
         graft.pipeline.Sink.writePartitioned(out, targetPath)
       }
 }

@@ -41,6 +41,27 @@ class PlanSpec extends SparkSpec {
       plan.linesIterator.filter(l => l.contains("Scan")).mkString("\n"))
   }
 
+  test("q24's variant flags are expression-only: same plan shape and size as q22") {
+    // the E4 SQL-variant differs from q22 in two scalar formulas — the
+    // physical plan must stay the q22 plan (8 broadcasts, the one grain-agg
+    // shuffle) with no codegen blow-up. This encodes the one-off manual
+    // measurement ("plan strings within 3%") so a regression is caught by
+    // CI, not by a noisy bench read.
+    val p22 = planOf(KernelQueries.q22KernelFull.fn(spark, sf))
+    val p24 = planOf(KernelQueries.q24KernelSqlVariant.fn(spark, sf))
+    def ops(plan: String): Map[String, Int] = Map(
+      "BroadcastHashJoin" -> "BroadcastHashJoin".r.findAllIn(plan).size,
+      "Exchange" -> "Exchange hashpartitioning".r.findAllIn(plan).size,
+      "HashAggregate" -> "HashAggregate".r.findAllIn(plan).size,
+      "SortMergeJoin" -> "SortMergeJoin".r.findAllIn(plan).size)
+    assert(ops(p22)("BroadcastHashJoin") == 8 && ops(p22)("SortMergeJoin") == 0)
+    assert(ops(p22) == ops(p24),
+      s"q22/q24 operator multisets diverged: ${ops(p22)} vs ${ops(p24)}")
+    val ratio = p24.length.toDouble / p22.length
+    assert(ratio > 1 / 1.1 && ratio < 1.1,
+      s"q24 plan size diverged from q22 by ${(ratio - 1) * 100}%")
+  }
+
   test("dedup joins are equi-joins on derived keys — no cartesian products") {
     import graft.operators.Dedup
     // d06 is the DEFAULT embedding near-dup path — it must stay a bucket

@@ -60,6 +60,30 @@ class PipelineSpec extends SparkSpec {
     val months = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("invoice_month="))
     assert(months.toSet == Set("invoice_month=202601", "invoice_month=202602"))
   }
+
+  test("restatement audit: runMonth twice, then snapshotDiff of the writes is EMPTY") {
+    import spark.implicits._
+    // the reference implements idempotency as delete-then-insert and
+    // ASSUMES it; here the re-run is AUDITED: recompute the month, diff
+    // the table states with the declared reconciliation operator, and
+    // demand zero added/removed/changed rows (etl_time excluded — it is
+    // the one intentionally run-varying column)
+    val dir = Files.createTempDirectory("graft-audit").toString
+    facts.toDF().write.parquet(s"$dir/ods")
+    rules.toDF().write.parquet(s"$dir/dim")
+
+    Jobs.runMonth(spark, s"$dir/ods", s"$dir/dim", s"$dir/target", "202601")
+    spark.read.parquet(s"$dir/target").write.parquet(s"$dir/audit_copy")
+    Jobs.runMonth(spark, s"$dir/ods", s"$dir/dim", s"$dir/target", "202601")
+
+    val diff = graft.operators.Reconcile.snapshotDiff(
+      spark.read.parquet(s"$dir/audit_copy"),
+      spark.read.parquet(s"$dir/target"),
+      keys = Seq("invoice_month", "usage_day", "billing_account_id"),
+      compareCols = Seq("mode", "cost", "internal_cost",
+        "external_consumption", "discount_amount"))
+    assert(diff.isEmpty, s"re-run changed the table:\n${diff.collect().mkString("\n")}")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

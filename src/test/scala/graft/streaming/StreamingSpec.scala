@@ -182,6 +182,42 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(7L -> 8L, 1L -> 1L, 2L -> 1L))
   }
 
+  test("streamingKernel on the staged sf0.001 fact is byte-identical to the batch kernel") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.queries.BillingDemo
+    import graft.kernel.{Calculate, Conform}
+    // the E1-as-streaming guarantee (SURVEY §2.8): the nightly batch and a
+    // file-drop stream of the SAME fact must produce the SAME table —
+    // kernel parity end-to-end, not per-formula
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-stream-parity").toString
+    val fact = BillingDemo.fact(spark, sf)
+    val dim = BillingDemo.dim(spark, sf)
+    val etl = lit("2026-02-01 00:00:00").cast("timestamp")
+    // stage as ONE file: AvailableNow then processes the whole drop as one
+    // micro-batch, so the dynamic-overwrite sink can't drop earlier batches
+    fact.coalesce(1).write.parquet(s"$dir/staged")
+
+    val stream = spark.readStream.schema(fact.schema).parquet(s"$dir/staged")
+    val q = StreamJobs.streamingKernel(
+      stream, dim, s"$dir/out", s"$dir/ckpt",
+      BillingDemo.demoExtraDiscount, etlTime = etl).start()
+    q.awaitTermination(120000)
+
+    val batch = Conform.conformToTarget(
+      Calculate.calculateWithCredits(fact, dim, BillingDemo.demoExtraDiscount), etl)
+    // partition columns come back from the directory layout — align their
+    // types to the batch schema before the exact (bitwise-double) compare
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try {
+      val streamed = spark.read.parquet(s"$dir/out")
+        .select(batch.columns.map(c => col(c).cast(batch.schema(c).dataType)): _*)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "streaming kernel output diverged from the batch kernel on the same fact")
+    } finally spark.conf.unset("spark.sql.sources.partitionColumnTypeInference.enabled")
+  }
+
   test("streamingKernel per-batch output equals the batch kernel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -114,11 +114,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val stealDelta = if (steal0 >= 0 && steal1 >= 0) steal1 - steal0 else -1L
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qMedian,""" +
         s""""queries_min":$qMin,"queries_steal_ticks":$qSteal,"runs":$runs,""" +
         s""""cpu_user_sec":$cpuUser,""" +
-        s""""cpu_sys_sec":$cpuSys,"host_steal_ticks":$stealDelta,"sf":"$sfDir"}""")
+        s""""cpu_sys_sec":$cpuSys,"host_steal_ticks":$stealDelta,"sf":"$sfDir"}"""
+    println(json)
+    // the driver's artifact pipeline has truncated this line before (round
+    // 4's per-query numbers were lost to a clipped `tail`) — ALSO persist
+    // the complete JSON to a file so every per-query median/min/steal
+    // survives in-repo regardless of how stdout is captured
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -20,15 +20,19 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
   */
 object Calculate {
 
+  /** `decimalMoney` opts the kernel's money arithmetic into
+    * DecimalType(38,9) (see [[Modes.apply]]); default stays IEEE double
+    * for reference/oracle parity. */
   def calculateWithCredits(
       fact: DataFrame, dim: DataFrame,
       extraDiscount: Map[String, Double] = Map.empty,
       mode4DiscountAmount: Modes.Mode4DiscountAmount =
         Modes.Mode4DiscountAmount.LivePython,
       extraDiscountBase: Modes.ExtraDiscountBase =
-        Modes.ExtraDiscountBase.LivePython): DataFrame =
+        Modes.ExtraDiscountBase.LivePython,
+      decimalMoney: Boolean = false): DataFrame =
     Modes(RuleMatch.addRuleTag(fact, dim), extraDiscount, mode4DiscountAmount,
-      extraDiscountBase)
+      extraDiscountBase, decimalMoney)
 
   def calculate(
       rawFact: DataFrame, dim: DataFrame,
@@ -36,10 +40,11 @@ object Calculate {
       mode4DiscountAmount: Modes.Mode4DiscountAmount =
         Modes.Mode4DiscountAmount.LivePython,
       extraDiscountBase: Modes.ExtraDiscountBase =
-        Modes.ExtraDiscountBase.LivePython): DataFrame =
+        Modes.ExtraDiscountBase.LivePython,
+      decimalMoney: Boolean = false): DataFrame =
     calculateWithCredits(
       Credits.deriveCredits(rawFact), dim, extraDiscount, mode4DiscountAmount,
-      extraDiscountBase)
+      extraDiscountBase, decimalMoney)
 }
 
 /** S6 — conform-to-target-table (ref: billing_calculation_service.py:330-435).

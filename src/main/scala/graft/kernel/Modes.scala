@@ -72,16 +72,28 @@ object Modes {
     tiers.flatMap { case (rate, accounts) => accounts.map(_ -> rate) }.toMap
   }
 
+  /** DecimalType(38,9) money opt-in (SURVEY §1.2 names exact decimal money
+    * as the sanctioned improvement over the reference's float money). OFF
+    * by default — the default path must stay bit-identical to the
+    * reference and the DuckDB oracles (q22–q24), which both compute in
+    * IEEE doubles. With the flag on, every money OPERAND and money LITERAL
+    * in the kernel arithmetic is decimal, so sums like 0.1 + 0.2 are exact
+    * instead of 0.30000000000000004 — DecimalMoneySpec pins one such
+    * divergence. (The cast must cover the literals too: Spark coerces
+    * decimal-vs-double arithmetic back to double, so a single stray
+    * `lit(0.0)` would silently collapse the whole expression tree.) */
+  private val MoneyDecimal = org.apache.spark.sql.types.DecimalType(38, 9)
+
   /** mode-4 credit part: Σ (selected credit column / price), selection by the
     * slash-delimited `credit_fields` (ref: calculate/service.py:84-100).
     * Guards: price=0 ⇒ term dropped; null price ⇒ 1.0; null discount ⇒ 1.0. */
-  private def mode4CreditPart: Column = {
-    val priceEff = coalesce(col("price"), lit(1.0))
+  private def mode4CreditPart(m: Column => Column, mlit: Double => Column): Column = {
+    val priceEff = coalesce(m(col("price")), mlit(1.0))
     val selected = split(coalesce(col("credit_fields"), lit("")), "/")
     val selectedSum = BillingSchema.CreditColumns
-      .map(c => when(array_contains(selected, c), col(c)).otherwise(lit(0.0)))
+      .map(c => when(array_contains(selected, c), m(col(c))).otherwise(mlit(0.0)))
       .reduce(_ + _)
-    when(priceEff =!= 0.0, selectedSum / priceEff).otherwise(lit(0.0))
+    when(priceEff =!= 0.0, selectedSum / priceEff).otherwise(mlit(0.0))
   }
 
   /** Applies steps 3–6 to a rule-tagged fact. Expects the fact measures plus
@@ -99,37 +111,49 @@ object Modes {
             mode4DiscountAmount: Mode4DiscountAmount =
               Mode4DiscountAmount.LivePython,
             extraDiscountBase: ExtraDiscountBase =
-              ExtraDiscountBase.LivePython): DataFrame = {
+              ExtraDiscountBase.LivePython,
+            decimalMoney: Boolean = false): DataFrame = {
+    // money operand / money literal: identity+lit by default (the
+    // reference- and oracle-parity path), DecimalType(38,9) under the flag
+    val m: Column => Column =
+      if (decimalMoney) c => c.cast(MoneyDecimal) else identity
+    val mlit: Double => Column =
+      if (decimalMoney) d => lit(BigDecimal(d)).cast(MoneyDecimal) else d => lit(d)
+
     val rate: Column =
-      if (extraDiscount.isEmpty) lit(1.0)
+      if (extraDiscount.isEmpty) mlit(1.0)
       else coalesce(
-        element_at(typedlit(extraDiscount), col("billing_account_id")), lit(1.0))
+        m(element_at(typedlit(extraDiscount), col("billing_account_id"))), mlit(1.0))
     val (costRate, mode1Rate) = extraDiscountBase match {
-      case ExtraDiscountBase.LivePython  => (rate, lit(1.0))
-      case ExtraDiscountBase.SqlTemplate => (lit(1.0), rate)
+      case ExtraDiscountBase.LivePython  => (rate, mlit(1.0))
+      case ExtraDiscountBase.SqlTemplate => (mlit(1.0), rate)
     }
 
-    val m4Part = mode4CreditPart
-    val discEff = coalesce(col("discount"), lit(1.0))
+    val m4Part = mode4CreditPart(m, mlit)
+    val discEff = coalesce(m(col("discount")), mlit(1.0))
 
     tagged
-      .withColumn("internal_cost", (col("cost") + col("internal_credits_cost")) * costRate)
-      .withColumn("internal_consumption", col("cost") + col("internal_credits_consumption"))
+      .withColumn("internal_cost",
+        (m(col("cost")) + m(col("internal_credits_cost"))) * costRate)
+      .withColumn("internal_consumption",
+        m(col("cost")) + m(col("internal_credits_consumption")))
       .withColumn(
         "external_consumption",
-        when(col("mode") === 1, col("internal_consumption") * mode1Rate * col("discount"))
-          .when(col("mode") === 2, col("usage_amount_in_pricing_units") * col("price"))
+        when(col("mode") === 1,
+          col("internal_consumption") * mode1Rate * m(col("discount")))
+          .when(col("mode") === 2,
+            m(col("usage_amount_in_pricing_units")) * m(col("price")))
           .when(col("mode") === 3,
-            col("usage_amount_in_pricing_units") * col("price") * col("discount"))
-          .when(col("mode") === 4, col("cost_at_list") * discEff + m4Part * discEff)
-          .otherwise(lit(0.0)))
+            m(col("usage_amount_in_pricing_units")) * m(col("price")) * m(col("discount")))
+          .when(col("mode") === 4, m(col("cost_at_list")) * discEff + m4Part * discEff)
+          .otherwise(mlit(0.0)))
       .withColumn(
         "discount_amount", {
-          val m1 = when(col("mode") === 1, col("internal_credits_consumption"))
+          val m1 = when(col("mode") === 1, m(col("internal_credits_consumption")))
           (mode4DiscountAmount match {
             case Mode4DiscountAmount.SqlTemplate => m1.when(col("mode") === 4, m4Part)
             case Mode4DiscountAmount.LivePython  => m1
-          }).otherwise(lit(0.0))
+          }).otherwise(mlit(0.0))
         })
   }
 }

@@ -36,6 +36,9 @@ object Skew {
 
   def saltedSum(df: DataFrame, keys: Seq[String], salt: Int,
                 sumCols: Seq[String]): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    require(!df.columns.exists(_.startsWith("__")),
+      "column names starting with __ collide with Skew internals")
     val salted = df.withColumn("__salt", contentSalt(df, salt))
     salted
       .groupBy((keys :+ "__salt").map(col): _*)
@@ -66,6 +69,9 @@ object Skew {
                  collapseDuplicates: Boolean = false): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"salted join is row-preserving only for inner/left, got $joinType")
+    require(salt > 0, "salt must be positive")
+    require(!(left.columns ++ right.columns).exists(_.startsWith("__")),
+      "column names starting with __ collide with saltedJoin internals")
     val leftIn =
       if (collapseDuplicates)
         left.groupBy(left.columns.toIndexedSeq.map(col): _*)

@@ -44,15 +44,37 @@ case "${1:-}" in
       "$@" --daemon "${GRAFT_DAEMON_AT:-05:00}" \
       >>"$LOG_FILE" 2>&1 &
     echo $! >"$PID_FILE"
+    # sanity: the recorded pid must actually be the live daemon (if setsid
+    # forked — job-control shells — $! is a vanished parent; fail loudly
+    # instead of leaving a pid file that stop/status would mis-target)
+    sleep 1
+    if ! alive; then
+      rm -f "$PID_FILE"
+      echo "daemon failed to start or forked away; see $LOG_FILE" >&2
+      exit 1
+    fi
     echo "started (pid $(cat "$PID_FILE")), log: $LOG_FILE"
     ;;
   stop)
     if alive; then
       pid=$(cat "$PID_FILE")
-      # TERM the whole process group (spark-submit may have forked the JVM)
-      kill -TERM -- -"$pid" 2>/dev/null || kill -TERM "$pid"
+      # Signal the daemon's ACTUAL process group, read live from ps — the
+      # recorded pid need not be the group leader (under job control,
+      # `setsid cmd &` forks and the shell's $! is the stale parent), and
+      # assuming `-$pid` would then signal a dead or wrong group. Guard
+      # against signaling our own group; fall back to the bare pid.
+      pgid=$(ps -o pgid= -p "$pid" 2>/dev/null | tr -d '[:space:]')
+      mygid=$(ps -o pgid= -p $$ 2>/dev/null | tr -d '[:space:]')
+      term() {
+        if [[ -n "$pgid" && "$pgid" != "$mygid" ]]; then
+          kill "-$1" -- "-$pgid" 2>/dev/null || kill "-$1" "$pid" 2>/dev/null
+        else
+          kill "-$1" "$pid" 2>/dev/null
+        fi
+      }
+      term TERM
       for _ in $(seq 1 30); do alive || break; sleep 1; done
-      if alive; then kill -KILL -- -"$pid" 2>/dev/null || kill -KILL "$pid"; fi
+      if alive; then term KILL; fi
       rm -f "$PID_FILE"
       echo "stopped"
     else

@@ -112,17 +112,44 @@ object Reconcile {
     * streams co-located bucket pairs through the join. Results are
     * identical to q33 (bucketing is a layout choice), hence the same
     * oracle. */
+  /** q36's side-effect names are unique PER INVOCATION (data dir + pid +
+    * counter): two concurrent sessions — or interleaved Verify/Bench JVMs
+    * sharing /tmp and a warehouse — must never clobber each other's catalog
+    * entries or bucket files. The previous invocation's pair is dropped on
+    * the next call from the same JVM (the returned frame reads its tables
+    * LAZILY, so eager cleanup of the current pair would break the caller). */
+  private val q36Counter = new java.util.concurrent.atomic.AtomicLong(0)
+  private val q36Prev =
+    new java.util.concurrent.atomic.AtomicReference[(Seq[String], String)](null)
+
+  private def deleteRecursively(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val it = java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+      try it.forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally it.close()
+    }
+  }
+
   val q36BucketedReconcile = QueryDef("q36_bucketed_reconcile", demoDiffSql) { (s, d) =>
     import graft.pipeline.Bucketing
     val (oldSnap, newSnap) = demoSnapshots(s, d)
-    val root = s"${sys.props("java.io.tmpdir")}/graft_q36_buckets"
-    Bucketing.writeBucketed(oldSnap, "graft_q36_old", Seq("event_id"), 8,
+    val token = s"${d.replaceAll("[^A-Za-z0-9]+", "_")}_${ProcessHandle.current.pid}" +
+      s"_${q36Counter.incrementAndGet()}"
+    val root = s"${sys.props("java.io.tmpdir")}/graft_q36_$token"
+    val (tblOld, tblNew) = (s"graft_q36_old_$token", s"graft_q36_new_$token")
+    Option(q36Prev.getAndSet((Seq(tblOld, tblNew), root))).foreach {
+      case (tables, prevRoot) =>
+        tables.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        deleteRecursively(prevRoot)
+    }
+    Bucketing.writeBucketed(oldSnap, tblOld, Seq("event_id"), 8,
       Some(s"$root/old"))
-    Bucketing.writeBucketed(newSnap, "graft_q36_new", Seq("event_id"), 8,
+    Bucketing.writeBucketed(newSnap, tblNew, Seq("event_id"), 8,
       Some(s"$root/new"))
     roundedDiff(
-      Bucketing.readBucketed(s, "graft_q36_old"),
-      Bucketing.readBucketed(s, "graft_q36_new"))
+      Bucketing.readBucketed(s, tblOld),
+      Bucketing.readBucketed(s, tblNew))
   }
 
   val all: Seq[QueryDef] = Seq(q33SnapshotDiff, q36BucketedReconcile)

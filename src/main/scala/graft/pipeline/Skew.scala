@@ -84,9 +84,32 @@ object Skew {
       .join(replicatedRight, keys :+ "__salt", joinType)
       .drop("__salt")
     if (collapseDuplicates)
-      joined
-        .withColumn("__i", explode(sequence(lit(1L), col("__dup"))))
-        .drop("__dup", "__i")
+      reExpand(joined, "__dup")
     else joined
+  }
+
+  /** Max elements per generated `sequence` array in [[reExpand]]. One
+    * re-expanded row is a few hundred bytes, so 64k rows per chunk keeps
+    * each exploded array comfortably in task memory; a single-level
+    * `sequence(1, count)` would instead materialize ONE array with the full
+    * multiplicity — a row duplicated 100M× builds a 100M-element array in a
+    * single task (and past ~2.1B Spark's array cap errors the job). */
+  private val ReExpandChunk = 1L << 16
+
+  /** Restore multiset semantics after a distinct+count collapse: emit each
+    * row `countCol` times, in ≤[[ReExpandChunk]]-element batches so no
+    * single generated array scales with the multiplicity. Two nested
+    * explodes: chunk index 0..ceil(n/B)-1, then 1..min(B, remaining) within
+    * the chunk — unbounded total output (that's the job), bounded PER-ROW
+    * memory. */
+  private def reExpand(df: DataFrame, countCol: String): DataFrame = {
+    val b = lit(ReExpandChunk)
+    df
+      .withColumn("__chunk",
+        // Column `/` is double division; the cast truncates = floor (counts ≥ 1)
+        explode(sequence(lit(0L), ((col(countCol) - 1L) / b).cast("long"))))
+      .withColumn("__i",
+        explode(sequence(lit(1L), least(col(countCol) - col("__chunk") * b, b))))
+      .drop(countCol, "__chunk", "__i")
   }
 }

@@ -71,4 +71,17 @@ class SkewSpec extends SparkSpec {
       assert(salted == plain, s"joinType=$jt")
     }
   }
+
+  test("saltedJoin collapseDuplicates re-expands a >64k multiplicity in chunks") {
+    import spark.implicits._
+    // multiplicity past the 64k per-array chunk: the two-level re-expansion
+    // must emit every copy without ever building one multiplicity-sized array
+    val n = 200000
+    val left = (Seq.fill(n)(("HOT", 1)) :+ ("miss", 2)).toDF("k", "lv")
+    val right = Seq(("HOT", 1.0)).toDF("k", "rv")
+    val out = Skew.saltedJoin(left, right, Seq("k"), salt = 4,
+      joinType = "left", collapseDuplicates = true)
+    assert(out.count() == n + 1)
+    assert(out.filter($"k" === "HOT" && $"rv" === 1.0).count() == n)
+  }
 }

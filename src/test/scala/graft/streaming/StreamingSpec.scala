@@ -202,7 +202,7 @@ class StreamingSpec extends SparkSpec {
     val q = StreamJobs.streamingKernel(
       stream, dim, s"$dir/out", s"$dir/ckpt",
       BillingDemo.demoExtraDiscount, etlTime = etl).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish within 120s")
 
     val batch = Conform.conformToTarget(
       Calculate.calculateWithCredits(fact, dim, BillingDemo.demoExtraDiscount), etl)
@@ -218,6 +218,62 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.sources.partitionColumnTypeInference.enabled")
   }
 
+  test("streamingKernel resumes from its checkpoint across a restart and converges to the batch kernel") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.queries.BillingDemo
+    import graft.kernel.{Calculate, Conform}
+    // the operational guarantee the reference's delete-then-insert existed
+    // for (main.py:177-192): a job killed partway and restarted must
+    // converge to the SAME table as one uninterrupted run. Deterministic
+    // mid-stream stop: stage only the first half of the months, run the
+    // AvailableNow query to completion (it STOPS with the source
+    // half-consumed), drop the remaining months into the source dir, then
+    // restart against the SAME checkpoint — the restarted query must pick
+    // up exactly the unseen files, and the final table must equal the batch
+    // kernel over the whole fact. (Phases split by invoice_month, so the
+    // dynamic-overwrite sink writes disjoint partitions per phase.)
+    val sf = "/root/testdata/sf0.001"
+    val dir = Files.createTempDirectory("graft-stream-recovery").toString
+    val fact = BillingDemo.fact(spark, sf)
+    val dim = BillingDemo.dim(spark, sf)
+    val etl = lit("2026-02-01 00:00:00").cast("timestamp")
+    val months = fact.select("invoice_month").distinct()
+      .collect().map(_.getString(0)).sorted
+    assert(months.length >= 2, "fixture needs >=2 months for a mid-stream restart")
+    val (first, rest) = months.splitAt(months.length / 2)
+
+    def stage(ms: Seq[String]): Unit =
+      fact.filter(col("invoice_month").isin(ms: _*)).coalesce(1)
+        .write.mode("append").parquet(s"$dir/staged")
+    def runToCompletion(): Unit = {
+      val stream = spark.readStream.schema(fact.schema).parquet(s"$dir/staged")
+      val q = StreamJobs.streamingKernel(
+        stream, dim, s"$dir/out", s"$dir/ckpt",
+        BillingDemo.demoExtraDiscount, etlTime = etl).start()
+      assert(q.awaitTermination(120000), "stream did not finish within 120s")
+    }
+
+    stage(first)
+    runToCompletion() // phase 1: first half only, then the query exits
+    spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try {
+      val phase1Rows = spark.read.parquet(s"$dir/out").count()
+      val batch = Conform.conformToTarget(
+        Calculate.calculateWithCredits(fact, dim, BillingDemo.demoExtraDiscount), etl)
+      assert(phase1Rows > 0 && phase1Rows < batch.count(),
+        "phase 1 should leave the job genuinely half-done")
+
+      stage(rest)
+      runToCompletion() // restart from the same checkpoint: only new files run
+
+      val streamed = spark.read.parquet(s"$dir/out")
+        .select(batch.columns.map(c => col(c).cast(batch.schema(c).dataType)): _*)
+      assert(streamed.count() == batch.count())
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "restarted streaming kernel diverged from the uninterrupted batch kernel")
+    } finally spark.conf.unset("spark.sql.sources.partitionColumnTypeInference.enabled")
+  }
+
   test("streamingKernel per-batch output equals the batch kernel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -229,7 +285,7 @@ class StreamingSpec extends SparkSpec {
     stream.addData(f)
     val q = StreamJobs.streamingKernel(
       stream.toDF(), dim, s"$dir/out", s"$dir/ckpt", Map.empty).start()
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(60000), "stream did not finish within 60s")
 
     val streamed = spark.read.parquet(s"$dir/out")
     assert(streamed.count() == 1)

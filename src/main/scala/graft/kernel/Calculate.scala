@@ -20,8 +20,8 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
   */
 object Calculate {
 
-  /** `decimalMoney` opts the kernel's money arithmetic into
-    * DecimalType(38,9) (see [[Modes.apply]]); default stays IEEE double
+  /** `decimalMoney` opts the kernel's money arithmetic into DECIMAL(18,9)
+    * fixed-point (see [[Modes.MoneyDecimal]]); default stays IEEE double
     * for reference/oracle parity. */
   def calculateWithCredits(
       fact: DataFrame, dim: DataFrame,

@@ -72,28 +72,41 @@ object Modes {
     tiers.flatMap { case (rate, accounts) => accounts.map(_ -> rate) }.toMap
   }
 
-  /** DecimalType(38,9) money opt-in (SURVEY §1.2 names exact decimal money
-    * as the sanctioned improvement over the reference's float money). OFF
-    * by default — the default path must stay bit-identical to the
+  /** Decimal fixed-point money opt-in (SURVEY §1.2 names exact decimal
+    * money as the sanctioned improvement over the reference's float money).
+    * OFF by default — the default path must stay bit-identical to the
     * reference and the DuckDB oracles (q22–q24), which both compute in
-    * IEEE doubles. With the flag on, every money OPERAND and money LITERAL
-    * in the kernel arithmetic is decimal, so sums like 0.1 + 0.2 are exact
-    * instead of 0.30000000000000004 — DecimalMoneySpec pins one such
-    * divergence. (The cast must cover the literals too: Spark coerces
+    * IEEE doubles. With the flag on, every money OPERAND, LITERAL, and
+    * intermediate RESULT in the kernel arithmetic is DECIMAL(18,9), so
+    * sums like 0.1 + 0.2 are exactly 0.3 — DecimalMoneySpec pins one such
+    * divergence, and q38 pins the whole kernel against an independent
+    * DECIMAL oracle. (The cast must cover the literals too: Spark coerces
     * decimal-vs-double arithmetic back to double, so a single stray
-    * `lit(0.0)` would silently collapse the whole expression tree.) */
-  private val MoneyDecimal = org.apache.spark.sql.types.DecimalType(38, 9)
+    * `lit(0.0)` would silently collapse the whole expression tree.)
+    *
+    * Why (18,9) and not (38,9): a (18,9)×(18,9) product is decimal(37,18)
+    * in Spark and decimal(36,18) in portable DECIMAL engines — EXACT in
+    * both, so re-fixing each operation's result to the money scale is the
+    * only rounding anywhere and cross-engine runs agree digit-for-digit
+    * (that is what q38's DuckDB oracle checks). (38,9) operands instead
+    * overflow the 38-digit product: Spark silently truncates to scale 6
+    * via its precision-loss rule and a DECIMAL oracle cannot multiply at
+    * all. The price is range: |money| < 10^9 per VALUE (not per sum —
+    * aggregation happens on doubles before/after the kernel), which covers
+    * billing rows by ~6 orders of magnitude. */
+  private[kernel] val MoneyDecimal = org.apache.spark.sql.types.DecimalType(18, 9)
 
   /** mode-4 credit part: Σ (selected credit column / price), selection by the
     * slash-delimited `credit_fields` (ref: calculate/service.py:84-100).
     * Guards: price=0 ⇒ term dropped; null price ⇒ 1.0; null discount ⇒ 1.0. */
-  private def mode4CreditPart(m: Column => Column, mlit: Double => Column): Column = {
+  private def mode4CreditPart(m: Column => Column, mlit: Double => Column,
+                              mdiv: (Column, Column) => Column): Column = {
     val priceEff = coalesce(m(col("price")), mlit(1.0))
     val selected = split(coalesce(col("credit_fields"), lit("")), "/")
     val selectedSum = BillingSchema.CreditColumns
       .map(c => when(array_contains(selected, c), m(col(c))).otherwise(mlit(0.0)))
-      .reduce(_ + _)
-    when(priceEff =!= 0.0, selectedSum / priceEff).otherwise(mlit(0.0))
+      .reduce((a, b) => m(a + b))
+    when(priceEff =!= 0.0, mdiv(selectedSum, priceEff)).otherwise(mlit(0.0))
   }
 
   /** Applies steps 3–6 to a rule-tagged fact. Expects the fact measures plus
@@ -114,11 +127,23 @@ object Modes {
               ExtraDiscountBase.LivePython,
             decimalMoney: Boolean = false): DataFrame = {
     // money operand / money literal: identity+lit by default (the
-    // reference- and oracle-parity path), DecimalType(38,9) under the flag
+    // reference- and oracle-parity path), DECIMAL(18,9) under the flag.
+    // Under the flag, `m` also wraps every operation RESULT: each op is
+    // exact at Spark's widened intermediate type (see MoneyDecimal), then
+    // re-fixed to the money scale — the one, well-defined rounding point.
+    // With identity `m` the wraps vanish, so the default expression tree is
+    // unchanged.
     val m: Column => Column =
       if (decimalMoney) c => c.cast(MoneyDecimal) else identity
     val mlit: Double => Column =
       if (decimalMoney) d => lit(BigDecimal(d)).cast(MoneyDecimal) else d => lit(d)
+    // division is the one op with no exact decimal result; engine-native
+    // decimal-division rules (result scale, rounding) are NOT portable, so
+    // compute the quotient in IEEE doubles — bit-identical across engines —
+    // and re-fix it to the money scale
+    val mdiv: (Column, Column) => Column =
+      if (decimalMoney) (a, b) => m(a.cast("double") / b.cast("double"))
+      else (a, b) => a / b
 
     val rate: Column =
       if (extraDiscount.isEmpty) mlit(1.0)
@@ -129,23 +154,24 @@ object Modes {
       case ExtraDiscountBase.SqlTemplate => (mlit(1.0), rate)
     }
 
-    val m4Part = mode4CreditPart(m, mlit)
+    val m4Part = mode4CreditPart(m, mlit, mdiv)
     val discEff = coalesce(m(col("discount")), mlit(1.0))
 
     tagged
       .withColumn("internal_cost",
-        (m(col("cost")) + m(col("internal_credits_cost"))) * costRate)
+        m(m(m(col("cost")) + m(col("internal_credits_cost"))) * costRate))
       .withColumn("internal_consumption",
-        m(col("cost")) + m(col("internal_credits_consumption")))
+        m(m(col("cost")) + m(col("internal_credits_consumption"))))
       .withColumn(
         "external_consumption",
         when(col("mode") === 1,
-          col("internal_consumption") * mode1Rate * m(col("discount")))
+          m(m(col("internal_consumption") * mode1Rate) * m(col("discount"))))
           .when(col("mode") === 2,
-            m(col("usage_amount_in_pricing_units")) * m(col("price")))
+            m(m(col("usage_amount_in_pricing_units")) * m(col("price"))))
           .when(col("mode") === 3,
-            m(col("usage_amount_in_pricing_units")) * m(col("price")) * m(col("discount")))
-          .when(col("mode") === 4, m(col("cost_at_list")) * discEff + m4Part * discEff)
+            m(m(m(col("usage_amount_in_pricing_units")) * m(col("price"))) * m(col("discount"))))
+          .when(col("mode") === 4,
+            m(m(m(col("cost_at_list")) * discEff) + m(m4Part * discEff)))
           .otherwise(mlit(0.0)))
       .withColumn(
         "discount_amount", {

@@ -206,4 +206,14 @@ object BillingDemo {
   val extraRateSql: String =
     """CASE billing_account_id WHEN 'A003' THEN 0.975 WHEN 'A007' THEN 0.88
       |     WHEN 'A013' THEN 28.5/27.2 ELSE 1.0 END""".stripMargin.replace("\n", " ")
+
+  /** [[extraRateSql]] with the A013 ratio as an explicit DOUBLE division.
+    * The decimal oracle (q38) fixes this rate to DECIMAL(18,9), and the
+    * IEEE quotient Scala bakes into [[demoExtraDiscount]] is only
+    * guaranteed to match when the oracle divides in doubles too (DuckDB
+    * would otherwise divide the DECIMAL literals under its own rules). */
+  val extraRateDoubleSql: String =
+    """CASE billing_account_id WHEN 'A003' THEN 0.975 WHEN 'A007' THEN 0.88
+      |     WHEN 'A013' THEN CAST(28.5 AS DOUBLE)/CAST(27.2 AS DOUBLE) ELSE 1.0 END"""
+      .stripMargin.replace("\n", " ")
 }

@@ -276,7 +276,97 @@ object KernelQueries {
       Conform.conformToTarget(out, lit(etlLiteral).cast("timestamp")))
   }
 
+  // ---------- q38: decimal fixed-point money, end-to-end vs a DECIMAL oracle ----------
+
+  /** Quantized fact: money measures fixed to 4 decimals BEFORE entering the
+    * decimal kernel. That is the real-world fixed-point shape — billing
+    * inputs are cents/micros, not arbitrary binary doubles (the demo fact's
+    * doubles only exist because the fixture derives money from TPC-H
+    * floats) — and it makes the double→DECIMAL boundary engine-stable:
+    * `Stable.r4` is the same IEEE ops in Spark and DuckDB, and a 4-decimal
+    * double fixes to DECIMAL(18,9) identically everywhere, while an
+    * arbitrary double's 9th-decimal rounding depends on engine conversion
+    * internals (shortest-representation vs scaled-multiply). */
+  private val factQuantSql: String = {
+    val cols = BillingDemo.measures.map(m => s"${Stable.sqlR4(m)} AS $m")
+    s"""SELECT ${BillingDemo.grain13.mkString(", ")},
+       |  ${cols.mkString(",\n  ")}
+       |FROM (${BillingDemo.factSql.replace("\n", "\n  ")})""".stripMargin
+  }
+
+  /** The kernel suffix re-stated in DECIMAL(18,9) fixed-point — the q38
+    * oracle, mirroring [[graft.kernel.Modes]]' decimal path 1:1: operands
+    * and every operation result are (re)fixed to DECIMAL(18,9). Additions
+    * and single products are EXACT at the widened intermediate types of
+    * both engines (Spark decimal(37,18) / DuckDB decimal(36,18) — the
+    * reason MoneyDecimal is 18 digits, see Modes.MoneyDecimal), so the
+    * only live rounding is the same money-scale fix Spark applies; the
+    * division runs in IEEE doubles exactly like Modes' `mdiv`. */
+  private val kernelSuffixSqlDecimal: String = {
+    def dec(e: String) = s"CAST(($e) AS DECIMAL(18,9))"
+    val one = dec("1.0")
+    val zero = dec("0.0")
+    val rate = dec(BillingDemo.extraRateDoubleSql)
+    val priceEff = s"coalesce(${dec("price")}, $one)"
+    val discEff = s"coalesce(${dec("discount")}, $one)"
+    val selectedSum = CreditColumns
+      .map(c =>
+        s"(CASE WHEN list_contains(string_split(coalesce(credit_fields, ''), '/'), '$c') THEN ${dec(c)} ELSE $zero END)")
+      .mkString("\n      + ")
+    val outCols = BillingSchema.TargetColumns.map {
+      case "etl_time" => s"TIMESTAMP '$etlLiteral' AS etl_time"
+      case "usage_day" => "usage_day"
+      case "mode" => "cast(coalesce(mode, 0) AS INTEGER) AS mode"
+      case c if BillingSchema.NullableStringCols.contains(c) => c
+      case c if BillingSchema.StringDefaultCols.contains(c) => s"coalesce($c, '') AS $c"
+      case c => s"${Stable.sqlR4(s"CAST(coalesce($c, 0.0) AS DOUBLE)")} AS $c"
+    }.mkString(",\n  ")
+    s""",
+       |derived AS (
+       |  SELECT *,
+       |    ${dec(s"${dec(s"${dec("cost")} + ${dec("internal_credits_cost")}")} * $rate")} AS internal_cost,
+       |    ${dec(s"${dec("cost")} + ${dec("internal_credits_consumption")}")} AS internal_consumption,
+       |    CASE WHEN $priceEff != 0
+       |         THEN ${dec(s"CAST(($selectedSum) AS DOUBLE) / CAST($priceEff AS DOUBLE)")}
+       |         ELSE $zero END AS m4part
+       |  FROM tagged),
+       |finished AS (
+       |  SELECT *,
+       |    CASE mode
+       |      WHEN 1 THEN ${dec(s"${dec(s"internal_consumption * $one")} * ${dec("discount")}")}
+       |      WHEN 2 THEN ${dec(s"${dec("usage_amount_in_pricing_units")} * ${dec("price")}")}
+       |      WHEN 3 THEN ${dec(s"${dec(s"${dec("usage_amount_in_pricing_units")} * ${dec("price")}")} * ${dec("discount")}")}
+       |      WHEN 4 THEN ${dec(s"${dec(s"${dec("cost_at_list")} * $discEff")} + ${dec(s"m4part * $discEff")}")}
+       |      ELSE $zero END AS external_consumption,
+       |    CASE mode
+       |      WHEN 1 THEN ${dec("internal_credits_consumption")}
+       |      ELSE $zero END AS discount_amount
+       |  FROM derived)
+       |SELECT
+       |  $outCols
+       |FROM finished""".stripMargin
+  }
+
+  /** q38 — the FULL kernel under `decimalMoney = true`, hash-checked
+    * against an independent engine computing in exact DECIMAL (SURVEY
+    * §1.2's sanctioned improvement, end-to-end; DecimalMoneySpec pins the
+    * flag per-formula against hand constants, this pins the whole
+    * pipeline). Same tagged prologue as q22 but over the 4-decimal
+    * quantized fact; live-Python discrepancy flags, like q22. */
+  val q38KernelDecimal = QueryDef(
+    "q38_kernel_decimal",
+    taggedSqlFor(factQuantSql) + kernelSuffixSqlDecimal) { (s, d) =>
+    val f = BillingDemo.fact(s, d)
+    val factQ = f.select((BillingDemo.grain13.map(col) ++
+      BillingDemo.measures.map(mm => Stable.r4(col(mm)).as(mm))): _*)
+    val out = Calculate.calculateWithCredits(
+      factQ, BillingDemo.dim(s, d), BillingDemo.demoExtraDiscount,
+      decimalMoney = true)
+    roundDoubles(
+      Conform.conformToTarget(out, lit(etlLiteral).cast("timestamp")))
+  }
+
   val all: Seq[QueryDef] =
     Seq(q20CreditsPivot, q21RuleMatch, q22KernelFull, q23KernelFromArrays,
-      q24KernelSqlVariant)
+      q24KernelSqlVariant, q38KernelDecimal)
 }

@@ -2,7 +2,7 @@ package graft.kernel
 
 import graft.kernel.{Fixtures => F}
 
-/** The DecimalType(38,9) money opt-in (SURVEY §1.2's sanctioned improvement
+/** The DECIMAL(18,9) fixed-point money opt-in (SURVEY §1.2's sanctioned improvement
   * over the reference's float money): OFF by default — the double path must
   * stay bit-identical to the reference and the DuckDB oracles — and exact
   * under the flag. This spec pins ONE case where the two visibly diverge,

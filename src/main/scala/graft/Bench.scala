@@ -130,11 +130,40 @@ object Bench {
         times.last > times.head * 1.2 && times.last - times.head > 0.25
       (name, median, min, steal, measured, unstable)
     }
+    def fmt(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+
+    // 10× scale smoke: run the ScaleSmoke gate queries once each on the
+    // deterministic ×10 dataset (built/cached under target/) so the
+    // scale-up numbers land in every round's BENCH_r{N}.json next to the
+    // sf0.1 medians. Assertions live in `runMain graft.ScaleSmoke`; here
+    // we only measure. Disable with SPARK_GRAFT_SCALE=0. Failures degrade
+    // to a scale10_error field, never the whole bench.
+    val scaleJson: String =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") == "0") ""
+      else try {
+        val dir = ScaleSmoke.ensureData(spark, sfDir)
+        val entries = ScaleSmoke.GateQueries.flatMap { n =>
+          SparkEntry.queries.get(n).map { fn =>
+            spark.catalog.clearCache()
+            val t0 = System.nanoTime()
+            runNoop(fn(spark, dir))
+            n -> (System.nanoTime() - t0) / 1e9
+          }
+        }
+        val medians = results.map(r => r._1 -> r._2).toMap
+        val ratios = entries.flatMap { case (n, s) =>
+          medians.get(n).filter(_ > 0).map(n -> s / _)
+        }
+        s""","scale10":${fmt(entries)},"scale10_ratio":${fmt(ratios)}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] scale10 failed: ${e.getMessage}")
+        s""","scale10_error":"${String.valueOf(e.getMessage).replace('"', '\'')}""""
+      }
+
     val steal1 = stealTicks()
     val (cpuUser, cpuSys) = processCpuSeconds()
 
-    def fmt(xs: Seq[(String, Double)]): String =
-      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qMedian = fmt(results.map(r => r._1 -> r._2))
     val qMin = fmt(results.map(r => r._1 -> r._3))
     val qSteal = results.map { case (k, _, _, s, _, _) => "\"" + k + "\":" + s }
@@ -154,7 +183,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qMedian,""" +
         s""""queries_min":$qMin,"queries_steal_ticks":$qSteal,"runs":$runs,""" +
         s""""queries_runs":$qRuns,"queries_steal_runs":$qStealRuns,""" +
-        s""""queries_unstable":$qUnstable,"excluded":$qExcluded,""" +
+        s""""queries_unstable":$qUnstable,"excluded":$qExcluded$scaleJson,""" +
         s""""cpu_user_sec":$cpuUser,""" +
         s""""cpu_sys_sec":$cpuSys,"host_steal_ticks":$stealDelta,"sf":"$sfDir"}"""
     println(json)

@@ -23,6 +23,7 @@ object CorpusPipeline {
     * proves only schema. PlanSpec pins non-emptiness on the fixture. */
   private[operators] val QualityThreshold = 0.35
 
+  /** c01 — cleaned-corpus membership: d07 near-dup keepers ∩ t02 quality ≥ threshold, one equi-join on doc_id. */
   val c01CorpusClean = QueryDef(
     "c01_corpus_clean",
     s"""WITH q AS (${TextAnalysis.t02Quality.oracle.get.replace("\n", "\n  ")}),

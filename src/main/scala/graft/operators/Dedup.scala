@@ -39,6 +39,7 @@ object Dedup {
 
   // ---------- d01: exact dedup by content hash ----------
 
+  /** d01 — exact dedup: one shuffle grouping by content hash, keeper = min doc_id. */
   val d01Exact = QueryDef(
     "d01_dedup_exact",
     """SELECT md5(text) AS text_md5, min(doc_id) AS keeper,
@@ -139,6 +140,7 @@ object Dedup {
   private def bandSql(k: Int): String =
     s"concat_ws('-', ${(0 until BandSize).map(r => s"mh${k * BandSize + r}").mkString(", ")})"
 
+  /** d03 — MinHash+LSH near-dup: banded-signature buckets generate candidates via equi-join, exact Jaccard verifies — never all-pairs. */
   val d03MinHashLsh = QueryDef(
     "d03_dedup_minhash", {
       val nBands = NumHashes / BandSize
@@ -223,6 +225,7 @@ object Dedup {
       .mkString("(", "\n + ", ")")
   }
 
+  /** d04 — SimHash near-dup: pigeonhole block equi-join generates candidates, Hamming distance verifies. */
   val d04SimHash = QueryDef(
     "d04_dedup_simhash", {
       val blockRows = (0 until NumBlocks)
@@ -284,6 +287,7 @@ object Dedup {
 
   private val CosineThreshold = 0.4
 
+  /** d05 — embedding near-dup BASELINE: sanctioned brute-force all-pairs cosine (d06 is the LSH-bucketed scale path). */
   val d05EmbeddingNearDup = QueryDef(
     "d05_dedup_embedding",
     s"""WITH e AS (

@@ -131,6 +131,7 @@ object Reconcile {
     }
   }
 
+  /** q36 — q33's reconciliation through CO-BUCKETED snapshot tables: both sides pre-bucketed by event_id, so the full-outer diff join plans with ZERO Exchange (PlanSpec-pinned; results equal q33). */
   val q36BucketedReconcile = QueryDef("q36_bucketed_reconcile", demoDiffSql) { (s, d) =>
     import graft.pipeline.Bucketing
     val (oldSnap, newSnap) = demoSnapshots(s, d)

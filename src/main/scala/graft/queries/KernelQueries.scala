@@ -126,6 +126,7 @@ object KernelQueries {
     "invoice_month", "billing_account_id", "usage_day", "project_id",
     "service_description", "sku_id", "cost_type")
 
+  /** q21 — the 8-family rule-match ladder alone (J1–J9): broadcast joins + precedence coalesce; the fact side never shuffles. */
   val q21RuleMatch = QueryDef(
     "q21_rule_match",
     s"""$taggedSql
@@ -196,6 +197,7 @@ object KernelQueries {
        |FROM finished""".stripMargin
   }
 
+  /** q22 — the FULL billing kernel: rule-match ladder + pricing modes + extra discounts, conformed to the 37-col target. */
   val q22KernelFull = QueryDef(
     "q22_kernel_full",
     taggedSql + kernelSuffixSql()) { (s, d) =>
@@ -238,6 +240,7 @@ object KernelQueries {
        |GROUP BY ${BillingDemo.grain13.mkString(", ")}""".stripMargin
   }
 
+  /** q23 — the kernel fed from the raw credit ARRAYS (the dormant reference path): per-row pivot, grain-13 re-agg, same kernel. */
   val q23KernelFromArrays = QueryDef(
     "q23_kernel_from_arrays",
     taggedSqlFor(factFromArraysSql) + kernelSuffixSql()) { (s, d) =>

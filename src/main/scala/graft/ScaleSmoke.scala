@@ -25,18 +25,20 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSmoke {
 
-  /** The judge-named headline set: kernel, rule ladder, shingle dedup,
-    * MinHash dedup, keeper propagation, and the full corpus composition. */
+  /** The headline set: kernel, rule ladder, shingle dedup, MinHash dedup,
+    * keeper propagation, the full corpus composition, plus the two
+    * heaviest event-time shapes (value-range moving agg, sessionization). */
   val GateQueries: Seq[String] = Seq(
     "q22_kernel_full", "q21_rule_match", "d02_dedup_ngram",
-    "d03_dedup_minhash", "d07_dedup_keeper", "c01_corpus_clean")
+    "d03_dedup_minhash", "d07_dedup_keeper", "c01_corpus_clean",
+    "q29_moving_agg", "q15_sessionize")
 
   val Copies = 10
   private val IdShift = 10000000L
   val LinearBound = 12.0
 
   def scaleDirFor(baseDir: String): String =
-    s"target/scale${Copies}_${baseDir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+    s"target/scale${Copies}v2_${baseDir.replaceAll("[^A-Za-z0-9.]+", "_")}"
 
   /** Build the ×10 dataset by unioning shifted copies of the two tables the
     * gate queries read. Copy 0 is the base verbatim; copies 1..9 shift ids
@@ -67,6 +69,16 @@ object ScaleSmoke {
         length(text).cast("long").as("n_chars"))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // events: shift user_id too, so each copy brings NEW users with the
+    // base's per-user event structure — per-user window/session cost is
+    // unchanged, user count grows 10× (the linear shape). Read through
+    // Tables.events (nanos→micros); the written micros ts reads back fine.
+    val ev = graft.tables.Tables.events(spark, baseDir)
+    (0 until Copies).map(i => ev
+        .withColumn("event_id", col("event_id") + lit(i * IdShift))
+        .withColumn("user_id", col("user_id") + lit(i * IdShift)))
+      .reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
     java.nio.file.Files.createFile(done)
     dir
   }

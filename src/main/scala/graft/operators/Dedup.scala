@@ -584,14 +584,35 @@ object Dedup {
     * GraphFrames label propagation — shuffles keyed by node id; for
     * adversarially deep graphs switch to large-star/small-star, which this
     * API can host without changing callers. */
+  /** localCheckpoint blocks are PINNED — the lineage is cut, so Spark can
+    * never evict or recompute them; they free only when driver GC happens
+    * to collect the Dataset. Left alone, every ROUND's blocks (and every
+    * INVOCATION's) stay resident, and on a constrained driver the memory
+    * finally runs out exactly when a broadcast build needs it — found by
+    * the ×10 ScaleSmoke gate at -Xmx4g, as an intermittent "Not enough
+    * memory to build and broadcast" inside the iteration. The iterative
+    * operators therefore track which RDD ids each checkpoint pins and
+    * explicitly release the PREVIOUS round's once the next is materialized
+    * (only the final, node-bounded result stays pinned for the caller). */
+  private def pinnedSince(sc: org.apache.spark.SparkContext,
+                          before: Set[Int]): Set[Int] =
+    sc.getPersistentRDDs.keySet.toSet -- before
+
+  private def releasePinned(sc: org.apache.spark.SparkContext,
+                            ids: Set[Int]): Unit =
+    ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+
   def keeperSelection(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sc = nodes.sparkSession.sparkContext
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().persist()
+    val beforeInit = sc.getPersistentRDDs.keySet.toSet
     var labels = nodes
       .select(col("doc_id").cast("long").as("node"),
         col("doc_id").cast("long").as("cluster"))
       .localCheckpoint()
+    var pinned = pinnedSince(sc, beforeInit)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -601,6 +622,7 @@ object Dedup {
       // non-null only on the node's self row, and nodes are unique in
       // `labels`), so convergence is a filter over the materialized result —
       // no per-round join+count pass
+      val before = sc.getPersistentRDDs.keySet.toSet
       val next = labels
         .select(col("node"), col("cluster"), col("cluster").as("own"))
         .unionAll(prop.withColumn("own", lit(null).cast("long")))
@@ -609,6 +631,11 @@ object Dedup {
         .localCheckpoint() // eager: materializes AND cuts lineage
       changed = next.filter(col("cluster") =!= col("own")).count()
       labels = next.select(col("node"), col("cluster"))
+      // next is materialized and the convergence check is done — the
+      // previous round's pinned blocks are garbage NOW, not at some GC
+      val nextPinned = pinnedSince(sc, before)
+      releasePinned(sc, pinned)
+      pinned = nextPinned
       iter += 1
     }
     edges.unpersist()
@@ -634,6 +661,8 @@ object Dedup {
     * themselves. Equivalence with union-find is property-tested
     * (DedupSpec). */
   def keeperSelectionStar(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val sc = nodes.sparkSession.sparkContext
+    val beforeInit = sc.getPersistentRDDs.keySet.toSet
     // canonical (small, large) edges, self-loops dropped
     var e = pairs
       .select(col("id_a").cast("long").as("a"), col("id_b").cast("long").as("b"))
@@ -641,6 +670,7 @@ object Dedup {
       .select(least(col("a"), col("b")).as("lo"), greatest(col("a"), col("b")).as("hi"))
       .distinct()
       .localCheckpoint()
+    var pinned = pinnedSince(sc, beforeInit)
 
     def canonical(ed: DataFrame): DataFrame = ed
       .filter(col("u") =!= col("v"))
@@ -669,11 +699,17 @@ object Dedup {
     var iter = 0
     var stable = false
     while (!stable && iter < maxIter) {
+      val before = sc.getPersistentRDDs.keySet.toSet
       val next = smallStar(largeStar(e)).localCheckpoint()
       // canonical + distinct on both sides ⇒ equal iff same count and no
       // element of next missing from e
       stable = next.count() == e.count() &&
         next.exceptAll(e).limit(1).count() == 0L
+      // the stability check was the old edge set's last use — release its
+      // pinned blocks now (see keeperSelection's pinned-block note)
+      val nextPinned = pinnedSince(sc, before)
+      releasePinned(sc, pinned)
+      pinned = nextPinned
       e = next
       iter += 1
     }

@@ -146,16 +146,24 @@ object Bench {
         val entries = ScaleSmoke.GateQueries.flatMap { n =>
           SparkEntry.queries.get(n).map { fn =>
             spark.catalog.clearCache()
+            val s0 = stealTicks()
             val t0 = System.nanoTime()
             runNoop(fn(spark, dir))
-            n -> (System.nanoTime() - t0) / 1e9
+            val sec = (System.nanoTime() - t0) / 1e9
+            (n, sec, if (s0 >= 0) stealTicks() - s0 else -1L)
           }
         }
         val medians = results.map(r => r._1 -> r._2).toMap
-        val ratios = entries.flatMap { case (n, s) =>
+        val ratios = entries.flatMap { case (n, s, _) =>
           medians.get(n).filter(_ > 0).map(n -> s / _)
         }
-        s""","scale10":${fmt(entries)},"scale10_ratio":${fmt(ratios)}"""
+        // these are SINGLE runs — per-query steal is the contamination
+        // evidence (a 10x-data run under a steal burst can read 3x slow;
+        // the quiet authoritative numbers live in SCALE_SMOKE.json)
+        val steals = entries
+          .map { case (n, _, st) => "\"" + n + "\":" + st }.mkString("{", ",", "}")
+        s""","scale10":${fmt(entries.map(e => e._1 -> e._2))},""" +
+          s""""scale10_ratio":${fmt(ratios)},"scale10_steal_ticks":$steals"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale10 failed: ${e.getMessage}")
         s""","scale10_error":"${String.valueOf(e.getMessage).replace('"', '\'')}""""

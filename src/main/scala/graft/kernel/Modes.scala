@@ -93,7 +93,9 @@ object Modes {
     * via its precision-loss rule and a DECIMAL oracle cannot multiply at
     * all. The price is range: |money| < 10^9 per VALUE (not per sum —
     * aggregation happens on doubles before/after the kernel), which covers
-    * billing rows by ~6 orders of magnitude. */
+    * billing rows by ~6 orders of magnitude; beyond it the cast fails
+    * LOUDLY under ANSI mode (Spark 4's default — DecimalMoneySpec pins
+    * the error, and that with ansi off it would be a silent null). */
   private[kernel] val MoneyDecimal = org.apache.spark.sql.types.DecimalType(18, 9)
 
   /** mode-4 credit part: Σ (selected credit column / price), selection by the

@@ -29,6 +29,31 @@ class DecimalMoneySpec extends SparkSpec {
     assert(ext != 0.3, "double money unexpectedly exact — flag default changed?")
   }
 
+  test("decimalMoney range boundary: |value| >= 1e9 fails LOUDLY under ANSI (Spark 4 default)") {
+    // the price of 18-digit fixed-point (exact cross-engine products) is
+    // range: 9 integer digits per VALUE. Beyond it the cast overflows —
+    // loudly under ANSI mode (Spark 4's default; with ansi off it would be
+    // a silent null, which is why this pin matters). Deployments with
+    // larger per-row money need a wider type and must give up the exact
+    // DECIMAL-oracle property (see Modes.MoneyDecimal).
+    import spark.implicits._
+    val facts = Seq(F.fact("A").copy(
+      cost = 2e9, internal_credits_cost = 0.0,
+      internal_credits_consumption = 0.0)).toDF()
+    val rules = Seq(F.Rule("2026-01", "A",
+      mode = Some(1), discount = Some(1.0))).toDF()
+    val ex = intercept[Exception] {
+      Calculate.calculateWithCredits(facts, rules, decimalMoney = true)
+        .select("internal_cost").collect()
+    }
+    assert(ex.getMessage.contains("Decimal(18, 9)"),
+      s"expected a Decimal(18, 9) overflow error, got: ${ex.getMessage.take(200)}")
+    // the default double path is unaffected by the boundary
+    val dbl = Calculate.calculateWithCredits(facts, rules)
+      .select("internal_cost").collect().head.getDouble(0)
+    assert(dbl == 2e9)
+  }
+
   test("decimalMoney computes exactly 0.3, and conform returns it as the closest double") {
     val df = run(decimalMoney = true)
     val ext = df.select("external_consumption").collect().head

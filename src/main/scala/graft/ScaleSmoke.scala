@@ -163,6 +163,15 @@ object ScaleSmoke {
       (name, t1, t10, ratio, s1 + s10)
     }
 
+    // pinned-RDD leak guard: localCheckpoint blocks are unevictable, so an
+    // iterative operator that forgets to release superseded rounds (the
+    // d07 bug this gate originally caught as an intermittent broadcast
+    // OOM) shows up here as unbounded persistent-RDD growth. 24 gate
+    // executions legitimately leave ≲1 small final label frame each.
+    val leftover = spark.sparkContext.getPersistentRDDs.size
+    if (leftover > 64)
+      violations :+= s"pinned-RDD leak: $leftover persistent RDDs after the gate"
+
     def fmt(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val json =

@@ -33,9 +33,14 @@ object ScaleSmoke {
     "d03_dedup_minhash", "d07_dedup_keeper", "c01_corpus_clean",
     "q29_moving_agg", "q15_sessionize")
 
-  val Copies = 10
+  /** Scale factor of the generated dataset. Default ×10; set
+    * SPARK_GRAFT_SCALE_COPIES=100 for the heavyweight ×100 demonstration
+    * (60M lineitem rows / 500k docs / 1M events — ~20 min end-to-end).
+    * Bench always uses the default. */
+  val Copies: Int = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
   private val IdShift = 10000000L
-  val LinearBound = 12.0
+  /** ≲linear: allow 20% superlinear headroom over perfect ×Copies scaling. */
+  val LinearBound: Double = 1.2 * Copies
 
   def scaleDirFor(baseDir: String): String =
     s"target/scale${Copies}v2_${baseDir.replaceAll("[^A-Za-z0-9.]+", "_")}"
@@ -53,32 +58,38 @@ object ScaleSmoke {
     val dir = scaleDirFor(baseDir)
     val done = java.nio.file.Paths.get(dir, "_DONE")
     if (java.nio.file.Files.exists(done)) return dir
+    // copies are written as SEQUENTIAL append jobs, not one Copies-way
+    // union: a union write runs one parquet writer per concurrent task,
+    // each buffering a ~128MB row group — at ×100 under a 4 GiB driver
+    // that alone OOMs (observed). Per-copy appends keep writer memory
+    // flat in Copies; the generator must scale like the engine it tests.
+    def appendCopies(base: DataFrame, out: String)(tx: (DataFrame, Int) => DataFrame): Unit =
+      (0 until Copies).foreach { i =>
+        tx(base, i).write.mode(if (i == 0) "overwrite" else "append").parquet(out)
+      }
     val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
-    (0 until Copies)
-      .map(i => li.withColumn("l_orderkey", col("l_orderkey") + lit(i * IdShift)))
-      .reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    appendCopies(li, s"$dir/lineitem.parquet") { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * IdShift))
+    }
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
-    (0 until Copies).map { i =>
+    appendCopies(docs, s"$dir/documents.parquet") { (df, i) =>
       val text =
         if (i == 0) col("text")
         else regexp_replace(col("text"), "([A-Za-z0-9]+)", s"c$i$$1")
-      docs.select(
+      df.select(
         (col("doc_id") + lit(i * IdShift)).as("doc_id"),
         text.as("text"), col("lang"), col("source"),
         length(text).cast("long").as("n_chars"))
-    }.reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
     // events: shift user_id too, so each copy brings NEW users with the
     // base's per-user event structure — per-user window/session cost is
-    // unchanged, user count grows 10× (the linear shape). Read through
+    // unchanged, user count grows ×Copies (the linear shape). Read through
     // Tables.events (nanos→micros); the written micros ts reads back fine.
     val ev = graft.tables.Tables.events(spark, baseDir)
-    (0 until Copies).map(i => ev
-        .withColumn("event_id", col("event_id") + lit(i * IdShift))
-        .withColumn("user_id", col("user_id") + lit(i * IdShift)))
-      .reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    appendCopies(ev, s"$dir/events.parquet") { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * IdShift))
+        .withColumn("user_id", col("user_id") + lit(i * IdShift))
+    }
     java.nio.file.Files.createFile(done)
     dir
   }
@@ -182,8 +193,9 @@ object ScaleSmoke {
         s""""steal_ticks":${rows.map(r => "\"" + r._1 + "\":" + r._5).mkString("{", ",", "}")},""" +
         s""""violations":${violations.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     println(json)
+    val outName = if (Copies == 10) "SCALE_SMOKE.json" else s"SCALE_SMOKE_x$Copies.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALE_SMOKE.json"), json + "\n")
+      java.nio.file.Paths.get(outName), json + "\n")
     catch { case e: Exception => System.err.println(s"[scale] write failed: $e") }
     spark.stop()
     if (violations.nonEmpty) {

@@ -275,20 +275,55 @@ object CoreQueries {
         r4(expr("percentile(l_quantity, 0.5)")).as("median_qty"))
   }
 
-  /** q19 — the 100 TB companion to q16: `approx_percentile` is a one-pass
-    * MERGEABLE fixed-size sketch (map-side partials combine), where exact
-    * `percentile` buffers every group value on one reducer — at scale the
-    * sketch is the only viable shape. No DuckDB oracle (each engine's
-    * sketch algorithm differs — DuckDB uses t-digest), so the driver
-    * records the weaker rows-only check; QuantilesSketchSpec pins the
-    * sketch against the exact result within the configured accuracy. */
-  val q19QuantilesApprox = QueryDef.noOracle("q19_quantiles_approx") { (s, d) =>
+  /** q19's raw frame: exact AND sketch quantiles side by side, unrounded —
+    * shared by the declared query (which folds the sketch into error-bound
+    * flags) and QuantilesSketchSpec (which pins the sketch values tighter).
+    * One aggregate computes both, so the sketch is exercised on the exact
+    * same grouped stream it would see alone. */
+  private[queries] def quantileSketchRaw(
+      s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        r4(expr("approx_percentile(l_extendedprice, 0.5, 10000)")).as("median_price"),
-        r4(expr("approx_percentile(l_extendedprice, 0.95, 10000)")).as("p95_price"),
-        r4(expr("approx_percentile(l_quantity, 0.5, 10000)")).as("median_qty"))
+        expr("percentile(l_extendedprice, 0.5)").as("ex_median_price"),
+        expr("percentile(l_extendedprice, 0.95)").as("ex_p95_price"),
+        expr("percentile(l_quantity, 0.5)").as("ex_median_qty"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").cast("double").as("ap_median_price"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").cast("double").as("ap_p95_price"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").cast("double").as("ap_median_qty"))
+
+  /** q19 — the 100 TB companion to q16: `approx_percentile` is a one-pass
+    * MERGEABLE fixed-size sketch (map-side partials combine), where exact
+    * `percentile` buffers every group value on one reducer — at scale the
+    * sketch is the only viable production shape (call `approx_percentile`
+    * alone there). A foreign engine's sketch can never hash-match Spark's
+    * (DuckDB uses t-digest), so the DECLARED result is the error-bound
+    * statement both engines CAN agree on: the rounded exact quantiles plus
+    * a per-column flag that the sketch landed within its documented bound
+    * (1% relative + 1.0 absolute — accuracy=10000 keeps rank error at
+    * n/10000, far inside). The oracle computes the identical exact side
+    * and literal-true flags, so a sketch drifting out of bound flips a
+    * flag and fails the hash. QuantilesSketchSpec pins the sketch values
+    * tighter (2%) on the raw frame. */
+  val q19QuantilesApprox = QueryDef(
+    "q19_quantiles_approx",
+    """SELECT l_returnflag,
+      |  floor((quantile_cont(l_extendedprice, 0.5)) * 10000.0 + 0.5) / 10000.0  AS median_price,
+      |  floor((quantile_cont(l_extendedprice, 0.95)) * 10000.0 + 0.5) / 10000.0 AS p95_price,
+      |  floor((quantile_cont(l_quantity, 0.5)) * 10000.0 + 0.5) / 10000.0       AS median_qty,
+      |  CAST(1 AS BIGINT) AS median_price_in_bound,
+      |  CAST(1 AS BIGINT) AS p95_price_in_bound,
+      |  CAST(1 AS BIGINT) AS median_qty_in_bound
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    def inBound(c: String) =
+      (abs(col(s"ap_$c") - col(s"ex_$c")) <= abs(col(s"ex_$c")) * 0.01 + 1.0)
+        .cast("long").as(s"${c}_in_bound")
+    quantileSketchRaw(s, d).select(
+      col("l_returnflag"),
+      r4(col("ex_median_price")).as("median_price"),
+      r4(col("ex_p95_price")).as("p95_price"),
+      r4(col("ex_median_qty")).as("median_qty"),
+      inBound("median_price"), inBound("p95_price"), inBound("median_qty"))
   }
 
   /** Salted two-phase aggregation (hot-key skew tooling, SURVEY §4): group
@@ -454,17 +489,41 @@ object CoreQueries {
         r4(sum("value").over(w)).as("sum_6h"))
   }
 
+  /** q30's raw frame: exact count_distinct and the HLL++ estimate side by
+    * side — shared by the declared query (error-bound flag) and
+    * QuantilesSketchSpec (tighter 2% pin). */
+  private[queries] def distinctSketchRaw(
+      s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users_exact"),
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("n_users_approx"))
+
   /** q30 — approximate distinct count (HyperLogLog++): distinct users per
     * event_type as a fixed-size mergeable sketch. Completes the sketch trio
     * (q19 percentile, q28 top-k): exact count_distinct shuffles every
     * (type, user) pair; the HLL register array is KBs per group regardless
-    * of cardinality. No oracle (DuckDB's approx_count_distinct is a
-    * different HLL implementation) — SketchDistinctSpec pins the estimate
-    * against the exact count within the configured rsd. */
-  val q30DistinctApprox = QueryDef.noOracle("q30_distinct_approx") { (s, d) =>
-    Tables.events(s, d)
-      .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("n_users_approx"))
+    * of cardinality — at 100 TB call `approx_count_distinct` alone.
+    * DuckDB's HLL can never hash-match Spark's, so (like q19) the DECLARED
+    * result is the cross-engine-checkable error-bound statement: the exact
+    * count plus a flag that the estimate landed within 5× its configured
+    * rsd (0.01). The oracle computes the identical exact count and a
+    * literal-true flag — an estimate drifting past 5% flips the flag and
+    * fails the hash. QuantilesSketchSpec pins the estimate tighter (2%)
+    * on the raw frame. */
+  val q30DistinctApprox = QueryDef(
+    "q30_distinct_approx",
+    """SELECT event_type,
+      |  count(DISTINCT user_id) AS n_users_exact,
+      |  CAST(1 AS BIGINT) AS approx_in_bound
+      |FROM events GROUP BY event_type""".stripMargin) { (s, d) =>
+    distinctSketchRaw(s, d).select(
+      col("event_type"),
+      col("n_users_exact"),
+      (abs(col("n_users_approx") - col("n_users_exact"))
+        <= col("n_users_exact").cast("double") * 0.05)
+        .cast("long").as("approx_in_bound"))
   }
 
   private val UnpivotMeasures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")

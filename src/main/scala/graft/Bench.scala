@@ -17,16 +17,24 @@ import org.apache.spark.sql.SparkSession
   * plus host steal-time ticks so round-over-round comparisons can be
   * steal-adjusted.
   *
+  * THE HEADLINE TO READ ROUND-OVER-ROUND IS `value_min` — the sum of
+  * per-query minima, the steal-immune statistic (a steal burst can only
+  * inflate a run, never deflate one, so the min over round-robin runs is
+  * the closest observable to the quiet-host time). `value` (sum of
+  * medians) is kept for continuity but moves with host contention: r5→r6
+  * it showed a phantom +19% on a flat min-sum. README §bench documents
+  * this reading order.
+  *
   * Steal robustness (three round-5 runs spread 64–70s on contention alone):
   * runs are interleaved ROUND-ROBIN across queries — a steal burst then
   * contaminates one run of many queries instead of every run of one query —
   * and the JSON carries the full per-run time and steal arrays
   * (`queries_runs` / `queries_steal_runs`) plus `queries_unstable`, the
   * queries whose runs disagree by >20% (read their `queries_min`, the
-  * median is contaminated). Queries with side effects in the measured path
-  * are EXCLUDED from timing and listed under `excluded` with the reason
-  * (q36 writes two bucketed tables per run — a write workload that would
-  * skew a read-only comparison; it stays in the correctness registry).
+  * median is contaminated). Queries whose timed path would carry a side
+  * effect are warmed first so the effect lands outside the timing (q36's
+  * bucketed snapshot pair is written once per JVM by its first run; the
+  * timed runs measure only the zero-Exchange reconcile read).
   */
 object Bench {
 
@@ -78,7 +86,9 @@ object Bench {
     // documents/embeddings read paths and the text/vector codegen, or the
     // alphabetically-first corpus query (c01) absorbs that one-time cost
     // into all of its timed runs (caches are still cleared per timed run)
-    Seq("t01_token_count", "s03_centroids").foreach { n =>
+    // q36 additionally writes its bucketed snapshot pair here (once per
+    // JVM), so its timed runs measure the read-only reconcile
+    Seq("t01_token_count", "s03_centroids", "q36_bucketed_reconcile").foreach { n =>
       SparkEntry.queries.get(n).foreach { f =>
         try runNoop(f(spark, sfDir))
         catch { case e: Throwable =>
@@ -88,10 +98,10 @@ object Bench {
     }
     spark.catalog.clearCache()
 
-    // side-effecting queries: correctness registry only, never timed
-    val excluded = Map(
-      "q36_bucketed_reconcile" ->
-        "writes two bucketed tables per run (the operation it demonstrates); a write workload would skew the read-only timing comparison")
+    // queries whose timed path would carry a side effect: none since q36's
+    // snapshot writes moved to an ensure-once warmup (round 7); the
+    // mechanism stays for future write-shaped queries
+    val excluded = Map.empty[String, String]
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => excluded.contains(n) }
     // ROUND-ROBIN over queries, not runs-back-to-back: a host steal burst
@@ -133,12 +143,30 @@ object Bench {
     def fmt(xs: Seq[(String, Double)]): String =
       xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
+    // the sf0.1 measurement window closes HERE — capture its steal/cpu
+    // evidence before the 10× phase runs, or host_steal_ticks stops
+    // answering "was the sf0.1 bench quiet" (ADVICE r6)
+    val steal1 = stealTicks()
+    val (cpuUser, cpuSys) = processCpuSeconds()
+
+    /** JSON string escape: backslashes, quotes, and control characters —
+      * Spark exception messages routinely carry newlines and Windows-style
+      * paths that would otherwise break the emitted JSON line. */
+    def jsonEscape(s: String): String =
+      String.valueOf(s).flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+
     // 10× scale smoke: run the ScaleSmoke gate queries once each on the
     // deterministic ×10 dataset (built/cached under target/) so the
     // scale-up numbers land in every round's BENCH_r{N}.json next to the
     // sf0.1 medians. Assertions live in `runMain graft.ScaleSmoke`; here
     // we only measure. Disable with SPARK_GRAFT_SCALE=0. Failures degrade
     // to a scale10_error field, never the whole bench.
+    val scale10Steal0 = stealTicks()
     val scaleJson: String =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") == "0") ""
       else try {
@@ -150,7 +178,8 @@ object Bench {
             val t0 = System.nanoTime()
             runNoop(fn(spark, dir))
             val sec = (System.nanoTime() - t0) / 1e9
-            (n, sec, if (s0 >= 0) stealTicks() - s0 else -1L)
+            val s1 = stealTicks()
+            (n, sec, if (s0 >= 0 && s1 >= 0) s1 - s0 else -1L)
           }
         }
         val medians = results.map(r => r._1 -> r._2).toMap
@@ -162,15 +191,15 @@ object Bench {
         // the quiet authoritative numbers live in SCALE_SMOKE.json)
         val steals = entries
           .map { case (n, _, st) => "\"" + n + "\":" + st }.mkString("{", ",", "}")
+        val w0 = scale10Steal0; val w1 = stealTicks()
+        val window = if (w0 >= 0 && w1 >= 0) w1 - w0 else -1L
         s""","scale10":${fmt(entries.map(e => e._1 -> e._2))},""" +
-          s""""scale10_ratio":${fmt(ratios)},"scale10_steal_ticks":$steals"""
+          s""""scale10_ratio":${fmt(ratios)},"scale10_steal_ticks":$steals,""" +
+          s""""scale10_host_steal_ticks":$window"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scale10 failed: ${e.getMessage}")
-        s""","scale10_error":"${String.valueOf(e.getMessage).replace('"', '\'')}""""
+        s""","scale10_error":"${jsonEscape(e.getMessage)}""""
       }
-
-    val steal1 = stealTicks()
-    val (cpuUser, cpuSys) = processCpuSeconds()
 
     val qMedian = fmt(results.map(r => r._1 -> r._2))
     val qMin = fmt(results.map(r => r._1 -> r._3))
@@ -186,9 +215,12 @@ object Bench {
     val qExcluded = excluded
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // value_min: sum of per-query MINIMA — the steal-immune headline;
+    // compare THIS round-over-round (see scaladoc + README §bench)
+    val totalMin = results.map(_._3).filter(_ >= 0).sum
     val stealDelta = if (steal0 >= 0 && steal1 >= 0) steal1 - steal0 else -1L
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qMedian,""" +
+      s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":$qMedian,""" +
         s""""queries_min":$qMin,"queries_steal_ticks":$qSteal,"runs":$runs,""" +
         s""""queries_runs":$qRuns,"queries_steal_runs":$qStealRuns,""" +
         s""""queries_unstable":$qUnstable,"excluded":$qExcluded$scaleJson,""" +

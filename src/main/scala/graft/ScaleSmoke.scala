@@ -148,7 +148,10 @@ object ScaleSmoke {
       spark.catalog.clearCache()
       val s0 = stealTicks(); val t0 = System.nanoTime()
       f
-      ((System.nanoTime() - t0) / 1e9, stealTicks() - s0)
+      val s1 = stealTicks()
+      // -1 means "steal unknown" (no /proc/stat), not "quiet host" —
+      // propagate the sentinel instead of reporting a phantom 0
+      ((System.nanoTime() - t0) / 1e9, if (s0 >= 0 && s1 >= 0) s1 - s0 else -1L)
     }
 
     val dir = ensureData(spark, base)

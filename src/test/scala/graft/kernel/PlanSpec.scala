@@ -226,6 +226,21 @@ class PlanSpec extends SparkSpec {
       "bucketed reconcile diverged from the direct q33 diff")
   }
 
+  test("q36's snapshot pair is written once per JVM and reused (read-only re-runs)") {
+    import graft.operators.Reconcile
+    // first call (above or here) wrote the pair; subsequent calls must
+    // NEITHER grow the catalog NOR drop tables a concurrent caller's lazy
+    // frame may still read (the round-6 drop-previous hazard, ADVICE r6)
+    val first = Reconcile.q36BucketedReconcile.fn(spark, sf)
+    val tablesBefore = spark.catalog.listTables().count()
+    val again = Reconcile.q36BucketedReconcile.fn(spark, sf)
+    assert(spark.catalog.listTables().count() == tablesBefore,
+      "re-running q36 created or dropped catalog tables")
+    assert(again.exceptAll(first).isEmpty && first.exceptAll(again).isEmpty)
+    // the FIRST frame still reads fine after later invocations
+    assert(first.count() == again.count())
+  }
+
   test("the billing demo dim stays small enough to broadcast at any fact scale") {
     // dim cardinality = 41 rules × fact months — independent of fact ROWS
     val dim = BillingDemo.dim(spark, sf)

@@ -77,4 +77,34 @@ class DedupSpec extends SparkSpec {
     assert((1L to 17L).forall(m(_) == 1L))
     assert(m(40L) == 40L) // isolated node keeps itself
   }
+
+  test("d12: per-lang chain keepers = min doc_id per lang; depth defeats round-budgeted propagation") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = Dedup.d12KeeperStarDeep.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent expectation from the FIXTURE's semantics (each lang is
+    // one path component): keeper = the language's minimum doc_id
+    val expected = graft.tables.Tables.documents(spark, sf)
+      .groupBy("lang").agg(min("doc_id").as("m"))
+      .join(graft.tables.Tables.documents(spark, sf), "lang")
+      .select(col("doc_id"), col("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // the depth claim: min-label propagation moves one hop per round, so
+    // on the deepest chain a 5-round budget CANNOT converge — the star
+    // variant's O(log d) contraction is what makes d12 viable
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+    val pairs = docs.withColumn("prev", lag(col("doc_id"), 1).over(byLang))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+    val budgeted = Dedup.keeperSelection(
+      docs.select(col("doc_id")), pairs, maxIter = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(budgeted != expected,
+      "a 5-round propagation converged on the deep chain — fixture lost its depth")
+  }
 }

@@ -26,12 +26,15 @@ import org.apache.spark.sql.functions._
 object ScaleSmoke {
 
   /** The headline set: kernel, rule ladder, shingle dedup, MinHash dedup,
-    * keeper propagation, the full corpus composition, plus the two
-    * heaviest event-time shapes (value-range moving agg, sessionization). */
+    * keeper propagation, the full corpus composition, the two heaviest
+    * event-time shapes (value-range moving agg, sessionization), and the
+    * deep-graph star keeper (chain depth grows ×Copies here — en's path
+    * goes 2,180 → 21,800 — while star rounds grow only ~log: the O(log d)
+    * claim, executed). */
   val GateQueries: Seq[String] = Seq(
     "q22_kernel_full", "q21_rule_match", "d02_dedup_ngram",
     "d03_dedup_minhash", "d07_dedup_keeper", "c01_corpus_clean",
-    "q29_moving_agg", "q15_sessionize")
+    "q29_moving_agg", "q15_sessionize", "d12_keeper_star_deep")
 
   /** Scale factor of the generated dataset. Default ×10; set
     * SPARK_GRAFT_SCALE_COPIES=100 for the heavyweight ×100 demonstration
@@ -39,8 +42,37 @@ object ScaleSmoke {
     * Bench always uses the default. */
   val Copies: Int = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
   private val IdShift = 10000000L
-  /** ≲linear: allow 20% superlinear headroom over perfect ×Copies scaling. */
+  /** ≲linear fallback: 20% superlinear headroom over perfect ×Copies
+    * scaling — used only where no ratcheted history exists. */
   val LinearBound: Double = 1.2 * Copies
+
+  /** Ratcheted ×10 ratio bounds (round-7 verdict item #3): the committed
+    * SCALE_SMOKE.json history (r6, quiet run — steal ≤ 11 ticks/query) ×
+    * 1.5 headroom, floored at 3.0 to absorb a steal burst landing on the
+    * one scaled run. The blanket `1.2 × Copies` = 12 was slack by ~2.5×:
+    * a d03 regression from its recorded 4.8× to 11× would have PASSED;
+    * under these bounds it fails (4.81 × 1.5 = 7.2). Only meaningful for
+    * the recorded ×10 configuration — other Copies fall back to the
+    * blanket bound. */
+  private val RecordedRatio10: Map[String, Double] = Map(
+    "q22_kernel_full" -> 1.395, "q21_rule_match" -> 1.707,
+    "d02_dedup_ngram" -> 3.167, "d03_dedup_minhash" -> 4.810,
+    "d07_dedup_keeper" -> 3.239, "c01_corpus_clean" -> 2.600,
+    "q29_moving_agg" -> 2.086, "q15_sessionize" -> 1.650)
+
+  def boundFor(name: String): Double =
+    if (Copies == 10)
+      RecordedRatio10.get(name).map(r => math.max(r * 1.5, 3.0)).getOrElse(LinearBound)
+    else LinearBound
+
+  /** The ratio assertion as a pure function, so ScaleSmokeSpec can prove
+    * the gate trips on an injected superlinear regression (test the
+    * test — round-7 verdict item #3's done-criterion). */
+  def ratioViolation(name: String, ratio: Double): Option[String] = {
+    val bound = boundFor(name)
+    if (ratio > bound) Some(f"$name: superlinear scaling $ratio%.1f× (>$bound%.2f)")
+    else None
+  }
 
   def scaleDirFor(baseDir: String): String =
     s"target/scale${Copies}v2_${baseDir.replaceAll("[^A-Za-z0-9.]+", "_")}"
@@ -89,6 +121,28 @@ object ScaleSmoke {
     appendCopies(ev, s"$dir/events.parquet") { (df, i) =>
       df.withColumn("event_id", col("event_id") + lit(i * IdShift))
         .withColumn("user_id", col("user_id") + lit(i * IdShift))
+    }
+    java.nio.file.Files.createFile(done)
+    dir
+  }
+
+  /** The OPPOSITE data regime from [[ensureData]] (round-7 verdict item
+    * #7): ×Copies where every copy keeps the base text VERBATIM (ids
+    * shifted only) — the corpus becomes Copies mutual near-duplicates of
+    * itself, the worst real crawl shape, where every shingle's document
+    * frequency grows ×Copies and the d02 inverted-index join's candidate
+    * mass grows ×Copies² BY CONSTRUCTION. The adversarial gate mode runs
+    * on this dataset to prove d08's frequency stop-list keeps the
+    * candidate join bounded where the naive index visibly explodes. */
+  def ensureAdversarialData(spark: SparkSession, baseDir: String): String = {
+    val dir = s"target/scaleAdv${Copies}_${baseDir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+    val done = java.nio.file.Paths.get(dir, "_DONE")
+    if (java.nio.file.Files.exists(done)) return dir
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    (0 until Copies).foreach { i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i * IdShift))
+        .write.mode(if (i == 0) "overwrite" else "append")
+        .parquet(s"$dir/documents.parquet")
     }
     java.nio.file.Files.createFile(done)
     dir
@@ -154,12 +208,60 @@ object ScaleSmoke {
       ((System.nanoTime() - t0) / 1e9, if (s0 >= 0 && s1 >= 0) s1 - s0 else -1L)
     }
 
+    // one-off adversarial-duplication mode: candidate-pair accounting on
+    // the mutually-duplicated corpus, then exit (run with
+    // SPARK_GRAFT_SCALE_ADVERSARIAL=1 or arg "adversarial")
+    if (sys.env.get("SPARK_GRAFT_SCALE_ADVERSARIAL").contains("1") ||
+        args.contains("adversarial")) {
+      import graft.operators.Dedup
+      val adv = ensureAdversarialData(spark, base)
+      val (naiveBase, stoppedBase, docsBase) = Dedup.candidatePairStats(spark, base)
+      val (naive, stopped, docs) = Dedup.candidatePairStats(spark, adv)
+      // d08 end-to-end on the adversarial corpus — the stop-listed join
+      // must COMPLETE comfortably (its candidate mass is `stopped`)
+      val (tD08, _) = timed(runNoop(SparkEntry.queries("d08_dedup_stoplist")(spark, adv)))
+      var v = Vector.empty[String]
+      // the assertion: stop-listed candidates stay LINEAR in the corpus.
+      // Candidate mass counts per-shingle multiplicity, so a doc pairing
+      // with its twin through ~70 shared shingles contributes ~70 — the
+      // base corpus runs ~74/doc (ScaleSmokeSpec pins this), i.e. the
+      // budget is O(shingles per doc), NOT O(corpus). 128/doc holds that
+      // shape; the naive index on the duplicated corpus is ~Copies×
+      // worse PER DOC (quadratic in total), far outside it. Mutual exact
+      // copies are d01's job (hash dedup); the stop-list's job is
+      // bounding the candidate join, which is exactly what this checks.
+      if (stopped > 128L * docs)
+        v :+= s"adversarial: stop-listed candidates $stopped > 128×docs ($docs)"
+      // and the regime must actually BE adversarial, or the numbers above
+      // prove nothing: naive candidate mass per doc grows ~×Copies
+      if (naive < naiveBase * Copies.toLong * Copies.toLong / 2)
+        v :+= s"adversarial: naive candidate mass $naive did not explode (base $naiveBase) — fixture lost its duplication"
+      val json =
+        s"""{"copies":$Copies,"base":"$base","mode":"adversarial",""" +
+          s""""docs_base":$docsBase,"docs":$docs,""" +
+          s""""naive_candidate_pairs_base":$naiveBase,"naive_candidate_pairs":$naive,""" +
+          s""""stoplist_candidate_pairs_base":$stoppedBase,"stoplist_candidate_pairs":$stopped,""" +
+          s""""d08_sec":$tD08,""" +
+          s""""violations":${v.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+      println(json)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("SCALE_ADVERSARIAL.json"), json + "\n")
+      catch { case e: Exception => System.err.println(s"[scale] write failed: $e") }
+      spark.stop()
+      if (v.nonEmpty) {
+        System.err.println(s"[scale] ADVERSARIAL FAILED:\n  ${v.mkString("\n  ")}")
+        sys.exit(1)
+      }
+      return
+    }
+
     val dir = ensureData(spark, base)
     try runNoop(SparkEntry.entry(spark)) // absorb JVM/codegen init
     catch { case e: Throwable => System.err.println(s"[scale] warmup failed: $e") }
 
     var violations = Vector.empty[String]
     val rows = GateQueries.map { name =>
+      System.err.println(s"[scale] gate query: $name")
       val fn = SparkEntry.queries(name)
       // untimed warm run first: the first execution of a query absorbs its
       // codegen + scan init, which would inflate t_base and understate the
@@ -171,10 +273,54 @@ object ScaleSmoke {
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val pv = planViolations(name, plan).map(v => s"$name: $v")
       val ratio = t10 / t1
-      if (ratio > LinearBound)
-        violations :+= f"$name: superlinear scaling ${ratio}%.1f× (>$LinearBound)"
+      violations ++= ratioViolation(name, ratio)
       violations ++= pv
       (name, t1, t10, ratio, s1 + s10)
+    }
+
+    // E1's real sink at scale (round-7 verdict item #5): the gate queries
+    // all end in a noop write — this entry runs the headline WRITE shape,
+    // read → kernel → dynamic-partition overwrite (Jobs/Sink, the
+    // delete+insert twin of main.py:177-202), at base and ×Copies under
+    // the same constrained driver, and audits run-twice idempotency AT
+    // SCALE with the declared reconciliation operator.
+    val writeRows: Seq[(String, Double)] = try {
+      import graft.queries.BillingDemo
+      import graft.pipeline.{Jobs, Sink}
+      // busiest fact month keeps the written slice meaningful
+      val month = graft.tables.Tables.lineitem(spark, base)
+        .groupBy(date_format(col("l_shipdate"), "yyyyMM").as("m"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("m")).limit(1)
+        .collect()(0).getString(0)
+      def writeOnce(d: String, tgt: String): Double = timed {
+        Sink.writePartitioned(
+          Jobs.computeMonth(BillingDemo.fact(spark, d), BillingDemo.dim(spark, d), month),
+          tgt, sortCols = Seq("billing_account_id"))
+      }._1
+      val tgtBase = s"$dir/write_base_$month"
+      val tgt10 = s"$dir/write_x${Copies}_$month"
+      // min of two runs on BOTH sides, or the base pays all the codegen /
+      // dim-months cold cost and the ratio reads spuriously sublinear
+      val t1 = math.min(writeOnce(base, tgtBase), writeOnce(base, tgtBase))
+      val t10 = writeOnce(dir, tgt10)
+      spark.read.parquet(tgt10).write.mode("overwrite").parquet(s"${tgt10}_audit")
+      val t10again = writeOnce(dir, tgt10)
+      val diff = graft.operators.Reconcile.snapshotDiff(
+        spark.read.parquet(s"${tgt10}_audit"), spark.read.parquet(tgt10),
+        keys = BillingDemo.grain13,
+        compareCols = Seq("mode", "cost", "internal_cost",
+          "external_consumption", "discount_amount"))
+      val diffN = diff.count()
+      if (diffN > 0)
+        violations :+= s"e1_write_month: re-run at x$Copies changed $diffN rows (idempotency lost)"
+      val wratio = math.min(t10, t10again) / t1
+      violations ++= ratioViolation("e1_write_month", wratio)
+      Seq("e1_write_month_t_base" -> t1, "e1_write_month_t_scale" -> math.min(t10, t10again),
+        "e1_write_month_ratio" -> wratio, "e1_write_month_rerun_diff_rows" -> diffN.toDouble)
+    } catch { case e: Throwable =>
+      violations :+= s"e1_write_month: ${e.getClass.getSimpleName}: ${e.getMessage}"
+      Nil
     }
 
     // pinned-RDD leak guard: localCheckpoint blocks are unevictable, so an
@@ -193,7 +339,9 @@ object ScaleSmoke {
         s""""t_base_sec":${fmt(rows.map(r => r._1 -> r._2))},""" +
         s""""t_scale_sec":${fmt(rows.map(r => r._1 -> r._3))},""" +
         s""""ratio":${fmt(rows.map(r => r._1 -> r._4))},""" +
+        s""""ratio_bound":${fmt(GateQueries.map(n => n -> boundFor(n)) :+ ("e1_write_month" -> boundFor("e1_write_month")))},""" +
         s""""steal_ticks":${rows.map(r => "\"" + r._1 + "\":" + r._5).mkString("{", ",", "}")},""" +
+        s""""write_path":${fmt(writeRows)},""" +
         s""""violations":${violations.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     println(json)
     val outName = if (Copies == 10) "SCALE_SMOKE.json" else s"SCALE_SMOKE_x$Copies.json"

@@ -749,6 +749,28 @@ object Dedup {
       when(col("node") === col("cluster"), 1L).otherwise(0L).as("is_keeper"))
   }
 
+  /** Candidate-pair mass of the d02 inverted-index join vs d08's
+    * stop-listed variant, computed WITHOUT running either join: a shingle
+    * hash with document frequency df contributes C(df,2) candidate pairs
+    * to the index self-join, so the totals are one groupBy over the
+    * exploded index. This is the number that explodes quadratically on a
+    * mutually-duplicated corpus (every copy shares every shingle) and the
+    * number [[MaxShingleDf]]'s cutoff bounds — the ScaleSmoke adversarial
+    * gate records both and asserts the stop-listed path stays linear in
+    * the doc count. Returns (naivePairs, stopListedPairs, corpusDocs). */
+  private[graft] def candidatePairStats(s: SparkSession, d: String): (Long, Long, Long) = {
+    val dfreq = shingled(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(col("sh"), sg => polyHash(sg)))).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("dfreq"))
+    val pairs = (col("dfreq") * (col("dfreq") - lit(1)) / lit(2)).cast("long")
+    val r = dfreq.agg(
+      sum(pairs).as("naive"),
+      sum(when(col("dfreq") <= MaxShingleDf, pairs).otherwise(lit(0L))).as("stopped"))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1), corpus(s, d).count())
+  }
+
   /** d12 — [[keeperSelectionStar]] as a DECLARED query on an adversarially
     * DEEP graph: documents chained into one path per `lang` (edge = each
     * doc to its doc_id predecessor within the language), so the deepest

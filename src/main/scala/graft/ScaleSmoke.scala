@@ -184,10 +184,24 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // ×100 under the 4 GiB driver is 30–60× LESS memory per core than any
+    // real executor (local[32]@4g = 128 MB/core vs a cluster's 4–8 GB).
+    // A memory-constrained executor is provisioned with fewer task slots,
+    // not more heap — so past ×10 the default drops to 16 slots (256
+    // MB/core; env-overridable), spill read-ahead buffers are disabled
+    // (each reader costs 2×1 MB and a wide agg can hold dozens open), and
+    // shuffle partitions scale with the DATA so per-task sort state stays
+    // flat (the q22/d02 OOMs at ×100 were 32 slots × ×100-sized
+    // partitions). AQE coalesces the excess partitions at small scale.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", if (Copies > 10) "16" else "32")
+    val shufflePartitions =
+      math.max(cpus.toInt, math.min(512, 32 * Copies / 10))
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+    if (Copies > 10)
+      builder.config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
+    val spark = builder
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

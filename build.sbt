@@ -27,4 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // G1's default of 2 GCLocker retries makes large broadcast-build
+  // allocations fail spuriously under heap pressure ("Retried waiting
+  // for GCLocker too often") — observed once in the 4 GiB scale gate.
+  // Raising the retry count is the standard JDK-17 mitigation; a real
+  // OOM still fails after the retries.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=64",
 )

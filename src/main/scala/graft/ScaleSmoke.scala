@@ -58,7 +58,9 @@ object ScaleSmoke {
     "q22_kernel_full" -> 1.395, "q21_rule_match" -> 1.707,
     "d02_dedup_ngram" -> 3.167, "d03_dedup_minhash" -> 4.810,
     "d07_dedup_keeper" -> 3.239, "c01_corpus_clean" -> 2.600,
-    "q29_moving_agg" -> 2.086, "q15_sessionize" -> 1.650)
+    "q29_moving_agg" -> 2.086, "q15_sessionize" -> 1.650,
+    // round-7 additions, ratcheted from their first committed run
+    "d12_keeper_star_deep" -> 1.614, "e1_write_month" -> 1.244)
 
   def boundFor(name: String): Double =
     if (Copies == 10)
@@ -229,12 +231,18 @@ object ScaleSmoke {
         args.contains("adversarial")) {
       import graft.operators.Dedup
       val adv = ensureAdversarialData(spark, base)
+      var v = Vector.empty[String]
       val (naiveBase, stoppedBase, docsBase) = Dedup.candidatePairStats(spark, base)
       val (naive, stopped, docs) = Dedup.candidatePairStats(spark, adv)
+      // the signature-scheme side of the same story (d03 vs d09): band
+      // buckets of identically-signed copies go quadratic; the stop-listed
+      // signatures stay bounded
+      val (bandNaive, bandStopped) = Dedup.bandCandidateStats(spark, adv)
+      if (bandStopped > 128L * docs)
+        v :+= s"adversarial: d09 band candidates $bandStopped > 128×docs ($docs)"
       // d08 end-to-end on the adversarial corpus — the stop-listed join
       // must COMPLETE comfortably (its candidate mass is `stopped`)
       val (tD08, _) = timed(runNoop(SparkEntry.queries("d08_dedup_stoplist")(spark, adv)))
-      var v = Vector.empty[String]
       // the assertion: stop-listed candidates stay LINEAR in the corpus.
       // Candidate mass counts per-shingle multiplicity, so a doc pairing
       // with its twin through ~70 shared shingles contributes ~70 — the
@@ -255,6 +263,7 @@ object ScaleSmoke {
           s""""docs_base":$docsBase,"docs":$docs,""" +
           s""""naive_candidate_pairs_base":$naiveBase,"naive_candidate_pairs":$naive,""" +
           s""""stoplist_candidate_pairs_base":$stoppedBase,"stoplist_candidate_pairs":$stopped,""" +
+          s""""d03_band_candidate_pairs":$bandNaive,"d09_band_candidate_pairs":$bandStopped,""" +
           s""""d08_sec":$tD08,""" +
           s""""violations":${v.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
       println(json)

@@ -698,13 +698,20 @@ object Dedup {
 
     var iter = 0
     var stable = false
+    // memoized: e is checkpointed, so its count is stable — carrying it
+    // across rounds saves one Spark job per round (the loop's cost is
+    // dominated by per-round job overhead, not data)
+    var eCount = e.count()
     while (!stable && iter < maxIter) {
       val before = sc.getPersistentRDDs.keySet.toSet
       val next = smallStar(largeStar(e)).localCheckpoint()
+      val nextCount = next.count()
       // canonical + distinct on both sides ⇒ equal iff same count and no
-      // element of next missing from e
-      stable = next.count() == e.count() &&
+      // element of next missing from e (&& short-circuits the except job
+      // on a count mismatch)
+      stable = nextCount == eCount &&
         next.exceptAll(e).limit(1).count() == 0L
+      eCount = nextCount
       // the stability check was the old edge set's last use — release its
       // pinned blocks now (see keeperSelection's pinned-block note)
       val nextPinned = pinnedSince(sc, before)
@@ -769,6 +776,34 @@ object Dedup {
       sum(when(col("dfreq") <= MaxShingleDf, pairs).otherwise(lit(0L))).as("stopped"))
       .collect()(0)
     (r.getLong(0), r.getLong(1), corpus(s, d).count())
+  }
+
+  /** Band-bucket candidate mass of d03's LSH join vs d09's stop-listed
+    * variant — the SIGNATURE-scheme analog of [[candidatePairStats]]: a
+    * band bucket holding n docs contributes C(n,2) candidate pairs to the
+    * band equi-join. On a mutually-duplicated corpus every copy signs
+    * identically, so d03's buckets hold whole copy-groups (quadratic
+    * candidates); d09 signs only stop-listed shingle sets, which the
+    * boilerplate regime empties — bounded by construction. Returns
+    * (d03BandPairs, d09BandPairs). */
+  private[graft] def bandCandidateStats(s: SparkSession, d: String): (Long, Long) = {
+    def mass(sig: DataFrame): Long = {
+      val nBands = NumHashes / BandSize
+      val bands = (0 until nBands).map { k =>
+        sig.select(lit(k).as("band_k"), bandCol(k).as("band"))
+      }.reduce(_ unionAll _)
+      val agg = bands.groupBy("band_k", "band").agg(count(lit(1)).as("n"))
+        .agg(sum((col("n") * (col("n") - lit(1)) / lit(2)).cast("long")).as("pairs"))
+        .collect()(0)
+      if (agg.isNullAt(0)) 0L else agg.getLong(0)
+    }
+    def toSig(sets: DataFrame): DataFrame = sets
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.minHashSig(col("hh"), NumHashes).as("sig"))
+      .select(col("doc_id") +: minhashCols: _*)
+    val naiveSets = shingled(s, d).select(col("doc_id"),
+      array_distinct(transform(col("sh"), sg => polyHash(sg))).as("hh"))
+    (mass(toSig(naiveSets)), mass(toSig(stopListedHashSets(s, d, MaxShingleDf))))
   }
 
   /** d12 — [[keeperSelectionStar]] as a DECLARED query on an adversarially

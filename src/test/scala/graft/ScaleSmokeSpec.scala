@@ -27,6 +27,7 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(ScaleSmoke.ratioViolation("d12_keeper_star_deep", 2.9).isEmpty)
     assert(ScaleSmoke.ratioViolation("d12_keeper_star_deep", 3.1).isDefined)
     assert(ScaleSmoke.ratioViolation("e1_write_month", 3.1).isDefined)
+    assert(ScaleSmoke.ratioViolation("s02_ann_lsh", 3.1).isDefined)
     // unknown queries (no history) fall back to the blanket linear bound
     assert(ScaleSmoke.ratioViolation("not_a_gate_query", 11.9).isEmpty)
     assert(ScaleSmoke.ratioViolation("not_a_gate_query", 12.1).isDefined)

@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   * SCALE_SMOKE.json and exits nonzero on any violation. Bench also runs
   * the gate queries once at 10× per bench round (no assertions there) so
   * the numbers land in BENCH_r{N}.json.
+  *
+  * Reading ×100 numbers: they are SINGLE runs under deliberate memory
+  * pressure, and a query that caches an intermediate (d03's signature
+  * frame) can vary several-fold run-to-run as cache eviction forces
+  * recompute (d03 observed 16–49 s at ×100 with near-zero steal; ~16–21 s
+  * in isolation). The ×100 assertion is completion without OOM within the
+  * blanket bound — order-of-magnitude scaling evidence; the tight
+  * per-query ratchet applies at ×10 where runs are repeatable.
   */
 object ScaleSmoke {
 

@@ -35,3 +35,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:+UnlockDiagnosticVMOptions",
   "-XX:GCLockerRetryAllocationCount=64",
 )
+
+// One-command round ritual (round-7 verdict #7): tests → correctness dump →
+// ratcheted ×10 scale gate → bench → doc regeneration, in order, failing
+// fast (sbt command sequences stop at the first failing command).
+addCommandAlias("gates",
+  ";test" +
+  ";runMain graft.Verify /root/testdata/sf0.01 target/verify_out" +
+  ";runMain graft.ScaleSmoke" +
+  ";runMain graft.Bench" +
+  ";runMain graft.CatalogDoc")

@@ -33,10 +33,37 @@ import org.apache.spark.sql.SparkSession
   * queries whose runs disagree by >20% (read their `queries_min`, the
   * median is contaminated). Queries whose timed path would carry a side
   * effect are warmed first so the effect lands outside the timing (q36's
-  * bucketed snapshot pair is written once per JVM by its first run; the
-  * timed runs measure only the zero-Exchange reconcile read).
+  * bucketed snapshot pair and q41's bucketed ods are written once per JVM
+  * by their first run; q39's fact staging likewise — its timed runs still
+  * re-execute the full streaming drain by design). If a side-effect warmup
+  * FAILS, the query is EXCLUDED from timing (its timed runs would carry
+  * the write the warmup exists to absorb — ADVICE r7).
+  *
+  * The bench REACTS to steal, not just flags it (round-7 verdict #1): a
+  * query whose every round-robin run saw nonzero host steal has no
+  * trustworthy observation, so after the round-robin it is re-run (up to
+  * `SPARK_GRAFT_BENCH_RETRIES`, default 2, stopping at the first
+  * zero-steal run) and the new observations join the per-run arrays —
+  * `queries_min`/`value_min` then have at least one quiet run to stand
+  * on. The single-run `scale10` loop retries the same way, keeping the
+  * fastest observation (steal can only inflate). `queries_retried` lists
+  * the queries that needed it; BenchSpec proves the trigger and selection
+  * on synthetic contaminated runs.
   */
 object Bench {
+
+  /** Retry trigger: every recorded run of this query saw nonzero host
+    * steal (and steal was observable at all — the -1 sentinel never
+    * triggers). No run is trustworthy, so the min is still contaminated. */
+  private[graft] def allContaminated(runs: Seq[(Double, Long)]): Boolean =
+    runs.nonEmpty && runs.forall(_._2 > 0)
+
+  /** The observation to keep among repeated runs of one query: minimum
+    * time. A steal burst can only inflate a run, never deflate it, so the
+    * fastest observation is the closest to the quiet-host time —
+    * `value_min`'s argument, applied per observation set. */
+  private[graft] def bestObservation(runs: Seq[(Double, Long)]): (Double, Long) =
+    runs.minBy(_._1)
 
   /** cumulative host steal ticks from /proc/stat (column 8), -1 if absent */
   private def stealTicks(): Long =
@@ -85,42 +112,64 @@ object Bench {
     // the flagship only touches the billing tables — also warm the
     // documents/embeddings read paths and the text/vector codegen, or the
     // alphabetically-first corpus query (c01) absorbs that one-time cost
-    // into all of its timed runs (caches are still cleared per timed run)
-    // q36 additionally writes its bucketed snapshot pair here (once per
-    // JVM), so its timed runs measure the read-only reconcile
-    Seq("t01_token_count", "s03_centroids", "q36_bucketed_reconcile").foreach { n =>
-      SparkEntry.queries.get(n).foreach { f =>
-        try runNoop(f(spark, sfDir))
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
+    // into all of its timed runs (caches are still cleared per timed run).
+    // q36/q41 additionally write their ensure-once artifacts here (bucketed
+    // snapshot pair / bucketed ods) so timed runs measure only reads; q39
+    // stages its streaming source file. For THOSE, a failed warmup means
+    // every timed run would carry the write the warmup absorbs — exclude
+    // the query instead of silently timing the write (ADVICE r7).
+    val excluded = scala.collection.mutable.Map.empty[String, String]
+    val sideEffectWarmed = Set(
+      "q36_bucketed_reconcile", "q39_kernel_streaming", "q41_kernel_bucketed")
+    (Seq("t01_token_count", "s03_centroids") ++ sideEffectWarmed.toSeq.sorted)
+      .foreach { n =>
+        SparkEntry.benchQueries.get(n).foreach { f =>
+          try runNoop(f(spark, sfDir))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warmup $n failed: ${e.getMessage}")
+            if (sideEffectWarmed(n))
+              excluded(n) = s"side-effect warmup failed: ${e.getMessage}"
+          }
         }
       }
-    }
     spark.catalog.clearCache()
 
-    // queries whose timed path would carry a side effect: none since q36's
-    // snapshot writes moved to an ensure-once warmup (round 7); the
-    // mechanism stays for future write-shaped queries
-    val excluded = Map.empty[String, String]
-    val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    val qs = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => excluded.contains(n) }
     // ROUND-ROBIN over queries, not runs-back-to-back: a host steal burst
     // contaminates at most one run per query, so the median/min stay
     // interpretable without a re-run
     val perRun = Array.fill(qs.size)(Vector.empty[(Double, Long)])
-    for (_ <- 1 to runs; ((name, fn), i) <- qs.zipWithIndex) {
+    def timedRun(name: String)(run: => Unit): Option[(Double, Long)] = {
       // queries may cache intermediates — drop them so one run's cache
       // doesn't serve the next run (or pressure the next query's heap)
       spark.catalog.clearCache()
       val s0 = stealTicks()
       val t0 = System.nanoTime()
       try {
-        runNoop(fn(spark, sfDir))
+        run
         val sec = (System.nanoTime() - t0) / 1e9
         val s1 = stealTicks()
-        perRun(i) :+= ((sec, if (s0 >= 0 && s1 >= 0) s1 - s0 else -1L))
+        Some((sec, if (s0 >= 0 && s1 >= 0) s1 - s0 else -1L))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
+      }
+    }
+    for (_ <- 1 to runs; ((name, fn), i) <- qs.zipWithIndex)
+      timedRun(name)(runNoop(fn(spark, sfDir))).foreach(perRun(i) :+= _)
+
+    // steal-reactive retry (round-7 verdict #1): queries whose EVERY run
+    // was steal-contaminated get bounded quiet re-runs appended, stopping
+    // at the first zero-steal observation
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_BENCH_RETRIES", "2").toInt
+    val retriedNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (((name, fn), i) <- qs.zipWithIndex if allContaminated(perRun(i))) {
+      retriedNames += name
+      var tries = 0
+      while (tries < maxRetries && allContaminated(perRun(i))) {
+        timedRun(name)(runNoop(fn(spark, sfDir))).foreach(perRun(i) :+= _)
+        tries += 1
       }
     }
     val results = qs.zipWithIndex.map { case ((name, _), i) =>
@@ -173,13 +222,18 @@ object Bench {
         val dir = ScaleSmoke.ensureData(spark, sfDir)
         val entries = ScaleSmoke.GateQueries.flatMap { n =>
           SparkEntry.queries.get(n).map { fn =>
-            spark.catalog.clearCache()
-            val s0 = stealTicks()
-            val t0 = System.nanoTime()
-            runNoop(fn(spark, dir))
-            val sec = (System.nanoTime() - t0) / 1e9
-            val s1 = stealTicks()
-            (n, sec, if (s0 >= 0 && s1 >= 0) s1 - s0 else -1L)
+            // single-run numbers react to steal too (round-7 verdict #1):
+            // q21's r7 "19.5×" was one 223-tick run — retry while every
+            // observation is contaminated (bounded), keep the fastest
+            var obs = timedRun(n)(runNoop(fn(spark, dir))).toVector
+            var tries = 0
+            while (tries < maxRetries && allContaminated(obs)) {
+              obs ++= timedRun(n)(runNoop(fn(spark, dir)))
+              tries += 1
+            }
+            val (sec, st) =
+              if (obs.nonEmpty) bestObservation(obs) else (-1.0, -1L)
+            (n, sec, st)
           }
         }
         val medians = results.map(r => r._1 -> r._2).toMap
@@ -212,8 +266,10 @@ object Bench {
       .map { case (k, _, _, _, m, _) => "\"" + k + "\":" + m.map(_._2).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val qUnstable = results.filter(_._6).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val qExcluded = excluded
-      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val qRetried = retriedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val qExcluded = excluded.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     // value_min: sum of per-query MINIMA — the steal-immune headline;
     // compare THIS round-over-round (see scaladoc + README §bench)
@@ -223,7 +279,8 @@ object Bench {
       s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","queries":$qMedian,""" +
         s""""queries_min":$qMin,"queries_steal_ticks":$qSteal,"runs":$runs,""" +
         s""""queries_runs":$qRuns,"queries_steal_runs":$qStealRuns,""" +
-        s""""queries_unstable":$qUnstable,"excluded":$qExcluded$scaleJson,""" +
+        s""""queries_unstable":$qUnstable,"queries_retried":$qRetried,""" +
+        s""""excluded":$qExcluded$scaleJson,""" +
         s""""cpu_user_sec":$cpuUser,""" +
         s""""cpu_sys_sec":$cpuSys,"host_steal_ticks":$stealDelta,"sf":"$sfDir"}"""
     println(json)

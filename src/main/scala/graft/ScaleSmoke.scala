@@ -177,25 +177,119 @@ object ScaleSmoke {
   }
 
   /** The OPPOSITE data regime from [[ensureData]] (round-7 verdict item
-    * #7): ×Copies where every copy keeps the base text VERBATIM (ids
-    * shifted only) — the corpus becomes Copies mutual near-duplicates of
-    * itself, the worst real crawl shape, where every shingle's document
-    * frequency grows ×Copies and the d02 inverted-index join's candidate
-    * mass grows ×Copies² BY CONSTRUCTION. The adversarial gate mode runs
-    * on this dataset to prove d08's frequency stop-list keeps the
-    * candidate join bounded where the naive index visibly explodes. */
+    * #7, MIXED per ADVICE r7): copy 0 is the base corpus VERBATIM; copies
+    * 1..Copies rewrite every token with the SAME fixed prefix — a
+    * boilerplate block of Copies mutual exact-duplicates, shingle-DISJOINT
+    * from the base. Every block shingle's document frequency is ≥ Copies >
+    * MaxShingleDf, so the naive d02 index goes quadratic on the block BY
+    * CONSTRUCTION while the stop-list empties exactly the block — and,
+    * because the base corpus's shingle frequencies are untouched, d08 must
+    * still recover the base corpus's near-dup pairs BIT-FOR-BIT. The gate
+    * asserts both: boundedness (candidate mass stays linear) AND signal
+    * (stop-listing boilerplate ≠ dropping everything — the round-7 fixture
+    * of all-verbatim copies emptied the whole index, proving only cost). */
   def ensureAdversarialData(spark: SparkSession, baseDir: String): String = {
-    val dir = s"target/scaleAdv${Copies}_${baseDir.replaceAll("[^A-Za-z0-9.]+", "_")}"
+    val dir = s"target/scaleAdv2_${Copies}_${baseDir.replaceAll("[^A-Za-z0-9.]+", "_")}"
     val done = java.nio.file.Paths.get(dir, "_DONE")
     if (java.nio.file.Files.exists(done)) return dir
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
-    (0 until Copies).foreach { i =>
-      docs.withColumn("doc_id", col("doc_id") + lit(i * IdShift))
+    (0 to Copies).foreach { i =>
+      val text =
+        if (i == 0) col("text")
+        else regexp_replace(col("text"), "([A-Za-z0-9]+)", "zz$1")
+      docs.select(
+          (col("doc_id") + lit(i * IdShift)).as("doc_id"),
+          text.as("text"), col("lang"), col("source"),
+          length(text).cast("long").as("n_chars"))
         .write.mode(if (i == 0) "overwrite" else "append")
         .parquet(s"$dir/documents.parquet")
     }
     java.nio.file.Files.createFile(done)
     dir
+  }
+
+  /** docs/SCALE.md — the three scale artifacts' schema and gate semantics,
+    * generated FROM the code that writes them (same constants, so the doc
+    * cannot drift: ratio bounds come from [[boundFor]], the gate set from
+    * [[GateQueries]]). Emitted by CatalogDoc, freshness-checked by
+    * ScaleSmokeSpec (round-7 verdict item #8). */
+  def scaleDoc: String = {
+    val boundRows = (GateQueries :+ "e1_write_month").map { n =>
+      val rec = RecordedRatio10.get(n).map(r => f"$r%.3f").getOrElse("—")
+      f"| `$n` | $rec | ${boundFor(n)}%.2f |"
+    }.mkString("\n")
+    s"""# Scale gate artifacts
+       |
+       |GENERATED by `sbt "runMain graft.CatalogDoc"` from `graft.ScaleSmoke`
+       |(the code that writes the artifacts) — do not edit by hand.
+       |
+       |Three committed artifacts, all written by `runMain graft.ScaleSmoke`
+       |(nonzero exit on any violation; `violations: []` is the pass signal in
+       |each):
+       |
+       |## SCALE_SMOKE.json — the ×10 ratcheted gate
+       |
+       |Built from sf0.1 by `ensureData` (disjoint ×$Copies copies: ids shifted,
+       |document tokens copy-prefixed, embeddings orthogonally sign-flipped — the
+       |corpus genuinely grows, instead of becoming mutual near-duplicates).
+       |Run with a constrained driver: `SPARK_DRIVER_MEM=4g sbt "runMain
+       |graft.ScaleSmoke"`.
+       |
+       |- `t_base_sec` / `t_scale_sec` — per-gate-query wall time at sf0.1 and
+       |  ×$Copies (warmed, single timed run each; `steal_ticks` is the
+       |  contamination evidence for that pair of runs).
+       |- `ratio` — `t_scale / t_base`; the scaling statistic the gate judges.
+       |- `ratio_bound` — the RATCHETED per-query ceiling: recorded quiet-run
+       |  history × 1.5 headroom, floored at 3.0 (`boundFor`). One-way by
+       |  design — never auto-rebaselined from the latest run, so a slow
+       |  regression cannot ratchet its own bound up. Queries without history
+       |  fall back to the blanket `1.2 × copies`.
+       |- `write_path` — E1's real sink (read → kernel → dynamic-partition
+       |  overwrite) at base and ×$Copies: `e1_write_month_{t_base,t_scale,
+       |  ratio,rerun_diff_rows}`; a second identical write must diff 0 rows
+       |  (idempotency at scale).
+       |- `violations` — ratio bounds, plan shapes (cartesian/BNLJ/lost
+       |  broadcast ladder), pinned-RDD leaks, write-path idempotency.
+       |
+       |Current ratcheted bounds (recorded quiet ratio → bound):
+       |
+       || gate query | recorded ×10 ratio | bound |
+       ||---|---|---|
+       |$boundRows
+       |
+       |## SCALE_SMOKE_x100.json — the ×100 demonstration
+       |
+       |Same gate with `SPARK_GRAFT_SCALE_COPIES=100` (60M lineitem rows, 500k
+       |docs, 1M events): completion without driver OOM under the blanket
+       |bound is the assertion — single runs under deliberate memory pressure
+       |mix algorithmic scaling with cache eviction (README documents the
+       |variance), so the tight per-query ratchet applies at ×10 where runs
+       |are repeatable. A roomy-driver companion (16g) separates the two
+       |regimes.
+       |
+       |## SCALE_ADVERSARIAL.json — the mutual-duplication stress
+       |
+       |`ensureAdversarialData` builds the MIXED worst-case corpus: the base
+       |sf0.1 documents verbatim PLUS $Copies mutual exact-duplicate copies of
+       |a token-rewritten (shingle-disjoint) boilerplate block. Fields:
+       |
+       |- `naive_candidate_pairs[_base]` — d02's inverted-index candidate mass
+       |  (Σ C(df,2) over shingle document frequencies), computed WITHOUT
+       |  running the join; must explode ≥ ×copies²/2 over base or the fixture
+       |  lost its duplication.
+       |- `stoplist_candidate_pairs[_base]` — the same mass after d08's
+       |  df-cutoff; must stay ≤ 128 × docs (linear — the per-doc budget is
+       |  O(shingles per doc), ~74 on the healthy corpus).
+       |- `d03_band_candidate_pairs` / `d09_band_candidate_pairs` — the
+       |  signature-scheme analog (band-bucket C(n,2) mass), naive vs
+       |  stop-listed.
+       |- `d08_sec` — the stop-listed join end-to-end on the adversarial
+       |  corpus.
+       |- `d08_base_pairs`, `d08_signal_missing`, `d08_signal_extra` — the
+       |  SIGNAL check: d08 on the mixed corpus restricted to base ids must
+       |  equal d08 on the base corpus exactly (missing = extra = 0), proving
+       |  the stop-list bounds cost without dropping real near-dup pairs.
+       |""".stripMargin
   }
 
   private[graft] def stealTicks(): Long =
@@ -304,7 +398,26 @@ object ScaleSmoke {
         v :+= s"adversarial: d09 band candidates $bandStopped > 128×docs ($docs)"
       // d08 end-to-end on the adversarial corpus — the stop-listed join
       // must COMPLETE comfortably (its candidate mass is `stopped`)
-      val (tD08, _) = timed(runNoop(SparkEntry.queries("d08_dedup_stoplist")(spark, adv)))
+      val d08fn = SparkEntry.queries("d08_dedup_stoplist")
+      val (tD08, _) = timed(runNoop(d08fn(spark, adv)))
+      // SIGNAL preservation (ADVICE r7): the boilerplate block is shingle-
+      // disjoint from the base, so the base corpus's document frequencies
+      // are untouched — d08 on the mixed corpus restricted to base ids
+      // must equal d08 on the base corpus EXACTLY. This is what the old
+      // all-verbatim fixture couldn't check (it emptied the whole index:
+      // boundedness proven, discrimination not) — the stop-list must bound
+      // cost while KEEPING every real near-dup pair.
+      val basePairs = d08fn(spark, base)
+      val advBasePairs = d08fn(spark, adv)
+        .filter(col("id_a") < IdShift && col("id_b") < IdShift)
+      val d08BaseN = basePairs.count()
+      val signalMissing = basePairs.exceptAll(advBasePairs).count()
+      val signalExtra = advBasePairs.exceptAll(basePairs).count()
+      if (signalMissing + signalExtra != 0)
+        v :+= s"adversarial: d08 signal lost on the mixed corpus " +
+          s"($signalMissing missing, $signalExtra extra of $d08BaseN base pairs)"
+      if (d08BaseN == 0)
+        v :+= "adversarial: base corpus has no d08 pairs — the signal check is vacuous"
       // the assertion: stop-listed candidates stay LINEAR in the corpus.
       // Candidate mass counts per-shingle multiplicity, so a doc pairing
       // with its twin through ~70 shared shingles contributes ~70 — the
@@ -326,7 +439,8 @@ object ScaleSmoke {
           s""""naive_candidate_pairs_base":$naiveBase,"naive_candidate_pairs":$naive,""" +
           s""""stoplist_candidate_pairs_base":$stoppedBase,"stoplist_candidate_pairs":$stopped,""" +
           s""""d03_band_candidate_pairs":$bandNaive,"d09_band_candidate_pairs":$bandStopped,""" +
-          s""""d08_sec":$tD08,""" +
+          s""""d08_sec":$tD08,"d08_base_pairs":$d08BaseN,""" +
+          s""""d08_signal_missing":$signalMissing,"d08_signal_extra":$signalExtra,""" +
           s""""violations":${violationsJson(v)}}"""
       println(json)
       try java.nio.file.Files.writeString(
@@ -429,7 +543,11 @@ object ScaleSmoke {
         s""""write_path":${fmt(writeRows)},""" +
         s""""violations":${violationsJson(violations)}}"""
     println(json)
-    val outName = if (Copies == 10) "SCALE_SMOKE.json" else s"SCALE_SMOKE_x$Copies.json"
+    // SPARK_GRAFT_SCALE_OUT names companion artifacts (e.g. the
+    // roomy-driver ×100 run → SCALE_SMOKE_x100_16g.json) without
+    // clobbering the canonical one
+    val outName = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
+      if (Copies == 10) "SCALE_SMOKE.json" else s"SCALE_SMOKE_x$Copies.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outName), json + "\n")
     catch { case e: Exception => System.err.println(s"[scale] write failed: $e") }

@@ -29,4 +29,14 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] =
     defs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Bench-only entries (q19s/q30s sketch-only shapes): executed and timed
+    * by Bench alongside [[queries]], but never oracle-compared — a foreign
+    * engine cannot hash-match a sketch; their values are spec-pinned
+    * (QuantilesSketchSpec) instead. Kept OUT of [[defs]] so Verify and the
+    * driver's correctness gate see only oracle-checkable entries. */
+  def benchDefs: Seq[QueryDef] = CoreQueries.benchOnly
+
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    (defs ++ benchDefs).map(q => q.name -> q.fn).toMap
 }

@@ -22,7 +22,10 @@ object Calculate {
 
   /** `decimalMoney` opts the kernel's money arithmetic into DECIMAL(18,9)
     * fixed-point (see [[Modes.MoneyDecimal]]); default stays IEEE double
-    * for reference/oracle parity. */
+    * for reference/oracle parity. `ruleStrategy` selects how the rule dim
+    * joins (see [[RuleMatch.RuleDimStrategy]]) — the broadcast ladder by
+    * default, the single-shuffle fallback when contract metadata outgrows
+    * broadcast size. */
   def calculateWithCredits(
       fact: DataFrame, dim: DataFrame,
       extraDiscount: Map[String, Double] = Map.empty,
@@ -30,9 +33,11 @@ object Calculate {
         Modes.Mode4DiscountAmount.LivePython,
       extraDiscountBase: Modes.ExtraDiscountBase =
         Modes.ExtraDiscountBase.LivePython,
-      decimalMoney: Boolean = false): DataFrame =
-    Modes(RuleMatch.addRuleTag(fact, dim), extraDiscount, mode4DiscountAmount,
-      extraDiscountBase, decimalMoney)
+      decimalMoney: Boolean = false,
+      ruleStrategy: RuleMatch.RuleDimStrategy =
+        RuleMatch.RuleDimStrategy.Broadcast): DataFrame =
+    Modes(RuleMatch.addRuleTag(fact, dim, ruleStrategy), extraDiscount,
+      mode4DiscountAmount, extraDiscountBase, decimalMoney)
 
   def calculate(
       rawFact: DataFrame, dim: DataFrame,
@@ -41,10 +46,12 @@ object Calculate {
         Modes.Mode4DiscountAmount.LivePython,
       extraDiscountBase: Modes.ExtraDiscountBase =
         Modes.ExtraDiscountBase.LivePython,
-      decimalMoney: Boolean = false): DataFrame =
+      decimalMoney: Boolean = false,
+      ruleStrategy: RuleMatch.RuleDimStrategy =
+        RuleMatch.RuleDimStrategy.Broadcast): DataFrame =
     calculateWithCredits(
       Credits.deriveCredits(rawFact), dim, extraDiscount, mode4DiscountAmount,
-      extraDiscountBase, decimalMoney)
+      extraDiscountBase, decimalMoney, ruleStrategy)
 }
 
 /** S6 — conform-to-target-table (ref: billing_calculation_service.py:330-435).

@@ -66,7 +66,10 @@ object RuleMatch {
       "invoice_month",
       concat(substring(col("month"), 1, 4), substring(col("month"), 6, 2)))
 
-  private def family(dim: DataFrame, i: Int): DataFrame = {
+  /** Family `i`'s deduplicated rule rows with PLAIN payload names:
+    * presence-filtered, then deterministic first-match dedup (nulls first
+    * in the payload sort). Shared by both join strategies. */
+  private def familyDeduped(dim: DataFrame, i: Int): DataFrame = {
     val (p, s, k) = Presence(i)
     def pred(c: String, present: Boolean): Column =
       if (present) col(c).isNotNull else col(c).isNull
@@ -75,17 +78,65 @@ object RuleMatch {
       .filter(
         pred("project_id", p) && pred("service_description", s) && pred("sku_id", k))
       .select((keys ++ PayloadCols).map(col): _*)
-    // deterministic first-match dedup (nulls first in the payload sort)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(PayloadCols.map(col): _*)
     filtered
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
+  }
+
+  private def family(dim: DataFrame, i: Int): DataFrame = {
+    val keys = keysFor(i)
+    familyDeduped(dim, i)
       .select(keys.map(col) ++ PayloadCols.map(c => col(c).as(s"${c}_r$i")): _*)
   }
 
+  /** The three optional specializer keys; null in the dim means wildcard. */
+  val SpecializerCols: Seq[String] = Seq("project_id", "service_description", "sku_id")
+
+  /** The mandatory rule keys every family joins on. */
+  val RuleKeys: Seq[String] = Seq("invoice_month", "billing_account_id")
+
+  /** All five columns the resolution is a function of. */
+  val MatchKeys: Seq[String] = RuleKeys ++ SpecializerCols
+
+  /** Specificity score: higher = wins. Family 8 (all keys) → 8, …,
+    * family 1 (wildcards only) → 1, following [[Precedence]]. */
+  private def specRank(i: Int): Int = Precedence.length - Precedence.indexOf(i)
+
+  /** How [[addRuleTag]] joins the rule dim to the fact.
+    *
+    * [[RuleDimStrategy.Broadcast]] is the domain default (contract metadata
+    * is small by construction): 8 broadcast hash joins, the fact never
+    * shuffles. [[RuleDimStrategy.Shuffle]] is the 100 TB robustness
+    * fallback for a dim that outgrows broadcast size (SURVEY §2.3's
+    * alternative): ONE shuffle equi-join on (invoice_month,
+    * billing_account_id) + specificity scoring, no broadcast required.
+    * [[RuleDimStrategy.Auto]] picks by a one-job dim row count. */
+  sealed trait RuleDimStrategy
+  object RuleDimStrategy {
+    case object Broadcast extends RuleDimStrategy
+    case object Shuffle extends RuleDimStrategy
+    /** `maxBroadcastRows` ~ rows that comfortably fit an executor-side
+      * hash relation (8 payload+key columns ≈ 100 B/row → default ≈
+      * 400 MB, inside Spark's 8 GB broadcast hard cap with margin). */
+    final case class Auto(maxBroadcastRows: Long = 4000000L) extends RuleDimStrategy
+  }
+
   /** Fact + the 6 payload columns resolved by the rule hierarchy. */
-  def addRuleTag(fact: DataFrame, dimRaw: DataFrame): DataFrame = {
+  def addRuleTag(fact: DataFrame, dimRaw: DataFrame,
+                 strategy: RuleDimStrategy = RuleDimStrategy.Broadcast): DataFrame =
+    strategy match {
+      case RuleDimStrategy.Broadcast => addRuleTagBroadcast(fact, dimRaw)
+      case RuleDimStrategy.Shuffle => addRuleTagShuffle(fact, dimRaw)
+      case RuleDimStrategy.Auto(max) =>
+        // one count job over the dim — metadata-scale by assumption, and a
+        // scan-only aggregate even when it isn't; NOT the fact
+        if (dimRaw.count() <= max) addRuleTagBroadcast(fact, dimRaw)
+        else addRuleTagShuffle(fact, dimRaw)
+    }
+
+  private def addRuleTagBroadcast(fact: DataFrame, dimRaw: DataFrame): DataFrame = {
     val dim = withInvoiceMonth(dimRaw)
     val joined = (1 to 8).foldLeft(fact) { (acc, i) =>
       acc.join(broadcast(family(dim, i)), keysFor(i), "left")
@@ -94,4 +145,75 @@ object RuleMatch {
       acc.withColumn(c, coalesce(Precedence.map(i => col(s"${c}_r$i")): _*))
     }.drop((for (i <- 1 to 8; c <- PayloadCols) yield s"${c}_r$i"): _*)
   }
+
+  /** Family `i` reshaped for the stacked-dim join: the five [[MatchKeys]]
+    * (absent specializers as TYPED nulls = wildcards) + `__spec` + plain
+    * payload. */
+  private def tallFamily(dim: DataFrame, i: Int): DataFrame = {
+    val (p, s, k) = Presence(i)
+    val present = Map(
+      "project_id" -> p, "service_description" -> s, "sku_id" -> k)
+    val withAll = SpecializerCols.foldLeft(familyDeduped(dim, i)) { (df, c) =>
+      if (present(c)) df
+      else df.withColumn(c, lit(null).cast(dim.schema(c).dataType))
+    }
+    withAll.select(
+      (MatchKeys.map(col) :+ lit(specRank(i)).as("__spec")) ++ PayloadCols.map(col): _*)
+  }
+
+  /** The non-broadcast fallback (SURVEY §2.3): semantically IDENTICAL to
+    * the ladder — q21's oracle passes verbatim through this path, and
+    * RuleMatchSpec pins frame-for-frame equality — but the dim is never
+    * broadcast, so it degrades gracefully instead of OOMing when contract
+    * metadata outgrows broadcast size.
+    *
+    * Shape: (1) stack the 8 deduped families into ONE tall dim (null
+    * specializer = wildcard, `__spec` = precedence rank); (2) join the
+    * DISTINCT fact rule-key tuples — resolution is a function of the five
+    * [[MatchKeys]] alone, so the heavy per-row fact never meets the dim —
+    * against the tall dim on the two [[RuleKeys]], wildcard residuals as
+    * post-join filters; (3) resolve PER PAYLOAD COLUMN with
+    * `max(struct(__spec, value))` over non-null cells — a null cell in a
+    * more specific family falls through to the next, exactly the ladder's
+    * per-column coalesce (pandas `df.update` skips NaN per cell); (4) one
+    * null-safe equi-join puts the resolved payload back on the fact.
+    * Every join/agg is key-hashed — no broadcast, no cartesian; Catalyst
+    * still broadcasts the small sides when stats allow, which is the
+    * correct degradation in BOTH directions. */
+  def addRuleTagShuffle(fact: DataFrame, dimRaw: DataFrame): DataFrame = {
+    val dim = withInvoiceMonth(dimRaw)
+    val tall = (1 to 8).map(tallFamily(dim, _)).reduce(_ unionAll _)
+    // rename the dim-side specializers so the residual predicates can name
+    // both sides unambiguously after the rule-key equi-join
+    val t = SpecializerCols.foldLeft(tall)((df, c) => df.withColumnRenamed(c, s"__d_$c"))
+    val fkeys = fact.select(MatchKeys.map(col): _*).distinct()
+    val residual = SpecializerCols
+      .map(c => col(s"__d_$c").isNull || col(s"__d_$c") === col(c))
+      .reduce(_ && _)
+    val matches = fkeys.join(t, RuleKeys, "inner").filter(residual)
+    val resolved = matches
+      .groupBy(MatchKeys.map(col): _*)
+      .agg(
+        winner(PayloadCols.head),
+        PayloadCols.tail.map(winner): _*)
+      .select(MatchKeys.map(c => col(c).as(s"__k_$c")) ++
+        PayloadCols.map(c => col(s"__w_$c").getField("v").as(c)): _*)
+    // null-safe on the specializers: a null fact key matches the wildcard
+    // families in the ladder (equality join keys simply absent there), so
+    // the re-join must carry the null tuple back to its resolution row
+    val cond = RuleKeys.map(c => col(c) === col(s"__k_$c"))
+      .reduce(_ && _) &&
+      SpecializerCols.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+    fact.join(resolved, cond, "left")
+      .drop(MatchKeys.map(c => s"__k_$c"): _*)
+  }
+
+  /** Per-column most-specific-wins as ONE aggregate expression: max over
+    * (specificity, value) structs, nulls (cells AND fully-missing rows)
+    * ignored by max — struct comparison orders on `s` first and `__spec`
+    * is unique per family, so ties are impossible and the pick is
+    * deterministic. */
+  private def winner(c: String): Column =
+    max(when(col(c).isNotNull, struct(col("__spec").as("s"), col(c).as("v"))))
+      .as(s"__w_$c")
 }

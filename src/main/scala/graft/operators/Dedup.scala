@@ -702,26 +702,23 @@ object Dedup {
 
     var iter = 0
     var stable = false
-    // memoized: e is checkpointed, so its count is stable — carrying it
-    // across rounds saves one Spark job per round (the loop's cost is
-    // dominated by per-round job overhead, not data)
-    var eCount = e.count()
     while (!stable && iter < maxIter) {
       val before = sc.getPersistentRDDs.keySet.toSet
       // exactly ONE alternation pair per materialization: each star op
       // references its input 2-3× (the min-agg AND the join probe), so an
       // un-checkpointed nested round would recompute the whole inner chain
       // per reference — measured 1.9× SLOWER than materializing each round
-      // (12.7s vs 6.7s on the sf0.1 deep chain) despite halving the
-      // convergence-check jobs. The checkpoint per round IS the cheap part.
+      // (12.7s vs 6.7s on the sf0.1 deep chain) despite saving the
+      // convergence-check job. The checkpoint per round IS the cheap part.
       val next = smallStar(largeStar(e)).localCheckpoint()
-      val nextCount = next.count()
-      // canonical + distinct on both sides ⇒ equal iff same count and no
-      // element of next missing from e (&& short-circuits the except job
-      // on a count mismatch)
-      stable = nextCount == eCount &&
-        next.exceptAll(e).limit(1).count() == 0L
-      eCount = nextCount
+      // FUSED convergence check (one job, not count + exceptAll): both
+      // sides are canonical DISTINCT edge sets, so next == e iff no (lo,
+      // hi) row appears in exactly ONE of them — a single aggregate over
+      // the union, short-circuited by limit(1). Both inputs are
+      // checkpointed, so the union costs two cached-block scans.
+      stable = next.unionAll(e)
+        .groupBy("lo", "hi").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") === 1).limit(1).count() == 0L
       // the stability check was the old edge set's last use — release its
       // pinned blocks now (see keeperSelection's pinned-block note)
       val nextPinned = pinnedSince(sc, before)

@@ -124,14 +124,20 @@ object Reconcile {
     * ADVICE r6). A JVM-exit hook removes the temp bucket files. */
   private val q36Written = scala.collection.mutable.Map.empty[String, (String, String)]
   private val q36Roots = scala.collection.mutable.Set.empty[String]
+  private val q36Token = new java.util.concurrent.atomic.AtomicInteger(0)
   locally {
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      q36Roots.foreach { r =>
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      // snapshot under the SAME lock ensureBucketedSnapshots mutates under —
+      // mutable.Set is not thread-safe and an exit can race a first write
+      // (ADVICE r7)
+      val roots = q36Written.synchronized(q36Roots.toList)
+      roots.foreach { r =>
         try deleteRecursively(r) catch { case _: Exception => () }
-      }))
+      }
+    }))
   }
 
-  private def deleteRecursively(path: String): Unit = {
+  private[graft] def deleteRecursively(path: String): Unit = {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.exists(p)) {
       val it = java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
@@ -142,7 +148,16 @@ object Reconcile {
 
   /** Write (if not already written in this JVM) and name the co-bucketed
     * snapshot pair for data dir `d`. Synchronized: first caller pays the
-    * write, everyone else reuses the catalog entries. */
+    * write, everyone else reuses the catalog entries.
+    *
+    * A cache MISS with a stale map entry (a second SparkSession in the
+    * same JVM with a fresh in-memory catalog no longer holding the tables)
+    * writes under a FRESH token — the old root is never deleted or reused,
+    * so a lazy frame from the earlier session can still read its files
+    * until JVM exit (the shutdown hook cleans every root). Assumes the
+    * in-memory catalog: the pid+counter-suffixed table names are per-JVM
+    * throwaways; a persistent metastore would need explicit DROPs
+    * (ADVICE r7). */
   private def ensureBucketedSnapshots(s: org.apache.spark.sql.SparkSession,
                                       d: String): (String, String) =
     q36Written.synchronized {
@@ -151,12 +166,12 @@ object Reconcile {
       }
       cached.getOrElse {
         import graft.pipeline.Bucketing
-        val token = s"${d.replaceAll("[^A-Za-z0-9]+", "_")}_${ProcessHandle.current.pid}"
+        val token = s"${d.replaceAll("[^A-Za-z0-9]+", "_")}_" +
+          s"${ProcessHandle.current.pid}_${q36Token.incrementAndGet()}"
         val root = s"${sys.props("java.io.tmpdir")}/graft_q36_$token"
         val (tblOld, tblNew) = (s"graft_q36_old_$token", s"graft_q36_new_$token")
-        // a half-written pair from a crashed attempt in THIS jvm is
-        // impossible (we're inside the lock); stale same-token files from a
-        // pid-reuse collision are cleared before the overwrite
+        // the counter makes the root fresh within this JVM; stale
+        // same-token files can only come from a pid-reuse collision
         deleteRecursively(root)
         val (oldSnap, newSnap) = demoSnapshots(s, d)
         Bucketing.writeBucketed(oldSnap, tblOld, Seq("event_id"), 8, Some(s"$root/old"))

@@ -624,6 +624,37 @@ object CoreQueries {
         r4(col("o_totalprice")).as("total"))
   }
 
+  /** q19s — q19's SKETCH-ONLY shape: `approx_percentile` alone, the literal
+    * production call at 100 TB (q19's declared twin adds the exact side for
+    * the cross-engine error-bound oracle; ADVICE r7 asked that the scalable
+    * shape itself stay executed and timed). Bench-only: a foreign engine
+    * cannot hash-match Spark's sketch, so there is no oracle — the values
+    * are spec-pinned instead (QuantilesSketchSpec, 2%) and the
+    * single-aggregation plan is PlanSpec-pinned. */
+  val q19sQuantilesSketchOnly: QueryDef =
+    QueryDef.noOracle("q19s_quantiles_sketch_only") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").cast("double").as("median_price"),
+          expr("approx_percentile(l_extendedprice, 0.95, 10000)").cast("double").as("p95_price"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").cast("double").as("median_qty"))
+    }
+
+  /** q30s — q30's SKETCH-ONLY shape: `approx_count_distinct` alone (HLL++
+    * registers, KBs per group, no (type, user) shuffle) — the 100 TB
+    * production call, kept executed/timed like q19s. Bench-only, spec- and
+    * PlanSpec-pinned. */
+  val q30sDistinctSketchOnly: QueryDef =
+    QueryDef.noOracle("q30s_distinct_sketch_only") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("n_users_approx"))
+    }
+
+  /** Bench-only registry (timed, never oracle-compared — see q19s/q30s). */
+  val benchOnly: Seq[QueryDef] = Seq(q19sQuantilesSketchOnly, q30sDistinctSketchOnly)
+
   val all: Seq[QueryDef] = Seq(
     q01AggGrain, q02AggWide, q03MinMax, q04Distinct, q05Filter, q06Range,
     q07In, q08Join, q09SemiJoin, q10Union, q11Limit, q12MonthFmt,

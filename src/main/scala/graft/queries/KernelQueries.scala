@@ -279,6 +279,153 @@ object KernelQueries {
       Conform.conformToTarget(out, lit(etlLiteral).cast("timestamp")))
   }
 
+  // ---------- q40: the rule ladder through the NON-BROADCAST fallback ----------
+
+  /** q40 — q21's rule-match through the single-shuffle fallback ([[RuleMatch.addRuleTagShuffle]], SURVEY §2.3): stacked families + specificity resolution, no broadcast required — same oracle as q21 verbatim, because the strategies must be result-indistinguishable. */
+  val q40RuleMatchShuffle = QueryDef(
+    "q40_rule_match_shuffle",
+    q21RuleMatch.oracle.get) { (s, d) =>
+    RuleMatch.addRuleTag(BillingDemo.fact(s, d), BillingDemo.dim(s, d),
+        RuleMatch.RuleDimStrategy.Shuffle)
+      .select(
+        (matchOutKeys.map(col) ++ Seq(
+          col("mode"), Stable.r4(col("discount")).as("discount"),
+          Stable.r4(col("price")).as("price"),
+          col("credit_fields"), col("customer_id"), col("contract_id"))): _*)
+  }
+
+  // ---------- q39: the streaming kernel, drained and read back ----------
+
+  /** Per-(JVM, data dir) staged fact parquet for the streaming source —
+    * written once, synchronized; ONE file so `AvailableNow` drains it as a
+    * single micro-batch (the dynamic-overwrite sink then cannot overwrite
+    * an earlier batch's partitions — StreamingSpec's staging note). Run
+    * dirs (out + checkpoint) are FRESH per invocation, so every timed run
+    * re-executes the full drain; the shutdown hook cleans all roots
+    * (snapshot under the same lock the writers mutate under). */
+  private val q39Staged = scala.collection.mutable.Map.empty[String, String]
+  private val q39Roots = scala.collection.mutable.Set.empty[String]
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val roots = q39Staged.synchronized(q39Roots.toList)
+      roots.foreach { r =>
+        try graft.operators.Reconcile.deleteRecursively(r)
+        catch { case _: Exception => () }
+      }
+    }))
+  }
+
+  private def ensureStagedFact(s: org.apache.spark.sql.SparkSession, d: String): String =
+    q39Staged.synchronized {
+      q39Staged.getOrElse(d, {
+        val root = java.nio.file.Files.createTempDirectory("graft_q39_staged").toString
+        q39Roots += root
+        BillingDemo.fact(s, d).coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/staged")
+        q39Staged(d) = s"$root/staged"
+        s"$root/staged"
+      })
+    }
+
+  /** q39 — the STREAMING kernel as an oracle-checked entry (round-7 verdict
+    * item #4): the same pure kernel q22 declares, executed through
+    * Structured Streaming — `readStream` over the staged fact →
+    * `foreachBatch` kernel → idempotent partitioned sink, drained with
+    * `AvailableNow` — then read back and conformed. q22's oracle applies
+    * VERBATIM: batch and stream share one kernel, so the nightly job and
+    * the live feed provably cannot drift (StreamingSpec additionally pins
+    * byte-parity and checkpoint-restart convergence; this makes the claim
+    * a standing cross-engine hash check). */
+  val q39KernelStreaming = QueryDef(
+    "q39_kernel_streaming",
+    taggedSql + kernelSuffixSql()) { (s, d) =>
+    val staged = ensureStagedFact(s, d)
+    val run = java.nio.file.Files.createTempDirectory("graft_q39_run").toString
+    q39Staged.synchronized { q39Roots += run }
+    val fact = BillingDemo.fact(s, d)
+    val dim = BillingDemo.dim(s, d)
+    val etl = lit(etlLiteral).cast("timestamp")
+    val stream = s.readStream.schema(fact.schema).parquet(staged)
+    val q = graft.streaming.StreamJobs.streamingKernel(
+      stream, dim, s"$run/out", s"$run/ckpt",
+      BillingDemo.demoExtraDiscount, etlTime = etl).start()
+    require(q.awaitTermination(600000), "q39: streaming drain did not finish within 600s")
+    // partition columns return from the directory layout with inferred
+    // types — realign every column to the conform schema (derived from a
+    // 0-row pass through the batch kernel: plan-only, no job), then round
+    // exactly like q22
+    val template = Conform.conformToTarget(
+      Calculate.calculateWithCredits(
+        fact.limit(0), dim, BillingDemo.demoExtraDiscount), etl)
+    roundDoubles(
+      s.read.parquet(s"$run/out")
+        .select(template.schema.fields.toIndexedSeq
+          .map(f => col(f.name).cast(f.dataType).as(f.name)): _*))
+  }
+
+  // ---------- q41: the kernel over a PRE-BUCKETED ods (zero-Exchange path) ----------
+
+  /** Per-(JVM, data dir) bucketed ods table: the raw fact (arrays dropped)
+    * written ONCE bucketed on (invoice_month, billing_account_id) — the
+    * ingest-time layout that lets the kernel's only shuffle (the grain-13
+    * aggregation) disappear, because a hash partitioning on a SUBSET of
+    * the grouping keys already satisfies the aggregation's clustering
+    * requirement. Fresh token per (re)creation, old roots never deleted or
+    * reused mid-JVM (same hazard class as q36 — ADVICE r7); in-memory
+    * catalog assumed. */
+  private val q41Written = scala.collection.mutable.Map.empty[String, String]
+  private val q41Roots = scala.collection.mutable.Set.empty[String]
+  private val q41Token = new java.util.concurrent.atomic.AtomicInteger(0)
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val roots = q41Written.synchronized(q41Roots.toList)
+      roots.foreach { r =>
+        try graft.operators.Reconcile.deleteRecursively(r)
+        catch { case _: Exception => () }
+      }
+    }))
+  }
+
+  private def ensureBucketedOds(s: org.apache.spark.sql.SparkSession, d: String): String =
+    q41Written.synchronized {
+      val cached = q41Written.get(d).filter(s.catalog.tableExists)
+      cached.getOrElse {
+        val token = s"${d.replaceAll("[^A-Za-z0-9]+", "_")}_" +
+          s"${ProcessHandle.current.pid}_${q41Token.incrementAndGet()}"
+        val tbl = s"graft_q41_ods_$token"
+        val root = s"${sys.props("java.io.tmpdir")}/graft_q41_$token"
+        graft.operators.Reconcile.deleteRecursively(root) // pid-reuse stale files only
+        graft.pipeline.Bucketing.writeBucketed(
+          BillingDemo.rawFact(s, d).drop("credits_type", "credits_amount"),
+          tbl, Seq("invoice_month", "billing_account_id"), 16, Some(root))
+        q41Roots += root
+        q41Written(d) = tbl
+        tbl
+      }
+    }
+
+  /** q41 — E1's kernel reading a PRE-BUCKETED ods (round-7 verdict item
+    * #6): the grain-13 aggregation plans with ZERO Exchange because the
+    * bucketed scan already reports hash partitioning on (invoice_month,
+    * billing_account_id) ⊆ the grouping keys — so the ENTIRE kernel plan
+    * carries no shuffle at all (the ladder broadcasts; PlanSpec pins it).
+    * At 100 TB this is the bucketed-ingest story: pay the ods shuffle once
+    * at ingest, and every nightly kernel run afterwards is scan → in-place
+    * agg → broadcast joins → write. Results are identical to q22 (layout
+    * is not semantics), hence q22's oracle verbatim. */
+  val q41KernelBucketed = QueryDef(
+    "q41_kernel_bucketed",
+    taggedSql + kernelSuffixSql()) { (s, d) =>
+    val fact = graft.pipeline.Bucketing.readBucketed(s, ensureBucketedOds(s, d))
+      .groupBy(BillingDemo.grain13.map(col): _*)
+      .agg(BillingDemo.measures.map(m => sum(m).as(m)).head,
+        BillingDemo.measures.tail.map(m => sum(m).as(m)): _*)
+    val out = Calculate.calculateWithCredits(
+      fact, BillingDemo.dim(s, d), BillingDemo.demoExtraDiscount)
+    roundDoubles(
+      Conform.conformToTarget(out, lit(etlLiteral).cast("timestamp")))
+  }
+
   // ---------- q38: decimal fixed-point money, end-to-end vs a DECIMAL oracle ----------
 
   /** Quantized fact: money measures fixed to 4 decimals BEFORE entering the
@@ -371,5 +518,6 @@ object KernelQueries {
 
   val all: Seq[QueryDef] =
     Seq(q20CreditsPivot, q21RuleMatch, q22KernelFull, q23KernelFromArrays,
-      q24KernelSqlVariant, q38KernelDecimal)
+      q24KernelSqlVariant, q38KernelDecimal, q39KernelStreaming,
+      q40RuleMatchShuffle, q41KernelBucketed)
 }

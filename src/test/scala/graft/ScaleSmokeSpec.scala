@@ -33,6 +33,14 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(ScaleSmoke.ratioViolation("not_a_gate_query", 12.1).isDefined)
   }
 
+  test("docs/SCALE.md is current (generated from the code that writes the artifacts)") {
+    val p = java.nio.file.Paths.get("docs/SCALE.md")
+    assert(java.nio.file.Files.exists(p),
+      "docs/SCALE.md missing — run `sbt \"runMain graft.CatalogDoc\"`")
+    assert(java.nio.file.Files.readString(p) == ScaleSmoke.scaleDoc,
+      "docs/SCALE.md is stale — regenerate with `sbt \"runMain graft.CatalogDoc\"`")
+  }
+
   test("candidate-pair accounting: stop-list can only shrink the candidate mass") {
     val (naive, stopped, docs) =
       graft.operators.Dedup.candidatePairStats(spark, "/root/testdata/sf0.001")

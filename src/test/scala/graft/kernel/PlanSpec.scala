@@ -259,6 +259,117 @@ class PlanSpec extends SparkSpec {
     assert(!p30.contains("Join"), "q30 grew a join")
   }
 
+  /** Shuffle exchanges on the DATA path: Exchange nodes reachable without
+    * crossing into a BroadcastExchange subtree. The demo dim legitimately
+    * shuffles inside its broadcast subtrees (41-row window dedup per
+    * family) — scale-independent metadata work; what the 100 TB contract
+    * pins is the FACT side. */
+  private def dataSideShuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+    p match {
+      case _: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => 0
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        1 + s.children.map(dataSideShuffles).sum
+      case other => other.children.map(dataSideShuffles).sum
+    }
+
+  test("q40's shuffle fallback plans ONE stacked-dim join, not the 8-family ladder") {
+    // broadcast is no longer FORCED: Catalyst may still broadcast the small
+    // demo dim (correct degradation in the small-dim direction), but the
+    // 8-family ladder must be gone — the dim meets the fact-key frame once
+    // (tall stack) and the resolved payload re-joins once
+    val p = planOf(KernelQueries.q40RuleMatchShuffle.fn(spark, sf))
+    val joins = "BroadcastHashJoin".r.findAllIn(p).size +
+      "SortMergeJoin".r.findAllIn(p).size +
+      "ShuffledHashJoin".r.findAllIn(p).size
+    assert(joins <= 2, s"q40 kept a join ladder ($joins joins):\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // the demo dim is BUILT with a bounded broadcast cross join (41 rules ×
+    // memoized months) — scale-independent BNLJs by construction (same
+    // allowance as ScaleSmoke's kernel check); anything beyond them is real
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 8,
+      s"q40 grew a non-dim nested-loop join:\n$p")
+  }
+
+  test("with broadcast disabled q40 degrades to shuffle joins where the ladder would fail") {
+    // the large-dim regime the fallback exists for: no broadcast anywhere,
+    // the plan must still be pure key-hashed joins (SortMerge/ShuffledHash)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = KernelQueries.q40RuleMatchShuffle.fn(spark, sf)
+      val p = planOf(df)
+      assert(!p.contains("BroadcastHashJoin"),
+        s"q40 still broadcasts with the threshold off:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"q40 lost its shuffle joins:\n$p")
+      // and the regime switch is plan-only: results equal q21's verbatim
+      val direct = KernelQueries.q21RuleMatch.fn(spark, sf)
+      assert(df.exceptAll(direct).isEmpty && direct.exceptAll(df).isEmpty,
+        "q40 under forced-shuffle diverged from q21")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+  }
+
+  test("Auto strategy picks the ladder for a small dim and the fallback past the size cap") {
+    import graft.kernel.RuleMatch.RuleDimStrategy
+    val fact = BillingDemo.fact(spark, sf)
+    val dim = BillingDemo.dim(spark, sf)
+    val auto = planOf(RuleMatch.addRuleTag(fact, dim, RuleDimStrategy.Auto()))
+    assert("BroadcastHashJoin".r.findAllIn(auto).size >= 8,
+      s"Auto on a small dim should keep the 8-family ladder:\n$auto")
+    val forced = planOf(RuleMatch.addRuleTag(fact, dim, RuleDimStrategy.Auto(maxBroadcastRows = 0)))
+    assert("BroadcastHashJoin".r.findAllIn(forced).size +
+      "SortMergeJoin".r.findAllIn(forced).size <= 2,
+      s"Auto past the cap should pick the single-join fallback:\n$forced")
+  }
+
+  test("q41's bucketed-ods kernel has a ZERO-shuffle fact path — and equals q22 exactly") {
+    // AQE wraps the tree in a leaf AdaptiveSparkPlanExec, which would hide
+    // the children from the structural walk — plan without it (Exchange
+    // placement is decided by EnsureRequirements either way)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val df = KernelQueries.q41KernelBucketed.fn(spark, sf)
+    val plan = planOf(df)
+    // the bucketed scan reports hash partitioning on (invoice_month,
+    // billing_account_id) ⊆ the grain-13 grouping keys, so the kernel's
+    // ONLY fact-side shuffle (the grain aggregation) disappears: partial
+    // and final HashAggregate fuse over the bucketed scan. (The broadcast
+    // dim subtrees keep their scale-independent 41-row window shuffles —
+    // excluded by dataSideShuffles, exactly what q22 also carries.)
+    assert(plan.contains("Bucketed: true"), s"q41 lost its bucketed scan:\n$plan")
+    assert(dataSideShuffles(df.queryExecution.executedPlan) == 0,
+      s"bucketed-ods kernel still shuffles the fact:\n$plan")
+    // ...where q22's identical kernel over the raw parquet pays exactly one
+    val q22 = KernelQueries.q22KernelFull.fn(spark, sf)
+    assert(dataSideShuffles(q22.queryExecution.executedPlan) == 1,
+      "q22's fact path no longer shuffles once — the q41 comparison is stale")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 8,
+      s"q41 lost the broadcast ladder:\n$plan")
+    // layout is not semantics: q41 ≡ q22 row-for-row
+    assert(df.exceptAll(q22).isEmpty && q22.exceptAll(df).isEmpty,
+      "bucketed-ods kernel diverged from q22")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
+  test("the sketch-only bench entries keep single-aggregation sketch plans") {
+    // q19s: one grouped aggregate, no join, ≤1 Exchange, and ONLY the
+    // sketch (the exact percentile would buffer whole groups on reducers)
+    val p19 = planOf(CoreQueries.q19sQuantilesSketchOnly.fn(spark, sf))
+    assert("Exchange".r.findAllIn(p19).size <= 1 && !p19.contains("Join"),
+      s"q19s grew beyond one aggregation:\n$p19")
+    assert(p19.contains("approx_percentile"), s"q19s lost its sketch:\n$p19")
+    assert(!p19.replace("approx_percentile", "").contains("percentile"),
+      s"q19s picked the exact percentile back up:\n$p19")
+    // q30s: HLL registers ride ONE two-phase aggregate — no countDistinct
+    // Expand (that's the exact side's shape), so ≤1 Exchange
+    val p30 = planOf(CoreQueries.q30sDistinctSketchOnly.fn(spark, sf))
+    assert("Exchange".r.findAllIn(p30).size <= 1 && !p30.contains("Join"),
+      s"q30s grew beyond one aggregation:\n$p30")
+    assert(p30.contains("approx_count_distinct"), s"q30s lost its sketch:\n$p30")
+    assert(!p30.contains("Expand"), s"q30s picked exact countDistinct back up:\n$p30")
+  }
+
   test("the billing demo dim stays small enough to broadcast at any fact scale") {
     // dim cardinality = 41 rules × fact months — independent of fact ROWS
     val dim = BillingDemo.dim(spark, sf)

@@ -124,4 +124,68 @@ class RuleMatchSpec extends SparkSpec {
     assert(rows.size == 1) // no fan-out
     assert(rows.head.getAs[String]("contract_id") == "CTR-a") // first under payload sort
   }
+
+  test("shuffle fallback ≡ broadcast ladder on every semantic branch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val outCols = Seq("billing_account_id", "project_id", "service_description",
+      "sku_id", "mode", "discount", "price", "credit_fields", "customer_id",
+      "contract_id")
+    def both(facts: Seq[Fact], rules: Seq[Rule]): (Seq[Row], Seq[Row]) = {
+      def go(st: RuleMatch.RuleDimStrategy) =
+        RuleMatch.addRuleTag(facts.toDF(), rules.toDF(), st)
+          .select(outCols.map(col): _*)
+          .collect().toSeq.sortBy(_.toString)
+      (go(RuleMatch.RuleDimStrategy.Broadcast),
+        go(RuleMatch.RuleDimStrategy.Shuffle))
+    }
+    val allPatterns = (1 to 8).map { i =>
+      val (p, s, k) = RuleMatch.Presence(i)
+      Rule("2026-01", "A",
+        project_id = if (p) Some("p1") else None,
+        service_description = if (s) Some("s1") else None,
+        sku_id = if (k) Some("k1") else None,
+        mode = Some(i), contract_id = Some(s"CTR$i"))
+    }
+    val scenarios: Seq[(String, Seq[Fact], Seq[Rule])] = Seq(
+      ("all 8 patterns compete", Seq(fact("A")), allPatterns),
+      ("per-column fallthrough", Seq(fact("A")), Seq(
+        Rule("2026-01", "A", project_id = Some("p1"), mode = Some(2),
+          customer_id = Some("CU-specific")),
+        Rule("2026-01", "A", mode = Some(1), discount = Some(0.9),
+          customer_id = Some("CU-base")))),
+      ("dup keys in one family", Seq(fact("A")), Seq(
+        Rule("2026-01", "A", mode = Some(1), contract_id = Some("CTR-a")),
+        Rule("2026-01", "A", mode = Some(1), contract_id = Some("CTR-b")))),
+      ("no match at all", Seq(fact("A", proj = "OTHER")), Seq(
+        Rule("2026-01", "A", project_id = Some("p1"), mode = Some(2)))),
+      ("wrong month", Seq(fact("A")), Seq(
+        Rule("2026-02", "A", mode = Some(1)))),
+      // a NULL fact specializer must match wildcard families (the ladder's
+      // equality keys are simply absent there) — pins the null-safe re-join
+      ("null fact key hits wildcards only", Seq(fact("A", proj = null)), Seq(
+        Rule("2026-01", "A", project_id = Some("p1"), mode = Some(2)),
+        Rule("2026-01", "A", mode = Some(1), contract_id = Some("CTR-w")))),
+      ("mixed accounts and specificities",
+        Seq(fact("A"), fact("B", svc = "s2"), fact("C", sku = "k9")),
+        allPatterns ++ Seq(
+          Rule("2026-01", "B", service_description = Some("s2"), mode = Some(3)),
+          Rule("2026-01", "C", mode = Some(5), price = Some(2.0)))))
+    scenarios.foreach { case (label, facts, rules) =>
+      val (b, s) = both(facts, rules)
+      assert(b == s, s"strategies diverged on: $label\nbroadcast=$b\nshuffle=$s")
+    }
+  }
+
+  test("Auto strategy is result-identical in both regimes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val facts = Seq(fact("A")); val rules = Seq(
+      Rule("2026-01", "A", mode = Some(1), discount = Some(0.9)))
+    def go(st: RuleMatch.RuleDimStrategy) =
+      RuleMatch.addRuleTag(facts.toDF(), rules.toDF(), st)
+        .select(col("mode"), col("discount")).collect().toSeq
+    assert(go(RuleMatch.RuleDimStrategy.Auto()) ==
+      go(RuleMatch.RuleDimStrategy.Auto(maxBroadcastRows = 0)))
+  }
 }

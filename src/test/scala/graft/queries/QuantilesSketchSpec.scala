@@ -53,4 +53,30 @@ class QuantilesSketchSpec extends SparkSpec {
         s"${r.getString(0)}: estimate drifted past 5%")
     }
   }
+
+  test("the bench-only sketch-only entries (q19s/q30s) stay value-pinned at 2%") {
+    // these carry no oracle (a foreign engine can't hash-match a sketch) —
+    // THIS is their correctness pin, against the exact aggregates computed
+    // independently (ADVICE r7: the scalable shape stays executed AND held
+    // to a bound, not just timed)
+    import org.apache.spark.sql.functions.{col, countDistinct, expr}
+    val exactQ = graft.tables.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("em"),
+        expr("percentile(l_extendedprice, 0.95)").as("ep"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    CoreQueries.q19sQuantilesSketchOnly.fn(spark, sf).collect().foreach { r =>
+      val (em, ep) = exactQ(r.getString(0))
+      assert(math.abs(r.getAs[Double]("median_price") - em) / em < 0.02)
+      assert(math.abs(r.getAs[Double]("p95_price") - ep) / ep < 0.02)
+    }
+    val exactD = graft.tables.Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    CoreQueries.q30sDistinctSketchOnly.fn(spark, sf).collect().foreach { r =>
+      val e = exactD(r.getString(0))
+      assert(math.abs(r.getAs[Long]("n_users_approx") - e).toDouble / e < 0.02)
+    }
+  }
 }

@@ -274,6 +274,21 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.sources.partitionColumnTypeInference.enabled")
   }
 
+  test("q39 (the DECLARED streaming-kernel query) equals q22 row-for-row") {
+    import graft.queries.KernelQueries
+    // the oracle-checked entry (round-7 verdict #4): its fn stages, drains
+    // with AvailableNow, reads back and conforms — the result must be
+    // exactly the batch kernel's declared query, because they share one
+    // kernel and one oracle SQL string (verbatim)
+    val sf = "/root/testdata/sf0.001"
+    val streamed = KernelQueries.q39KernelStreaming.fn(spark, sf)
+    val batch = KernelQueries.q22KernelFull.fn(spark, sf)
+    assert(KernelQueries.q39KernelStreaming.oracle == KernelQueries.q22KernelFull.oracle)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "declared streaming kernel diverged from the declared batch kernel")
+  }
+
   test("streamingKernel per-batch output equals the batch kernel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

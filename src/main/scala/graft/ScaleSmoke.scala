@@ -38,12 +38,14 @@ object ScaleSmoke {
     * event-time shapes (value-range moving agg, sessionization), and the
     * deep-graph star keeper (chain depth grows ×Copies here — en's path
     * goes 2,180 → 21,800 — while star rounds grow only ~log: the O(log d)
-    * claim, executed). */
+    * claim, executed), plus the rule ladder's NON-BROADCAST fallback
+    * (q40 — the path that runs at 100 TB when the dim outgrows broadcast
+    * size must itself scale, not just match q21's oracle). */
   val GateQueries: Seq[String] = Seq(
     "q22_kernel_full", "q21_rule_match", "d02_dedup_ngram",
     "d03_dedup_minhash", "d07_dedup_keeper", "c01_corpus_clean",
     "q29_moving_agg", "q15_sessionize", "d12_keeper_star_deep",
-    "s02_ann_lsh")
+    "s02_ann_lsh", "q40_rule_match_shuffle")
 
   /** Scale factor of the generated dataset. Default ×10; set
     * SPARK_GRAFT_SCALE_COPIES=100 for the heavyweight ×100 demonstration
@@ -88,6 +90,35 @@ object ScaleSmoke {
     val bound = boundFor(name)
     if (ratio > bound) Some(f"$name: superlinear scaling $ratio%.1f× (>$bound%.2f)")
     else None
+  }
+
+  /** Bounded retry-on-violation for one gate query (the ScaleSmoke twin of
+    * Bench's steal-reactive retry, round-7 verdict item #1): while the
+    * ratio is out of bounds and retries remain, re-measure BOTH sides and
+    * keep each side's minimum. Host steal, GC pressure and cache eviction
+    * can only INFLATE a run — so per-side minima converge on the quiet
+    * observation — while a genuine superlinear regression reproduces on
+    * every retry and still fails the gate (ScaleSmokeSpec proves both
+    * directions). Min on the BASE side is anti-masking: a contaminated
+    * base deflates the ratio, so replacing it with a quieter run makes the
+    * gate stricter, never looser. Returns (t_base, t_scale, steal of the
+    * kept pair, retries used). */
+  private[graft] def measureWithRetry(name: String, maxRetries: Int)(
+      measureBase: () => (Double, Long),
+      measureScale: () => (Double, Long)): (Double, Double, Long, Int) = {
+    var (t1, s1) = measureBase()
+    var (t10, s10) = measureScale()
+    var tries = 0
+    while (tries < maxRetries && ratioViolation(name, t10 / t1).isDefined) {
+      tries += 1
+      System.err.println(
+        f"[scale] $name over bound at ${t10 / t1}%.2f× — quiet retry $tries")
+      val (b, bs) = measureBase()
+      if (b < t1) { t1 = b; s1 = bs }
+      val (sc, ss) = measureScale()
+      if (sc < t10) { t10 = sc; s10 = ss }
+    }
+    (t1, t10, if (s1 >= 0 && s10 >= 0) s1 + s10 else -1L, tries)
   }
 
   def scaleDirFor(baseDir: String): String =
@@ -236,9 +267,16 @@ object ScaleSmoke {
        |graft.ScaleSmoke"`.
        |
        |- `t_base_sec` / `t_scale_sec` — per-gate-query wall time at sf0.1 and
-       |  ×$Copies (warmed, single timed run each; `steal_ticks` is the
-       |  contamination evidence for that pair of runs).
+       |  ×$Copies (warmed; `steal_ticks` is the contamination evidence for
+       |  the kept pair of runs).
        |- `ratio` — `t_scale / t_base`; the scaling statistic the gate judges.
+       |- `retries` — quiet retries used per query (`measureWithRetry`): an
+       |  out-of-bounds ratio triggers up to SPARK_GRAFT_SCALE_RETRIES
+       |  (default 2) re-measurements of BOTH sides, keeping per-side minima.
+       |  Contamination (steal/GC/cache eviction) only inflates a run, so the
+       |  minima converge on the quiet observation; a real superlinear
+       |  regression reproduces on every retry and still fails. A nonzero
+       |  entry here with no violation = a transient burst was absorbed.
        |- `ratio_bound` — the RATCHETED per-query ceiling: recorded quiet-run
        |  history × 1.5 headroom, floored at 3.0 (`boundFor`). One-way by
        |  design — never auto-rebaselined from the latest run, so a slow
@@ -321,12 +359,16 @@ object ScaleSmoke {
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
     // the kernel's demo dim is BUILT with a bounded broadcast cross join
     // (41 rules × distinct months, both sides driver-memoized metadata) and
-    // that construction is repeated inside each of the 8 family broadcast
-    // subtrees — 8 scale-independent BNLJs by construction (the fact-scan
-    // count, which is what actually scales, is PlanSpec-pinned at 1).
-    // Anything beyond them — or any BNLJ in the corpus queries — is a real
-    // scale hazard.
-    val bnljAllowed = if (isKernel) 8 else 0
+    // that construction is repeated inside each of the 8 family subtrees —
+    // broadcast-ladder families for q21/q22, stacked tall-union families
+    // for q40's shuffle fallback — 8 scale-independent BNLJs by
+    // construction (the fact-scan count, which is what actually scales, is
+    // PlanSpec-pinned at 1). Anything beyond them — or any BNLJ in the
+    // corpus queries — is a real scale hazard. q40 gets the construction
+    // allowance but NOT the kernel ladder requirement: its whole point is
+    // resolving the rules without broadcasting the dim.
+    val dimConstructed = isKernel || name == "q40_rule_match_shuffle"
+    val bnljAllowed = if (dimConstructed) 8 else 0
     val common = Seq(
       "CartesianProduct" -> plan.contains("CartesianProduct"),
       s"BroadcastNestedLoopJoin ($bnlj > $bnljAllowed allowed)" -> (bnlj > bnljAllowed))
@@ -459,6 +501,7 @@ object ScaleSmoke {
     catch { case e: Throwable => System.err.println(s"[scale] warmup failed: $e") }
 
     var violations = Vector.empty[String]
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_SCALE_RETRIES", "2").toInt
     val rows = GateQueries.map { name =>
       System.err.println(s"[scale] gate query: $name")
       val fn = SparkEntry.queries(name)
@@ -467,14 +510,15 @@ object ScaleSmoke {
       // ratio (observed: q22 cold 16s vs warm 8s at sf0.1)
       try runNoop(fn(spark, base))
       catch { case e: Throwable => System.err.println(s"[scale] warm $name: $e") }
-      val (t1, s1) = timed(runNoop(fn(spark, base)))
-      val (t10, s10) = timed(runNoop(fn(spark, dir)))
+      val (t1, t10, steal, tries) = measureWithRetry(name, maxRetries)(
+        () => timed(runNoop(fn(spark, base))),
+        () => timed(runNoop(fn(spark, dir))))
       val plan = fn(spark, dir).queryExecution.executedPlan.toString
       val pv = planViolations(name, plan).map(v => s"$name: $v")
       val ratio = t10 / t1
       violations ++= ratioViolation(name, ratio)
       violations ++= pv
-      (name, t1, t10, ratio, s1 + s10)
+      (name, t1, t10, ratio, steal, tries)
     }
 
     // E1's real sink at scale (round-7 verdict item #5): the gate queries
@@ -540,6 +584,7 @@ object ScaleSmoke {
         s""""ratio":${fmt(rows.map(r => r._1 -> r._4))},""" +
         s""""ratio_bound":${fmt(GateQueries.map(n => n -> boundFor(n)) :+ ("e1_write_month" -> boundFor("e1_write_month")))},""" +
         s""""steal_ticks":${rows.map(r => "\"" + r._1 + "\":" + r._5).mkString("{", ",", "}")},""" +
+        s""""retries":${rows.map(r => "\"" + r._1 + "\":" + r._6).mkString("{", ",", "}")},""" +
         s""""write_path":${fmt(writeRows)},""" +
         s""""violations":${violationsJson(violations)}}"""
     println(json)

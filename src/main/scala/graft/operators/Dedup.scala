@@ -22,7 +22,10 @@ import graft.tables.Tables
   *  - d07 keeper selection — near-dup pairs → connected components →
   *    one keeper per cluster (iterative min-label propagation);
   *  - d08 n-gram Jaccard with a hot-shingle stop-list — d02 hardened for
-  *    real web boilerplate (frequency cutoff before the index join).
+  *    real web boilerplate (frequency cutoff before the index join);
+  *  - d13 semantic dedup (SemDeDup) — centroid-cell assignment, then a
+  *    within-cell cosine prune keeping the member furthest from the
+  *    centroid (the cluster bound makes the pair join tractable).
   *
   * The synthetic corpus has (almost) no real near-dups, so d02–d04 dedup a
   * corpus of each doc UNION a deterministically mutated twin (prefix cut) —
@@ -863,8 +866,76 @@ object Dedup {
         when(col("node") === col("cluster"), 1L).otherwise(0L).as("is_keeper"))
   }
 
+  // ---------- d13: semantic dedup (cluster, then within-cell prune) ----------
+
+  /** d13 — SEMANTIC dedup in the SemDeDup shape (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest centroid cell
+    * (s03's trained centroids, inlined as a broadcast literal — a per-row
+    * argmax projection, no shuffle), then WITHIN each cell mark a vector
+    * as a duplicate if some cell-mate is ≥ [[CosineThreshold]] similar AND
+    * is kept over it — the paper keeps the member FURTHEST from the
+    * centroid (lowest centroid-cosine; ties to the smaller id). Emits the
+    * full per-vector verdict (vec_id, cell, centroid_cos, is_dropped).
+    *
+    * vs d05/d06: the candidate restriction is the CLUSTERING itself —
+    * cross-cell near-dups are invisible by design (the SemDeDup
+    * approximation), in exchange for a per-cell pair join whose cost is
+    * bounded by the cell size. 100 TB: one shuffle on cell id; the cell
+    * count k is the knob — size k ~ n/“rows an executor comfortably
+    * pairs” (the paper uses k ≈ √n·c), and the within-cell join stays
+    * an equi-join (PlanSpec: no cartesian anywhere in the d-family). */
+  val d13SemanticDedup = QueryDef(
+    "d13_semantic_dedup", {
+      val centroidSql = Similarity.s03Centroids.oracle.get
+      s"""WITH cents0 AS (${centroidSql.replace("\n", "\n  ")}),
+         |cents AS (
+         |  SELECT label,
+         |         list_transform(list(centroid ORDER BY dim_pos), x -> CAST(x AS REAL)) AS cvec
+         |  FROM cents0 GROUP BY label),
+         |cn AS (SELECT label, cvec, ${normSql("cvec")} AS cnorm FROM cents),
+         |e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+         |assigned AS (
+         |  SELECT vec_id, embedding, nrm, cell, ${Stable.sqlR4("c")} AS ccos FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, cn.label AS cell,
+         |           ${dotSql("e.embedding", "cn.cvec")} / (e.nrm * cn.cnorm) AS c,
+         |           row_number() OVER (
+         |             PARTITION BY e.vec_id
+         |             ORDER BY ${dotSql("e.embedding", "cn.cvec")} / (e.nrm * cn.cnorm) DESC,
+         |                      cn.label) AS rn
+         |    FROM e CROSS JOIN cn) WHERE rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |   AND (b.ccos < a.ccos OR (b.ccos = a.ccos AND b.vec_id < a.vec_id))
+         |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $CosineThreshold)
+         |SELECT v.vec_id, v.cell, v.ccos AS centroid_cos,
+         |  CASE WHEN dr.vec_id IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS is_dropped
+         |FROM assigned v LEFT JOIN dropped dr ON v.vec_id = dr.vec_id""".stripMargin
+    }) { (s, d) =>
+    val best = array_max(Similarity.centroidScoredCells(s, d))
+    val assigned = Similarity.vecs(s, d)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (-best.getField("negCell")).as("cell"),
+        Stable.r4(best.getField("c")).as("ccos"))
+    val cos = dotCol(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id") &&
+          (col("b.ccos") < col("a.ccos") ||
+            (col("b.ccos") === col("a.ccos") && col("b.vec_id") < col("a.vec_id"))))
+      .filter(cos >= CosineThreshold)
+      .select(col("a.vec_id").as("vec_id"))
+      .distinct()
+      .withColumn("__dr", lit(1L))
+    assigned
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("ccos").as("centroid_cos"),
+        coalesce(col("__dr"), lit(0L)).as("is_dropped"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(d01Exact, d02NgramJaccard, d03MinHashLsh, d04SimHash, d05EmbeddingNearDup,
       d06EmbeddingLsh, d07DedupKeeper, d08NgramStopList, d09MinHashStopList,
-      d10SimHashStopList, d11IncrementalDedup, d12KeeperStarDeep)
+      d10SimHashStopList, d11IncrementalDedup, d12KeeperStarDeep, d13SemanticDedup)
 }

@@ -27,11 +27,11 @@ object Similarity {
   private val ProbeMod = 25 // vec_id % 25 == 0 ⇒ 4% of vectors are probes
   private val TopK = 5
 
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private[operators] def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), normCol(col("embedding")).as("nrm"))
 
-  private val vecsSql =
+  private[operators] val vecsSql =
     s"SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings"
 
   /** s01 — exact top-k neighbors for each probe vector. */
@@ -210,7 +210,7 @@ object Similarity {
     * compares (c, negCell) lexicographically, so max/sort give "cos DESC,
     * label ASC" — the oracle's tie-break — and `-negCell` recovers the
     * label. */
-  private def centroidScoredCells(s: SparkSession, d: String): Column = {
+  private[operators] def centroidScoredCells(s: SparkSession, d: String): Column = {
     val centRows = s03Centroids.fn(s, d)
       .groupBy("label")
       .agg(transform(

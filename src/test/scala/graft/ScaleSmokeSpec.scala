@@ -33,6 +33,39 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(ScaleSmoke.ratioViolation("not_a_gate_query", 12.1).isDefined)
   }
 
+  test("gate retry absorbs a transient burst but cannot mask a real regression") {
+    // q15 bound is 3.0. Transient: the first scale run is a 10× steal
+    // burst, the retry is quiet — the kept pair must be the quiet one and
+    // the gate passes with retries=1.
+    val burstScale = Iterator((3.2, 500L), (0.4, 0L))
+    val (t1a, t10a, stealA, triesA) =
+      ScaleSmoke.measureWithRetry("q15_sessionize", 2)(
+        () => (0.3, 0L), () => burstScale.next())
+    assert(triesA == 1 && t10a == 0.4 && t1a == 0.3 && stealA == 0L,
+      s"quiet retry not kept: ($t1a, $t10a, $stealA, $triesA)")
+    assert(ScaleSmoke.ratioViolation("q15_sessionize", t10a / t1a).isEmpty)
+
+    // persistent: a real superlinear regression reproduces on every retry
+    // and must still fail after the budget is spent
+    val (t1b, t10b, _, triesB) =
+      ScaleSmoke.measureWithRetry("q15_sessionize", 2)(
+        () => (0.3, 0L), () => (3.2, 0L))
+    assert(triesB == 2, "retry budget not spent on a persistent regression")
+    assert(ScaleSmoke.ratioViolation("q15_sessionize", t10b / t1b).isDefined,
+      "a reproducing superlinear regression slipped through the retry")
+
+    // anti-masking: when a retry fires, a quieter BASE run replaces the
+    // contaminated one even though that makes the ratio LARGER (min per
+    // side, not min ratio)
+    val burstBase = Iterator((0.6, 400L), (0.3, 0L))
+    val scaleSide = Iterator((3.2, 0L), (3.1, 0L))
+    val (t1c, t10c, _, _) =
+      ScaleSmoke.measureWithRetry("q15_sessionize", 1)(
+        () => burstBase.next(), () => scaleSide.next())
+    assert(t1c == 0.3 && t10c == 3.1, s"per-side minima not kept: ($t1c, $t10c)")
+    assert(ScaleSmoke.ratioViolation("q15_sessionize", t10c / t1c).isDefined)
+  }
+
   test("docs/SCALE.md is current (generated from the code that writes the artifacts)") {
     val p = java.nio.file.Paths.get("docs/SCALE.md")
     assert(java.nio.file.Files.exists(p),

@@ -68,7 +68,8 @@ class PlanSpec extends SparkSpec {
     // equi-join (d05 is the only sanctioned brute-force baseline)
     Seq(Dedup.d02NgramJaccard, Dedup.d03MinHashLsh, Dedup.d04SimHash,
       Dedup.d06EmbeddingLsh, Dedup.d08NgramStopList,
-      Dedup.d09MinHashStopList, Dedup.d10SimHashStopList).foreach { q =>
+      Dedup.d09MinHashStopList, Dedup.d10SimHashStopList,
+      Dedup.d13SemanticDedup).foreach { q =>
       val plan = planOf(q.fn(spark, sf))
       assert(!plan.contains("CartesianProduct"), s"${q.name} has a cartesian join")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"${q.name} has a nested-loop join")

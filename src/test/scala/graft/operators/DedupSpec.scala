@@ -107,4 +107,52 @@ class DedupSpec extends SparkSpec {
     assert(budgeted != expected,
       "a 5-round propagation converged on the deep chain — fixture lost its depth")
   }
+
+  test("d13: verdict matches an independent driver-side SemDeDup recomputation") {
+    val sf = "/root/testdata/sf0.001"
+    val out = Dedup.d13SemanticDedup.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+
+    // independent recomputation with plain Scala loops (same double fold
+    // order as FloatVecDot): centroids from s03's declared result, argmax
+    // assignment, within-cell domination under the keep-furthest rule
+    def r4(x: Double): Double = math.floor(x * 10000.0 + 0.5) / 10000.0
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        acc += a(i).toDouble * b(i).toDouble; i += 1
+      }
+      acc
+    }
+    val cents = Similarity.s03Centroids.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (label, rows) =>
+        label -> rows.sortBy(_._2).map(_._3.toFloat)
+      }
+      .toSeq.sortBy(_._1)
+    val vecs = graft.tables.Tables.embeddings(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val assigned = vecs.map { case (id, v) =>
+      val nrm = math.sqrt(dot(v, v))
+      val (cell, c) = cents.map { case (label, cv) =>
+        label -> dot(v, cv) / (nrm * math.sqrt(dot(cv, cv)))
+      }.maxBy { case (label, c) => (c, -label) } // cos DESC, label ASC
+      (id, v, nrm, cell, r4(c))
+    }
+    val expected = assigned.map { case (id, v, nrm, cell, ccos) =>
+      val dropped = assigned.exists { case (id2, v2, nrm2, cell2, ccos2) =>
+        id2 != id && cell2 == cell &&
+          (ccos2 < ccos || (ccos2 == ccos && id2 < id)) &&
+          dot(v, v2) / (nrm * nrm2) >= 0.4
+      }
+      id -> ((cell, ccos, if (dropped) 1L else 0L))
+    }.toMap
+    assert(out == expected)
+    // non-vacuous: the verdict must actually split the corpus
+    val drops = out.values.count(_._3 == 1L)
+    assert(drops > 0, "fixture produced no semantic duplicates")
+    assert(drops < out.size, "fixture dropped every vector")
+  }
 }

@@ -362,7 +362,51 @@ object Similarity {
         Stable.r4(col("cos")).as("cosine"))
   }
 
+  // ---------- s07: ANN recall accounting (s02 measured against s01) ----------
+
+  /** s07 — recall@k of the LSH ANN path (s02) against the exact top-k
+    * ground truth (s01), per probe: `hits` = |exact ∩ ann|, `recall` =
+    * hits/k. An approximate index without a standing recall measurement is
+    * a guess — this makes the ANN quality a DECLARED, oracle-checked query
+    * (both engines recompute the measurement end-to-end from the raw
+    * embeddings), so an LSH regression (bad planes, broken bucketing)
+    * trips the correctness gate, not just a benchmark eyeball.
+    *
+    * Both inputs are declared queries joined on (probe_id, neighbor_id) —
+    * an equi-join over probes×k rows, negligible next to producing them.
+    * The expensive side is s01's sanctioned brute-force subtree (broadcast
+    * probes × corpus BNLJ, the d05-class baseline); at 100 TB recall is
+    * measured the same way on a PROBE SAMPLE — the ground-truth scan
+    * prices the measurement, the measurement stays O(sample × corpus),
+    * and the ANN path under test (s02) keeps its bucket equi-join. */
+  val s07AnnRecall = QueryDef(
+    "s07_ann_recall", {
+      val exactSql = s01KnnBrute.oracle.get
+      val annSql = s02AnnLsh.oracle.get
+      s"""WITH ex AS (${exactSql.replace("\n", "\n  ")}),
+         |ann AS (${annSql.replace("\n", "\n  ")}),
+         |j AS (
+         |  SELECT ex.probe_id,
+         |         CASE WHEN ann.neighbor_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM ex LEFT JOIN ann
+         |    ON ex.probe_id = ann.probe_id AND ex.neighbor_id = ann.neighbor_id)
+         |SELECT probe_id, CAST(sum(hit) AS BIGINT) AS hits,
+         |       CAST($TopK AS BIGINT) AS k,
+         |       ${Stable.sqlR4(s"sum(hit) / $TopK.0")} AS recall
+         |FROM j GROUP BY probe_id""".stripMargin
+    }) { (s, d) =>
+    val exact = s01KnnBrute.fn(s, d).select(col("probe_id"), col("neighbor_id"))
+    val ann = s02AnnLsh.fn(s, d)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    exact
+      .join(ann, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy("probe_id")
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .select(col("probe_id"), col("hits"), lit(TopK.toLong).as("k"),
+        Stable.r4(col("hits") / lit(TopK.toDouble)).as("recall"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(s01KnnBrute, s02AnnLsh, s03Centroids, s04AnnMultiProbe, s05IvfSearch,
-      s06IvfMultiProbe)
+      s06IvfMultiProbe, s07AnnRecall)
 }

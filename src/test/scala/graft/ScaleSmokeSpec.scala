@@ -28,6 +28,10 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(ScaleSmoke.ratioViolation("d12_keeper_star_deep", 3.1).isDefined)
     assert(ScaleSmoke.ratioViolation("e1_write_month", 3.1).isDefined)
     assert(ScaleSmoke.ratioViolation("s02_ann_lsh", 3.1).isDefined)
+    // round-8 entry: q40 ratcheted from its first committed quiet run
+    // (2.274 × 1.5 = 3.41)
+    assert(ScaleSmoke.ratioViolation("q40_rule_match_shuffle", 3.3).isEmpty)
+    assert(ScaleSmoke.ratioViolation("q40_rule_match_shuffle", 3.5).isDefined)
     // unknown queries (no history) fall back to the blanket linear bound
     assert(ScaleSmoke.ratioViolation("not_a_gate_query", 11.9).isEmpty)
     assert(ScaleSmoke.ratioViolation("not_a_gate_query", 12.1).isDefined)

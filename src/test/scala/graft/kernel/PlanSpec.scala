@@ -96,6 +96,24 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("s07 recall accounting is bounded, non-vacuous, and discriminating") {
+    import graft.operators.Similarity
+    val rows = Similarity.s07AnnRecall.fn(spark, sf).collect()
+    assert(rows.nonEmpty, "no probes scored")
+    rows.foreach { r =>
+      val (hits, k, rec) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(hits >= 0 && hits <= k, s"hits $hits outside [0, $k]")
+      assert(rec >= 0.0 && rec <= 1.0, s"recall $rec outside [0, 1]")
+    }
+    // the measurement must discriminate: 8-plane LSH misses some true
+    // neighbors on this fixture — if every probe reads perfect, the query
+    // proves only schema (and an LSH regression would be invisible)
+    assert(rows.exists(r => r.getLong(1) < r.getLong(2)),
+      "recall is vacuously perfect on the fixture")
+    assert(rows.exists(r => r.getLong(1) > 0),
+      "recall is vacuously zero on the fixture")
+  }
+
   test("c01 corpus clean is non-vacuous on the fixture data") {
     import graft.operators.CorpusPipeline
     // a threshold above the corpus's quality-score mass makes the

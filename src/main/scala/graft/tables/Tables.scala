@@ -25,17 +25,25 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by default.
-    * Read nanos as long (legacy conf) and downcast to micros-precision
-    * timestamp — sub-microsecond detail is not representable in Spark anyway.
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (which Spark 4
+    * rejects by default) and as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (which Spark reads as TIMESTAMP_NTZ). Normalize both to the session
+    * `TimestampType` at micros precision: every downstream query uses
+    * `unix_micros(ts)`, and with the engine-wide UTC session timezone the
+    * NTZ→LTZ cast maps wall-clock micros to the same epoch micros DuckDB's
+    * naive read produces — oracle parity is exact.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      // integer DIV, not `/`: double division loses 1µs above 2^53 nanos
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer DIV, not `/`: double division loses 1µs above 2^53 nanos
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")

@@ -120,7 +120,8 @@ object Bench {
     // the query instead of silently timing the write (ADVICE r7).
     val excluded = scala.collection.mutable.Map.empty[String, String]
     val sideEffectWarmed = Set(
-      "q36_bucketed_reconcile", "q39_kernel_streaming", "q41_kernel_bucketed")
+      "q36_bucketed_reconcile", "q39_kernel_streaming", "q41_kernel_bucketed",
+      "q44_windowed_streaming") // q44 stages its source file once per (JVM, dir)
     (Seq("t01_token_count", "s03_centroids") ++ sideEffectWarmed.toSeq.sorted)
       .foreach { n =>
         SparkEntry.benchQueries.get(n).foreach { f =>

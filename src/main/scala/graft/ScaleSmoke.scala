@@ -40,12 +40,15 @@ object ScaleSmoke {
     * goes 2,180 → 21,800 — while star rounds grow only ~log: the O(log d)
     * claim, executed), plus the rule ladder's NON-BROADCAST fallback
     * (q40 — the path that runs at 100 TB when the dim outgrows broadcast
-    * size must itself scale, not just match q21's oracle). */
+    * size must itself scale, not just match q21's oracle), and the
+    * strict-order funnel (q43 — the round-8 behavioral shape: two window
+    * passes + rollup over one user shuffle, gated so the shared-shuffle
+    * plan can't silently regress into per-pass exchanges at scale). */
   val GateQueries: Seq[String] = Seq(
     "q22_kernel_full", "q21_rule_match", "d02_dedup_ngram",
     "d03_dedup_minhash", "d07_dedup_keeper", "c01_corpus_clean",
     "q29_moving_agg", "q15_sessionize", "d12_keeper_star_deep",
-    "s02_ann_lsh", "q40_rule_match_shuffle")
+    "s02_ann_lsh", "q40_rule_match_shuffle", "q43_funnel")
 
   /** Scale factor of the generated dataset. Default ×10; set
     * SPARK_GRAFT_SCALE_COPIES=100 for the heavyweight ×100 demonstration

@@ -17,7 +17,7 @@ object SparkEntry {
       graft.operators.TextAnalysis.all ++ graft.operators.Dedup.all ++
       graft.operators.Similarity.all ++ graft.operators.Multimodal.all ++
       graft.operators.CorpusPipeline.all ++ graft.operators.Temporal.all ++
-      graft.operators.Reconcile.all
+      graft.operators.Reconcile.all ++ graft.streaming.StreamQueries.all
 
   /** Flagship: the full billing kernel (rule-match ladder + modes + conform)
     * on sf0.001; driver smoke-checks rows>0. */

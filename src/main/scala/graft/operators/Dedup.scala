@@ -884,7 +884,13 @@ object Dedup {
     * count k is the knob — size k ~ n/“rows an executor comfortably
     * pairs” (the paper uses k ≈ √n·c), and the within-cell join stays
     * an equi-join (PlanSpec: no cartesian anywhere in the d-family). */
-  val d13SemanticDedup = QueryDef(
+  // LAZY (with `all` below): d13's oracle embeds s03's SQL, so a strict val
+  // would read a Similarity val inside Dedup's own <clinit> — and Similarity's
+  // init triggers Dedup's (its vals call the shared vector defs), so whichever
+  // object is touched FIRST would see the other half-built (NPE). Deferring
+  // the only cross-object VAL read past both inits breaks the cycle for every
+  // entry order.
+  lazy val d13SemanticDedup = QueryDef(
     "d13_semantic_dedup", {
       val centroidSql = Similarity.s03Centroids.oracle.get
       s"""WITH cents0 AS (${centroidSql.replace("\n", "\n  ")}),
@@ -934,7 +940,7 @@ object Dedup {
         coalesce(col("__dr"), lit(0L)).as("is_dropped"))
   }
 
-  val all: Seq[QueryDef] =
+  lazy val all: Seq[QueryDef] =
     Seq(d01Exact, d02NgramJaccard, d03MinHashLsh, d04SimHash, d05EmbeddingNearDup,
       d06EmbeddingLsh, d07DedupKeeper, d08NgramStopList, d09MinHashStopList,
       d10SimHashStopList, d11IncrementalDedup, d12KeeperStarDeep, d13SemanticDedup)

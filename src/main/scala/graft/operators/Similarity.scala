@@ -406,7 +406,110 @@ object Similarity {
         Stable.r4(col("hits") / lit(TopK.toDouble)).as("recall"))
   }
 
+  // ---------- s08: k-means, two unrolled Lloyd rounds ----------
+
+  private val KmeansK = 8
+
+  private def sqdSql(a: String, c: String): String =
+    TextOps.sumSql(
+      s"list_transform(list_zip($a, $c), " +
+        "pp -> (CAST(pp[1] AS DOUBLE) - CAST(pp[2] AS DOUBLE)) * " +
+        "(CAST(pp[1] AS DOUBLE) - CAST(pp[2] AS DOUBLE)))")
+
+  /** One oracle-side Lloyd round: assign `e` to the nearest centroid in
+    * `cents` (squared L2, ties on cid), then rebuild per-cluster
+    * dimension-wise r4-rounded means. */
+  private def lloydRoundSql(assignCte: String, meansCte: String, centsCte: String,
+      prevCents: String): String =
+    s"""$assignCte AS (
+       |  SELECT e.vec_id, c.cid, ${sqdSql("e.embedding", "c.cvec")} AS dist
+       |  FROM e CROSS JOIN $prevCents c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist, c.cid) = 1),
+       |$meansCte AS (
+       |  SELECT a.cid, ex.p AS dim, ${Stable.sqlR4("avg(ex.v)")} AS cv
+       |  FROM (SELECT vec_id, unnest(embedding) AS v,
+       |               unnest(generate_series(1, len(embedding))) AS p
+       |        FROM e) ex
+       |  JOIN $assignCte a USING (vec_id)
+       |  GROUP BY a.cid, ex.p),
+       |$centsCte AS (SELECT cid, list(cv ORDER BY dim) AS cvec FROM $meansCte GROUP BY cid)""".stripMargin
+
+  /** s08 — k-means via two UNROLLED Lloyd rounds (the unsupervised twin of
+    * s03/s05's label-seeded IVF training): deterministic seeds (the k
+    * lowest vec_ids), assign → recompute → assign → recompute → final
+    * assignment, reporting per-cluster size and mean squared distance.
+    *
+    * Engine stability: centroids are r4-rounded after EVERY mean update —
+    * both engines then carry bit-identical centroid literals into the next
+    * round's distance folds (the same convention s03/s05 apply once,
+    * applied per round), so assignments are deterministic; only the final
+    * avg_sqdist is a cross-row double sum, r4-rounded like every other
+    * aggregate. Squared L2 (no sqrt) keeps the fold a pure (x−y)² chain.
+    *
+    * 100 TB shape: each round is (a) one per-row argmin against k
+    * BROADCAST-LITERAL centroids — `array_min` over a k-entry struct
+    * array, no join, no shuffle of the corpus; (b) one posexplode +
+    * (cid, dim)-keyed aggregation — k·64 groups regardless of corpus
+    * size. The only driver traffic is the k×64 centroid matrix per round
+    * (the s05 bounded-metadata pattern); rounds are unrolled, so the whole
+    * loop is a fixed 3-job pipeline, not a convergence loop. */
+  val s08KmeansLloyd = QueryDef(
+    "s08_kmeans_lloyd",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (
+       |  SELECT vec_id AS cid,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+       |  FROM e WHERE vec_id < $KmeansK),
+       |${lloydRoundSql("a0", "m1", "c1", "c0")},
+       |${lloydRoundSql("a1", "m2", "c2", "c1")},
+       |a2 AS (
+       |  SELECT e.vec_id, c.cid, ${sqdSql("e.embedding", "c.cvec")} AS dist
+       |  FROM e CROSS JOIN c2 c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY dist, c.cid) = 1)
+       |SELECT cid AS cluster_id, count(*) AS n_members,
+       |       ${Stable.sqlR4("avg(dist)")} AS avg_sqdist
+       |FROM a2 GROUP BY cid""".stripMargin) { (s, d) =>
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+
+    def sqd(v: Column, c: Column): Column =
+      aggregate(
+        zip_with(v, c, (x, y) => {
+          val dd = x.cast("double") - y
+          dd * dd
+        }),
+        lit(0.0), (acc, x) => acc + x)
+
+    // struct ordering is lexicographic on (dist, cid) — array_min IS the
+    // oracle's "ORDER BY dist, cid LIMIT 1"
+    def assignStruct(cents: Seq[(Long, Seq[Double])]): Column =
+      array_min(array(cents.map { case (cid, cv) =>
+        struct(sqd(col("embedding"), typedlit(cv)).as("dist"), lit(cid).as("cid"))
+      }: _*))
+
+    val seeds: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < KmeansK)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq))
+      .toSeq.sortBy(_._1)
+
+    def lloydRound(cents: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] =
+      e.withColumn("cid", assignStruct(cents).getField("cid"))
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(Stable.r4(avg(col("v"))).as("cv"))
+        .groupBy("cid")
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("cvec"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .toSeq.sortBy(_._1)
+
+    val c2 = lloydRound(lloydRound(seeds))
+    val am = assignStruct(c2)
+    e.select(am.getField("cid").as("cluster_id"), am.getField("dist").as("dist"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"), Stable.r4(avg(col("dist"))).as("avg_sqdist"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(s01KnnBrute, s02AnnLsh, s03Centroids, s04AnnMultiProbe, s05IvfSearch,
-      s06IvfMultiProbe, s07AnnRecall)
+      s06IvfMultiProbe, s07AnnRecall, s08KmeansLloyd)
 }

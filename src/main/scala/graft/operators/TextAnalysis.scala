@@ -398,8 +398,62 @@ object TextAnalysis {
       .select(col("lang"), col("doc_id"), col("source"))
   }
 
+  private val TfIdfTopK = 3
+
+  /** t13 — TF-IDF top-k terms per document: the per-doc keyword extraction
+    * step of a corpus-indexing / topic-drift pipeline. tf = term count in
+    * the doc; idf is QUANTIZED TO INTEGERS — `(N·10⁴) div df` instead of
+    * `ln(N/df)` — because the two engines' `ln` implementations are not
+    * bit-identical (libm vs java.lang.Math, each ≤1 ulp but DIFFERENT ulps)
+    * and a rank flip between two near-equal scores would break the hash;
+    * integer idf keeps the same df-monotonicity and makes every score an
+    * exact int64 both engines agree on bit-for-bit. Rank ties break on the
+    * term string.
+    *
+    * 100 TB shape: explode → (doc,term) count (shuffle 1) → df as a
+    * count over the already-distinct tf pairs (shuffle 2, |vocab| groups)
+    * → tf⋈df equi-join on term (shuffle 3; AQE broadcasts when vocab is
+    * small) → per-doc top-k window (shuffle 4, state = one doc's terms).
+    * The corpus-size scalar rides a broadcast single-row cross join — no
+    * driver-side count, no collect. */
+  val t13TfIdf = QueryDef(
+    "t13_tfidf_topk",
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+       |         tf.tf * ((n.n_docs * 10000) // df.df) AS score
+       |  FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT doc_id, term, tf, df, score,
+       |         row_number() OVER (PARTITION BY doc_id
+       |                            ORDER BY score DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, term, tf, df, score
+       |FROM ranked WHERE rank <= $TfIdfTopK""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * expr("(n_docs * 10000) DIV df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TfIdfTopK)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01TokenCount, t02Quality, t03LangId, t04Fingerprint, t05BpeTokens,
       t06Mixture, t07Decontamination, t08ShardPlan, t09Repetition,
-      t10MixtureSample, t11PiiScrub, t12StratifiedSample)
+      t10MixtureSample, t11PiiScrub, t12StratifiedSample, t13TfIdf)
 }

@@ -624,6 +624,120 @@ object CoreQueries {
         r4(col("o_totalprice")).as("total"))
   }
 
+  /** q42 — cohort retention (engine extension): users cohorted by the WEEK
+    * of their first activity; each cell counts the distinct users of a
+    * cohort active `week_offset` weeks later — the classic triangular
+    * retention matrix every behavioral-analytics store ships. All
+    * arithmetic is int64 epoch-microsecond division (no doubles anywhere),
+    * so the cross-engine hash is exact by construction.
+    *
+    * 100 TB shape: the per-user first-activity timestamp is an
+    * unpartitioned-safe window min over ONE shuffle keyed by user; the
+    * (cohort, offset, user) distinct then reuses that clustering for its
+    * partial phase (user_id ⊆ the grouping key set), and the final
+    * (cohort, offset) count aggregates the already-deduplicated rows —
+    * bounded by |users|·|weeks|, not |events|. */
+  val q42CohortRetention = QueryDef(
+    "q42_cohort_retention",
+    """WITH a AS (
+      |  SELECT user_id,
+      |         epoch_us(ts) // 86400000000 AS day,
+      |         min(epoch_us(ts)) OVER (PARTITION BY user_id) // 86400000000 AS cohort_day
+      |  FROM events),
+      |cell AS (
+      |  SELECT DISTINCT cohort_day // 7 AS cohort_week,
+      |         (day - cohort_day) // 7 AS week_offset, user_id
+      |  FROM a)
+      |SELECT cohort_week, week_offset, count(*) AS n_users
+      |FROM cell GROUP BY cohort_week, week_offset""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val DayUs = 86400000000L
+    val byUser = Window.partitionBy("user_id")
+    Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("day", expr(s"us DIV $DayUs"))
+      .withColumn("cohort_day", expr(s"min(us) OVER (PARTITION BY user_id) DIV $DayUs"))
+      .select(
+        expr("cohort_day DIV 7").as("cohort_week"),
+        expr("(day - cohort_day) DIV 7").as("week_offset"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** q43 — strict-order funnel (engine extension): how many users performed
+    * view → click → purchase IN THAT ORDER (a later stage only counts when
+    * a qualifying earlier stage strictly precedes it). Ordering-sensitive
+    * semantics that a plain conditional-min aggregation gets wrong (it
+    * would accept a click before the first view); instead each event sees
+    * the stage state strictly before it via a frame-bounded window min —
+    * `ROWS … AND 1 PRECEDING` over (us, event_id) — so "click after a
+    * view" and "purchase after such a click" are row-local predicates.
+    *
+    * Both window passes share one (user) partitioning and one (us,
+    * event_id) sort — a single shuffle, two Window operators, then a
+    * per-user max-flag rollup (int64 only → exact hash).
+    *
+    * 100 TB shape: state per user is its own event list (the same bound as
+    * any per-user window); the final aggregate is 4 counters. */
+  val q43Funnel = QueryDef(
+    "q43_funnel",
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events),
+      |w1 AS (
+      |  SELECT user_id, event_type, us, event_id,
+      |         min(CASE WHEN event_type = 'view' THEN us END) OVER (
+      |           PARTITION BY user_id ORDER BY us, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS view_before
+      |  FROM e),
+      |w2 AS (
+      |  SELECT user_id, event_type, us, event_id,
+      |         CASE WHEN event_type = 'click' AND view_before IS NOT NULL
+      |              THEN us END AS qclick_us
+      |  FROM w1),
+      |w3 AS (
+      |  SELECT user_id, event_type, qclick_us,
+      |         min(qclick_us) OVER (
+      |           PARTITION BY user_id ORDER BY us, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS qclick_before
+      |  FROM w2),
+      |per_user AS (
+      |  SELECT user_id,
+      |         max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+      |         max(CASE WHEN qclick_us IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+      |         max(CASE WHEN event_type = 'purchase' AND qclick_before IS NOT NULL
+      |                  THEN 1 ELSE 0 END) AS s3
+      |  FROM w3 GROUP BY user_id)
+      |SELECT count(*) AS n_users,
+      |       CAST(sum(s1) AS BIGINT) AS n_view,
+      |       CAST(sum(s2) AS BIGINT) AS n_view_click,
+      |       CAST(sum(s3) AS BIGINT) AS n_full_funnel
+      |FROM per_user""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ordered = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val strictlyBefore = ordered.rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("view_before",
+        min(when(col("event_type") === "view", col("us"))).over(strictlyBefore))
+      .withColumn("qclick_us",
+        when(col("event_type") === "click" && col("view_before").isNotNull, col("us")))
+      .withColumn("qclick_before", min(col("qclick_us")).over(strictlyBefore))
+      .groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("s1"),
+        max(when(col("qclick_us").isNotNull, 1).otherwise(0)).as("s2"),
+        max(when(col("event_type") === "purchase" && col("qclick_before").isNotNull, 1)
+          .otherwise(0)).as("s3"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum("s1").cast("long").as("n_view"),
+        sum("s2").cast("long").as("n_view_click"),
+        sum("s3").cast("long").as("n_full_funnel"))
+  }
+
   /** q19s — q19's SKETCH-ONLY shape: `approx_percentile` alone, the literal
     * production call at 100 TB (q19's declared twin adds the exact side for
     * the cross-engine error-bound oracle; ADVICE r7 asked that the scalable
@@ -661,5 +775,5 @@ object CoreQueries {
     q13EventsWindow, q14TopPerKey, q15Sessionize, q16Quantiles, q17SaltedAgg,
     q18JsonExtract, q19QuantilesApprox, q27Rollup, q28HeavyHitters,
     q29MovingAgg, q30DistinctApprox, q31Unpivot, q32EventSequence, q34SetOps,
-    q35AboveAvg, q37SaltedJoin)
+    q35AboveAvg, q37SaltedJoin, q42CohortRetention, q43Funnel)
 }

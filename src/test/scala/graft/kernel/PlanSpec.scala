@@ -394,4 +394,38 @@ class PlanSpec extends SparkSpec {
     val dim = BillingDemo.dim(spark, sf)
     assert(dim.count() <= 41L * 100)
   }
+
+  test("q42 cohort retention: join-free, and the distinct reuses the window's user shuffle") {
+    val plan = planOf(CoreQueries.q42CohortRetention.fn(spark, sf))
+    assert(!plan.contains("Join"), s"q42 grew a join:\n$plan")
+    // user-keyed window shuffle + final (cohort, offset) agg shuffle ONLY:
+    // the (cohort, offset, user) distinct must be satisfied by the window's
+    // user_id hash partitioning (subset rule), not add a third exchange
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex == 2, s"q42 expected 2 hash exchanges (window + final agg), got $ex:\n$plan")
+  }
+
+  test("q43 funnel: both window passes and the per-user rollup share ONE user shuffle") {
+    val plan = planOf(CoreQueries.q43Funnel.fn(spark, sf))
+    assert(!plan.contains("Join"), s"q43 grew a join:\n$plan")
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex == 1, s"q43 expected 1 hash exchange, got $ex:\n$plan")
+    val windows = "Window".r.findAllIn(plan).size
+    assert(windows >= 2, s"q43 lost a window pass:\n$plan")
+  }
+
+  test("s08 k-means: per-row argmin against literal centroids — no join in the assignment") {
+    val plan = planOf(graft.operators.Similarity.s08KmeansLloyd.fn(spark, sf))
+    assert(!plan.contains("Join"), s"s08 assignment grew a join:\n$plan")
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex == 1, s"s08 expected 1 hash exchange (final cluster agg), got $ex:\n$plan")
+  }
+
+  test("t13 TF-IDF: equi-joins only — the corpus-size scalar is the single nested-loop row") {
+    val plan = planOf(graft.operators.TextAnalysis.t13TfIdf.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"t13 has a cartesian join:\n$plan")
+    // the one BroadcastNestedLoopJoin is the 1-row corpus-count cross join
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(bnlj <= 1, s"t13 expected <=1 nested-loop join (the n_docs scalar), got $bnlj:\n$plan")
+  }
 }

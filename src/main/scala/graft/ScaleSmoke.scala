@@ -80,9 +80,11 @@ object ScaleSmoke {
     // round-7 additions, ratcheted from their first committed run
     "d12_keeper_star_deep" -> 1.614, "e1_write_month" -> 1.244,
     "s02_ann_lsh" -> 1.620,
-    // round-8 addition, ratcheted from its first committed quiet run
-    // (2.274× → bound 3.41; the blanket 12 would have passed a 5× drift)
-    "q40_rule_match_shuffle" -> 2.274)
+    // round-8 additions, each ratcheted from its first committed quiet run
+    // (q40 2.274× → bound 3.41 — the blanket 12 would have passed a 5×
+    // drift; q43 1.367× → floor bound 3.0)
+    "q40_rule_match_shuffle" -> 2.274,
+    "q43_funnel" -> 1.367)
 
   def boundFor(name: String): Double =
     if (Copies == 10)

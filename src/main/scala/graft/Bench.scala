@@ -135,8 +135,13 @@ object Bench {
       }
     spark.catalog.clearCache()
 
+    // optional comma-separated subset (local iteration on one query's
+    // timing without the full 20-min round-robin); headline `value` is
+    // only comparable across rounds when unset
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val qs = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => excluded.contains(n) }
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // ROUND-ROBIN over queries, not runs-back-to-back: a host steal burst
     // contaminates at most one run per query, so the median/min stay
     // interpretable without a re-run

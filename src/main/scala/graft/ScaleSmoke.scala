@@ -43,12 +43,15 @@ object ScaleSmoke {
     * size must itself scale, not just match q21's oracle), and the
     * strict-order funnel (q43 — the round-8 behavioral shape: two window
     * passes + rollup over one user shuffle, gated so the shared-shuffle
-    * plan can't silently regress into per-pass exchanges at scale). */
+    * plan can't silently regress into per-pass exchanges at scale), and
+    * TF-IDF (t13 — the vocab-keyed join family: tf/df aggs + term
+    * equi-join + per-doc top-k, the only gate entry whose join key
+    * cardinality GROWS with the corpus). */
   val GateQueries: Seq[String] = Seq(
     "q22_kernel_full", "q21_rule_match", "d02_dedup_ngram",
     "d03_dedup_minhash", "d07_dedup_keeper", "c01_corpus_clean",
     "q29_moving_agg", "q15_sessionize", "d12_keeper_star_deep",
-    "s02_ann_lsh", "q40_rule_match_shuffle", "q43_funnel")
+    "s02_ann_lsh", "q40_rule_match_shuffle", "q43_funnel", "t13_tfidf_topk")
 
   /** Scale factor of the generated dataset. Default ×10; set
     * SPARK_GRAFT_SCALE_COPIES=100 for the heavyweight ×100 demonstration
@@ -82,9 +85,12 @@ object ScaleSmoke {
     "s02_ann_lsh" -> 1.620,
     // round-8 additions, each ratcheted from its first committed quiet run
     // (q40 2.274× → bound 3.41 — the blanket 12 would have passed a 5×
-    // drift; q43 1.367× → floor bound 3.0)
+    // drift; q43 1.367× → floor bound 3.0; t13 3.42× → bound 5.13 — the
+    // vocab join's df-side cardinality grows with the corpus, so its
+    // ratio sits above the fixed-cardinality shapes by design)
     "q40_rule_match_shuffle" -> 2.274,
-    "q43_funnel" -> 1.367)
+    "q43_funnel" -> 1.367,
+    "t13_tfidf_topk" -> 3.42)
 
   def boundFor(name: String): Double =
     if (Copies == 10)

@@ -414,8 +414,10 @@ object TextAnalysis {
     * count over the already-distinct tf pairs (shuffle 2, |vocab| groups)
     * → tf⋈df equi-join on term (shuffle 3; AQE broadcasts when vocab is
     * small) → per-doc top-k window (shuffle 4, state = one doc's terms).
-    * The corpus-size scalar rides a broadcast single-row cross join — no
-    * driver-side count, no collect. */
+    * The corpus-size scalar is ONE bounded count job (parquet footer
+    * metadata) inlined as a literal — the s05 bounded-metadata pattern —
+    * so the plan has no nested-loop join at all (the ×10 gate forbids
+    * BNLJ outright, and a 1-row cross join IS one). */
   val t13TfIdf = QueryDef(
     "t13_tfidf_topk",
     s"""WITH toks AS (
@@ -441,19 +443,59 @@ object TextAnalysis {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val nDocs = docs.count() // bounded scalar: parquet footer row counts
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
     tf.join(df, Seq("term"))
-      .crossJoin(broadcast(n))
-      .withColumn("score", col("tf") * expr("(n_docs * 10000) DIV df"))
+      .withColumn("score", col("tf") * expr(s"CAST(${nDocs * 10000L} AS BIGINT) DIV df"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= TfIdfTopK)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
         col("score"))
   }
 
+  private val ChunkTokens = 64
+  private val ChunkStride = 48 // 16-token overlap between consecutive chunks
+
+  /** t14 — document chunking: split each document into fixed-token-count
+    * training chunks with a stride overlap (the context-window packing
+    * step every LLM data pipeline runs between cleaning and tokenizing).
+    * Chunk starts are `sequence(0, n_tokens−1, stride)` — both engines
+    * define the series inclusively over the same int64 arithmetic — and
+    * each chunk is a clamped token slice re-joined with single spaces, so
+    * the emitted text is byte-identical cross-engine.
+    *
+    * 100 TB shape: per-row explode, NO shuffle — chunk count rides the
+    * token count (n/stride per doc), and the slice/join work is
+    * codegen'd higher-order-function arithmetic. Downstream shard packing
+    * is t08's job; this stage only materializes the overlapping windows. */
+  val t14Chunking = QueryDef(
+    "t14_chunking", {
+      val toks = tokensSql("text")
+      s"""SELECT doc_id,
+         |  start // $ChunkStride AS chunk_idx,
+         |  len(($toks)[start + 1 : start + $ChunkTokens]) AS n_chunk_tokens,
+         |  array_to_string(($toks)[start + 1 : start + $ChunkTokens], ' ') AS chunk_text
+         |FROM (
+         |  SELECT doc_id, text,
+         |         unnest(generate_series(0, len($toks) - 1, $ChunkStride)) AS start
+         |  FROM documents)""".stripMargin
+    }) { (s, d) =>
+    val toks = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n") - 1, lit(ChunkStride))).as("start"))
+      .select(
+        col("doc_id"),
+        expr(s"CAST(start DIV $ChunkStride AS BIGINT)").as("chunk_idx"),
+        size(slice(col("toks"), col("start") + 1, lit(ChunkTokens))).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, lit(ChunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01TokenCount, t02Quality, t03LangId, t04Fingerprint, t05BpeTokens,
       t06Mixture, t07Decontamination, t08ShardPlan, t09Repetition,
-      t10MixtureSample, t11PiiScrub, t12StratifiedSample, t13TfIdf)
+      t10MixtureSample, t11PiiScrub, t12StratifiedSample, t13TfIdf, t14Chunking)
 }

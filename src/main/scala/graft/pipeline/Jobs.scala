@@ -33,13 +33,29 @@ object Sink {
     * satisfy that — a sort that is free to discard the sortCols clustering
     * once it spills. Prefixing the partition columns makes the incoming
     * ordering satisfy the writer's requirement (no second sort), so the
-    * account clustering survives within each written partition. */
+    * account clustering survives within each written partition.
+    *
+    * The write is preceded by a hash `repartition` ON the partition
+    * columns: without it every shuffle task holds rows for ~every (month,
+    * day) and the writer fans out |tasks|·|partitions| tiny files — a
+    * multi-month drain at sf0.1 (2,499 day partitions × 32 tasks ≈ 80k
+    * files) was metadata-bound, ~10× slower than the write itself. With
+    * it each partition lands in exactly ONE task → one well-sized file
+    * per partition dir, |shuffle.partitions| parallel writers. At 100 TB
+    * a single hot day would then be one writer's task — `spreadFiles > 1`
+    * salts the repartition key so a hot partition splits across that many
+    * files/writers (the skew knob, same trade as Skew.saltedJoin). */
   def writePartitioned(df: DataFrame, path: String,
-                       sortCols: Seq[String] = Nil): Unit = {
+                       sortCols: Seq[String] = Nil,
+                       spreadFiles: Int = 1): Unit = {
     df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val spreadKeys =
+      if (spreadFiles <= 1) PartitionCols.map(col)
+      else PartitionCols.map(col) :+ pmod(spark_partition_id(), lit(spreadFiles))
+    val spread = df.repartition(spreadKeys: _*)
     val sorted =
-      if (sortCols.isEmpty) df
-      else df.sortWithinPartitions((PartitionCols ++ sortCols).map(col): _*)
+      if (sortCols.isEmpty) spread
+      else spread.sortWithinPartitions((PartitionCols ++ sortCols).map(col): _*)
     sorted.write
       .mode("overwrite")
       .partitionBy(PartitionCols: _*)

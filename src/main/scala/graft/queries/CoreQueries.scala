@@ -738,6 +738,47 @@ object CoreQueries {
         sum("s3").cast("long").as("n_full_funnel"))
   }
 
+  /** q45 — event-transition matrix (engine extension): Markov transition
+    * counts and row-normalized probabilities over each user's time-ordered
+    * event stream — the sequence-mining summary behavioral models train
+    * on (q32 assembles the raw sequences; this is their first-order
+    * statistic). `lead` over the same (us, event_id) ordering every
+    * behavioral query uses; the probability is each count's share of its
+    * from-state row, r4-rounded (the ONLY double in the query — counts
+    * are exact int64).
+    *
+    * 100 TB shape: one shuffle keyed by user for the lead window; the
+    * pair aggregation is bounded by |event types|² (25 here) regardless
+    * of event volume, and the per-from-state share is a window over that
+    * tiny aggregate. */
+  val q45TransitionMatrix = QueryDef(
+    "q45_transition_matrix",
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type AS from_type,
+       |         lead(event_type) OVER (PARTITION BY user_id
+       |                                ORDER BY epoch_us(ts), event_id) AS to_type
+       |  FROM events),
+       |pairs AS (
+       |  SELECT from_type, to_type, count(*) AS n
+       |  FROM seq WHERE to_type IS NOT NULL
+       |  GROUP BY from_type, to_type)
+       |SELECT from_type, to_type, n,
+       |       ${Stable.sqlR4("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type)")} AS p
+       |FROM pairs""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        r4(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy("from_type"))))
+  }
+
   /** q19s — q19's SKETCH-ONLY shape: `approx_percentile` alone, the literal
     * production call at 100 TB (q19's declared twin adds the exact side for
     * the cross-engine error-bound oracle; ADVICE r7 asked that the scalable
@@ -775,5 +816,6 @@ object CoreQueries {
     q13EventsWindow, q14TopPerKey, q15Sessionize, q16Quantiles, q17SaltedAgg,
     q18JsonExtract, q19QuantilesApprox, q27Rollup, q28HeavyHitters,
     q29MovingAgg, q30DistinctApprox, q31Unpivot, q32EventSequence, q34SetOps,
-    q35AboveAvg, q37SaltedJoin, q42CohortRetention, q43Funnel)
+    q35AboveAvg, q37SaltedJoin, q42CohortRetention, q43Funnel,
+    q45TransitionMatrix)
 }

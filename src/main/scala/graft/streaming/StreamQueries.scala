@@ -75,7 +75,12 @@ object StreamQueries {
     staged.synchronized { roots += ckpt }
     val schema = Tables.events(s, d).schema
     val stream = s.readStream.schema(schema).parquet(stagedPath)
-    val table = s"graft_q44_out_${token.incrementAndGet()}"
+    val n = token.incrementAndGet()
+    val table = s"graft_q44_out_$n"
+    // a long-lived JVM (Bench's round-robin) would otherwise accumulate one
+    // driver-resident memory-sink table per run — drop the PREVIOUS run's
+    // view (its rows die with it); the current result stays readable
+    s.catalog.dropTempView(s"graft_q44_out_${n - 1}")
     val q = StreamJobs.windowedEventCounts(stream, WindowLength)
       .writeStream
       .outputMode(OutputMode.Complete)

@@ -49,6 +49,23 @@ import org.apache.spark.sql.SparkSession
   * fastest observation (steal can only inflate). `queries_retried` lists
   * the queries that needed it; BenchSpec proves the trigger and selection
   * on synthetic contaminated runs.
+  *
+  * STREAMING MACHINERY CALIBRATION (round-8 verdict #1): q39/q44 re-run a
+  * full Structured Streaming drain per timed run — by design, that IS the
+  * entry — but most of that wall time is fixed latency (checkpoint init,
+  * `AvailableNow` planning, commit log, sink read planning) that can never
+  * regress with data; at r8 it was 17% of the headline, burying real
+  * regressions. Before timing, the bench runs each streaming query's
+  * MACHINERY PROBE — the identical drain harness over a 1-row staged
+  * source — `SPARK_GRAFT_BENCH_CAL_RUNS` (default 3) times and takes the
+  * minimum as that query's fixed floor. Every timed run of the query then
+  * reports `max(measured − floor, 0)`: the data-dependent work, which is
+  * the only part that CAN regress. The floor itself is published as
+  * `queries_machinery_cal` (so the full wall time is reconstructible:
+  * reported + floor), and `value`/`value_min` sum the ADJUSTED numbers —
+  * documented in README §bench. A failed calibration leaves the query
+  * unadjusted (floor 0) rather than excluded: unadjusted numbers are
+  * merely diluted, not wrong.
   */
 object Bench {
 
@@ -121,7 +138,8 @@ object Bench {
     val excluded = scala.collection.mutable.Map.empty[String, String]
     val sideEffectWarmed = Set(
       "q36_bucketed_reconcile", "q39_kernel_streaming", "q41_kernel_bucketed",
-      "q44_windowed_streaming") // q44 stages its source file once per (JVM, dir)
+      "q44_windowed_streaming", // q44/q46 stage their source file once per (JVM, dir)
+      "q46_windowed_append_sink")
     (Seq("t01_token_count", "s03_centroids") ++ sideEffectWarmed.toSeq.sorted)
       .foreach { n =>
         SparkEntry.benchQueries.get(n).foreach { f =>
@@ -162,8 +180,31 @@ object Bench {
         None
       }
     }
+    // machinery calibration (round-8 verdict #1): min of a few epsilon
+    // drains per streaming query = its fixed-latency floor; timed runs
+    // below report measured − floor (clamped at 0). Runs BEFORE the
+    // round-robin so the probes also act as warmup for the drain harness.
+    val calRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAL_RUNS", "3").toInt
+    val machineryProbes: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "q39_kernel_streaming" -> graft.queries.KernelQueries.q39MachineryProbe,
+      "q44_windowed_streaming" -> graft.streaming.StreamQueries.q44MachineryProbe)
+    val machineryCal: Map[String, Double] = machineryProbes.flatMap { case (n, f) =>
+      if (excluded.contains(n)) None
+      else {
+        val obs = (1 to calRuns).flatMap(_ =>
+          timedRun(s"$n (machinery cal)")(runNoop(f(spark, sfDir))).map(_._1))
+        if (obs.isEmpty) { System.err.println(s"[bench] $n: calibration failed — timing unadjusted"); None }
+        else Some(n -> obs.min)
+      }
+    }
+    def adjust(name: String, obs: (Double, Long)): (Double, Long) =
+      machineryCal.get(name) match {
+        case Some(floor) => (math.max(obs._1 - floor, 0.0), obs._2)
+        case None => obs
+      }
+
     for (_ <- 1 to runs; ((name, fn), i) <- qs.zipWithIndex)
-      timedRun(name)(runNoop(fn(spark, sfDir))).foreach(perRun(i) :+= _)
+      timedRun(name)(runNoop(fn(spark, sfDir))).foreach(o => perRun(i) :+= adjust(name, o))
 
     // steal-reactive retry (round-7 verdict #1): queries whose EVERY run
     // was steal-contaminated get bounded quiet re-runs appended, stopping
@@ -174,7 +215,7 @@ object Bench {
       retriedNames += name
       var tries = 0
       while (tries < maxRetries && allContaminated(perRun(i))) {
-        timedRun(name)(runNoop(fn(spark, sfDir))).foreach(perRun(i) :+= _)
+        timedRun(name)(runNoop(fn(spark, sfDir))).foreach(o => perRun(i) :+= adjust(name, o))
         tries += 1
       }
     }
@@ -273,6 +314,7 @@ object Bench {
       .mkString("{", ",", "}")
     val qUnstable = results.filter(_._6).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val qRetried = retriedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val qMachineryCal = fmt(machineryCal.toSeq.sortBy(_._1))
     val qExcluded = excluded.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
       .mkString("{", ",", "}")
@@ -286,6 +328,7 @@ object Bench {
         s""""queries_min":$qMin,"queries_steal_ticks":$qSteal,"runs":$runs,""" +
         s""""queries_runs":$qRuns,"queries_steal_runs":$qStealRuns,""" +
         s""""queries_unstable":$qUnstable,"queries_retried":$qRetried,""" +
+        s""""queries_machinery_cal":$qMachineryCal,""" +
         s""""excluded":$qExcluded$scaleJson,""" +
         s""""cpu_user_sec":$cpuUser,""" +
         s""""cpu_sys_sec":$cpuSys,"host_steal_ticks":$stealDelta,"sf":"$sfDir"}"""

@@ -46,12 +46,19 @@ object ScaleSmoke {
     * plan can't silently regress into per-pass exchanges at scale), and
     * TF-IDF (t13 — the vocab-keyed join family: tf/df aggs + term
     * equi-join + per-doc top-k, the only gate entry whose join key
-    * cardinality GROWS with the corpus). */
+    * cardinality GROWS with the corpus), and — round-8 verdict #2/#8 —
+    * the PRODUCTION dedup paths (d08/d09: the stop-listed shingle and
+    * MinHash joins a 100 TB run would actually use, which until now had
+    * ×10 numbers only for their naive baselines) plus the rule ladder
+    * through the byte-based Auto strategy (q47 — the decision jobs, dim
+    * count + row-size sample, must themselves be scale-invisible: expected
+    * ratio ≈ q21's). */
   val GateQueries: Seq[String] = Seq(
     "q22_kernel_full", "q21_rule_match", "d02_dedup_ngram",
     "d03_dedup_minhash", "d07_dedup_keeper", "c01_corpus_clean",
     "q29_moving_agg", "q15_sessionize", "d12_keeper_star_deep",
-    "s02_ann_lsh", "q40_rule_match_shuffle", "q43_funnel", "t13_tfidf_topk")
+    "s02_ann_lsh", "q40_rule_match_shuffle", "q43_funnel", "t13_tfidf_topk",
+    "d08_dedup_stoplist", "d09_dedup_minhash_stoplist", "q47_rule_match_auto")
 
   /** Scale factor of the generated dataset. Default ×10; set
     * SPARK_GRAFT_SCALE_COPIES=100 for the heavyweight ×100 demonstration
@@ -116,13 +123,24 @@ object ScaleSmoke {
     * directions). Min on the BASE side is anti-masking: a contaminated
     * base deflates the ratio, so replacing it with a quieter run makes the
     * gate stricter, never looser. Returns (t_base, t_scale, steal of the
-    * kept pair, retries used). */
+    * kept pair, retries used).
+    *
+    * `minOf` (round-8 verdict #3): the INITIAL measurement is the minimum
+    * of this many runs per side, before any violation-driven retry. 1 for
+    * the ×10 gate (retries fire only on violation, keeping the quiet
+    * artifact cheap); 3 for the ×100 demonstration, whose single runs
+    * under deliberate memory pressure mixed cache-eviction variance into
+    * the committed numbers (d03 read 18.3 s @4g vs 37.1 s @16g purely on
+    * run-to-run noise) — per-query minima make the artifact evidence, not
+    * anecdote. */
   private[graft] def measureWithRetry(name: String, maxRetries: Int,
-      backoffMs: Long = 0L)(
+      backoffMs: Long = 0L, minOf: Int = 1)(
       measureBase: () => (Double, Long),
       measureScale: () => (Double, Long)): (Double, Double, Long, Int) = {
-    var (t1, s1) = measureBase()
-    var (t10, s10) = measureScale()
+    def minRuns(m: () => (Double, Long)): (Double, Long) =
+      (1 to math.max(minOf, 1)).map(_ => m()).minBy(_._1)
+    var (t1, s1) = minRuns(measureBase)
+    var (t10, s10) = minRuns(measureScale)
     var tries = 0
     while (tries < maxRetries && ratioViolation(name, t10 / t1).isDefined) {
       tries += 1
@@ -328,11 +346,13 @@ object ScaleSmoke {
        |
        |Same gate with `SPARK_GRAFT_SCALE_COPIES=100` (60M lineitem rows, 500k
        |docs, 1M events): completion without driver OOM under the blanket
-       |bound is the assertion — single runs under deliberate memory pressure
-       |mix algorithmic scaling with cache eviction (README documents the
-       |variance), so the tight per-query ratchet applies at ×10 where runs
-       |are repeatable. A roomy-driver companion (16g) separates the two
-       |regimes.
+       |bound is the assertion. Past ×10 every per-query time is the MINIMUM
+       |of `SPARK_GRAFT_SCALE_MINOF` (default 3) runs per side — memory
+       |pressure mixes cache-eviction variance into single runs, and minima
+       |are the steal/eviction-immune statistic (contamination only inflates).
+       |The tight per-query ratchet still applies at ×10 where the regime is
+       |repeatable. A roomy-driver companion (16g) separates memory-bound
+       |from algorithmic scaling.
        |
        |## SCALE_ADVERSARIAL.json — the mutual-duplication stress
        |
@@ -546,7 +566,12 @@ object ScaleSmoke {
       // persistent failure is diagnosable from the artifact alone
       def attempt(): (Double, Double, Long, Int) =
         measureWithRetry(name, maxRetries,
-          backoffMs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RETRY_BACKOFF_MS", "30000").toLong)(
+          backoffMs = sys.env.getOrElse("SPARK_GRAFT_SCALE_RETRY_BACKOFF_MS", "30000").toLong,
+          // ×100 single runs under memory pressure are noise-dominated
+          // (round-8 verdict #3) — take per-side minima of N runs there;
+          // the ×10 gate keeps single runs + violation-driven retries
+          minOf = sys.env.getOrElse("SPARK_GRAFT_SCALE_MINOF",
+            if (Copies > 10) "3" else "1").toInt)(
           () => timed(runNoop(fn(spark, base))),
           () => timed(runNoop(fn(spark, dir))))
       val (t1, t10, steal, tries) =

@@ -112,16 +112,61 @@ object RuleMatch {
     * fallback for a dim that outgrows broadcast size (SURVEY §2.3's
     * alternative): ONE shuffle equi-join on (invoice_month,
     * billing_account_id) + specificity scoring, no broadcast required.
-    * [[RuleDimStrategy.Auto]] picks by a one-job dim row count. */
+    * [[RuleDimStrategy.Auto]] picks by a BYTE estimate of the dim
+    * (round-8 verdict #5): broadcastability is a function of bytes, not
+    * rows — a dim with wide `credit_fields` payloads can pass any
+    * row-count test and still overflow the executor hash relation. */
   sealed trait RuleDimStrategy
   object RuleDimStrategy {
     case object Broadcast extends RuleDimStrategy
     case object Shuffle extends RuleDimStrategy
-    /** `maxBroadcastRows` ~ rows that comfortably fit an executor-side
-      * hash relation (8 payload+key columns ≈ 100 B/row → default ≈
-      * 400 MB, inside Spark's 8 GB broadcast hard cap with margin). */
-    final case class Auto(maxBroadcastRows: Long = 4000000L) extends RuleDimStrategy
+    /** `maxBroadcastBytes` ~ an executor-side hash relation that leaves
+      * comfortable margin under Spark's 8 GB broadcast hard cap. The
+      * default 400 MB is the budget the old 4M-row heuristic ASSUMED
+      * (~100 B/row) — now measured instead of assumed. `sampleRows`
+      * bounds the driver-side size sample. */
+    final case class Auto(maxBroadcastBytes: Long = 400L << 20,
+                          sampleRows: Int = 1024) extends RuleDimStrategy
   }
+
+  /** In-memory byte estimate of the dim: row count (one scan-only
+    * aggregate job — over the DIM, never the fact) × average row payload
+    * bytes measured on a bounded driver-side sample (`limit(n).collect`,
+    * ≤`sampleRows` rows). Plan statistics are deliberately only a FLOOR
+    * (`max`ed in): file sources report compressed bytes and local
+    * relations estimate strings at a fixed 20 B — both understate exactly
+    * the wide-payload dim this estimate exists to catch. Overestimating
+    * degrades to the shuffle path, which stays correct; underestimating
+    * OOMs the broadcast build — so every approximation here rounds UP. */
+  private[kernel] def estimateDimBytes(dim: DataFrame, sampleRows: Int): Long = {
+    val n = dim.count()
+    if (n == 0L) return 0L
+    val sample = dim.limit(sampleRows).collect()
+    val avg = sample.map(rowBytes).sum.toDouble / sample.length
+    val sampled = (avg * n).toLong
+    val planStats = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    val plan = if (planStats.isValidLong) planStats.toLong else Long.MaxValue
+    // a plan stat that is the "unknown" Long.Max sentinel is no evidence
+    if (plan == Long.MaxValue) sampled else math.max(sampled, plan)
+  }
+
+  /** Per-row in-memory size of one sampled row: measured bytes for
+    * variable-width values (UTF-8 strings dominate the rule payload),
+    * 8 B per fixed-width slot, plus per-field object overhead. */
+  private def rowBytes(r: org.apache.spark.sql.Row): Long =
+    (0 until r.length).map { i =>
+      r.get(i) match {
+        case null => 8L
+        case s: String => 16L + 2L * s.length
+        case b: Array[Byte] => 16L + b.length
+        case _ => 16L
+      }
+    }.sum
+
+  /** The Auto pick, exposed so RuleMatchSpec can pin that a WIDE dim under
+    * the old 4M-row threshold now selects Shuffle. */
+  private[kernel] def autoPicksBroadcast(dim: DataFrame, a: RuleDimStrategy.Auto): Boolean =
+    estimateDimBytes(dim, a.sampleRows) <= a.maxBroadcastBytes
 
   /** Fact + the 6 payload columns resolved by the rule hierarchy. */
   def addRuleTag(fact: DataFrame, dimRaw: DataFrame,
@@ -129,10 +174,8 @@ object RuleMatch {
     strategy match {
       case RuleDimStrategy.Broadcast => addRuleTagBroadcast(fact, dimRaw)
       case RuleDimStrategy.Shuffle => addRuleTagShuffle(fact, dimRaw)
-      case RuleDimStrategy.Auto(max) =>
-        // one count job over the dim — metadata-scale by assumption, and a
-        // scan-only aggregate even when it isn't; NOT the fact
-        if (dimRaw.count() <= max) addRuleTagBroadcast(fact, dimRaw)
+      case a: RuleDimStrategy.Auto =>
+        if (autoPicksBroadcast(dimRaw, a)) addRuleTagBroadcast(fact, dimRaw)
         else addRuleTagShuffle(fact, dimRaw)
     }
 

@@ -883,13 +883,14 @@ object Dedup {
     * bounded by the cell size. 100 TB: one shuffle on cell id; the cell
     * count k is the knob — size k ~ n/“rows an executor comfortably
     * pairs” (the paper uses k ≈ √n·c), and the within-cell join stays
-    * an equi-join (PlanSpec: no cartesian anywhere in the d-family). */
-  // LAZY (with `all` below): d13's oracle embeds s03's SQL, so a strict val
-  // would read a Similarity val inside Dedup's own <clinit> — and Similarity's
-  // init triggers Dedup's (its vals call the shared vector defs), so whichever
-  // object is touched FIRST would see the other half-built (NPE). Deferring
-  // the only cross-object VAL read past both inits breaks the cycle for every
-  // entry order.
+    * an equi-join (PlanSpec: no cartesian anywhere in the d-family).
+    *
+    * Declared `lazy` (with `all` below): the oracle embeds s03's SQL, so a
+    * strict val would read a Similarity val inside Dedup's own `<clinit>` —
+    * and Similarity's init triggers Dedup's (its vals call the shared
+    * vector defs), so whichever object is touched FIRST would see the
+    * other half-built (NPE). Deferring the only cross-object val read past
+    * both inits breaks the cycle for every entry order. */
   lazy val d13SemanticDedup = QueryDef(
     "d13_semantic_dedup", {
       val centroidSql = Similarity.s03Centroids.oracle.get

@@ -44,15 +44,29 @@ object Sink {
     * per partition dir, |shuffle.partitions| parallel writers. At 100 TB
     * a single hot day would then be one writer's task — `spreadFiles > 1`
     * salts the repartition key so a hot partition splits across that many
-    * files/writers (the skew knob, same trade as Skew.saltedJoin). */
+    * files/writers (the skew knob, same trade as Skew.saltedJoin).
+    *
+    * The salt is `pmod(spark_partition_id(), n)`, which ASSUMES the hot
+    * partition's rows arrive spread over ≥ n upstream tasks — true for
+    * any scan/shuffle-fed frame of real size (upstream task count ≫ n),
+    * but a hot partition concentrated in fewer upstream tasks than n
+    * yields fewer salts, degrading toward the unsalted single file
+    * (best-effort, never wrong). PipelineSpec pins the spread on a
+    * multi-task hot partition. */
   def writePartitioned(df: DataFrame, path: String,
                        sortCols: Seq[String] = Nil,
                        spreadFiles: Int = 1): Unit = {
     df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val spreadKeys =
-      if (spreadFiles <= 1) PartitionCols.map(col)
-      else PartitionCols.map(col) :+ pmod(spark_partition_id(), lit(spreadFiles))
-    val spread = df.repartition(spreadKeys: _*)
+    // the salted path pins an EXPLICIT partition count: a repartition by
+    // columns alone is AQE-coalescible, and coalescing two salted buckets
+    // of the same hot partition back into one task un-splits the file
+    // (the salt is a repartition key, not a partition value — one task
+    // writes one file per partition dir)
+    val spread =
+      if (spreadFiles <= 1) df.repartition(PartitionCols.map(col): _*)
+      else df.repartition(
+        df.sparkSession.sessionState.conf.numShufflePartitions,
+        PartitionCols.map(col) :+ pmod(spark_partition_id(), lit(spreadFiles)): _*)
     val sorted =
       if (sortCols.isEmpty) spread
       else spread.sortWithinPartitions((PartitionCols ++ sortCols).map(col): _*)

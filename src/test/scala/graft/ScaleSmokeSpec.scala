@@ -70,6 +70,19 @@ class ScaleSmokeSpec extends SparkSpec {
     assert(ScaleSmoke.ratioViolation("q15_sessionize", t10c / t1c).isDefined)
   }
 
+  test("minOf takes per-side minima BEFORE any retry (round-8 verdict #3, the ×100 regime)") {
+    // three initial runs per side; the kept pair is each side's minimum —
+    // the eviction/steal-immune statistic the ×100 artifacts now commit —
+    // and no violation-driven retry fires when that pair is in bounds
+    val base = Iterator((0.5, 0L), (0.3, 0L), (0.4, 0L))
+    val scale = Iterator((1.2, 100L), (0.7, 0L), (0.9, 0L))
+    val (tBase, tScale, steal, tries) =
+      ScaleSmoke.measureWithRetry("q15_sessionize", 2, minOf = 3)(
+        () => base.next(), () => scale.next())
+    assert(tBase == 0.3 && tScale == 0.7, s"per-side minima not kept: ($tBase, $tScale)")
+    assert(tries == 0 && steal == 0L, s"no retry should fire in bounds: ($steal, $tries)")
+  }
+
   test("docs/SCALE.md is current (generated from the code that writes the artifacts)") {
     val p = java.nio.file.Paths.get("docs/SCALE.md")
     assert(java.nio.file.Files.exists(p),

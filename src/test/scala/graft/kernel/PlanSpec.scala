@@ -335,7 +335,7 @@ class PlanSpec extends SparkSpec {
     val auto = planOf(RuleMatch.addRuleTag(fact, dim, RuleDimStrategy.Auto()))
     assert("BroadcastHashJoin".r.findAllIn(auto).size >= 8,
       s"Auto on a small dim should keep the 8-family ladder:\n$auto")
-    val forced = planOf(RuleMatch.addRuleTag(fact, dim, RuleDimStrategy.Auto(maxBroadcastRows = 0)))
+    val forced = planOf(RuleMatch.addRuleTag(fact, dim, RuleDimStrategy.Auto(maxBroadcastBytes = 0)))
     assert("BroadcastHashJoin".r.findAllIn(forced).size +
       "SortMergeJoin".r.findAllIn(forced).size <= 2,
       s"Auto past the cap should pick the single-join fallback:\n$forced")

@@ -186,6 +186,45 @@ class RuleMatchSpec extends SparkSpec {
       RuleMatch.addRuleTag(facts.toDF(), rules.toDF(), st)
         .select(col("mode"), col("discount")).collect().toSeq
     assert(go(RuleMatch.RuleDimStrategy.Auto()) ==
-      go(RuleMatch.RuleDimStrategy.Auto(maxBroadcastRows = 0)))
+      go(RuleMatch.RuleDimStrategy.Auto(maxBroadcastBytes = 0)))
+  }
+
+  test("Auto is byte-based: a WIDE dim under any row-count threshold selects Shuffle") {
+    import spark.implicits._
+    import RuleMatch.RuleDimStrategy.Auto
+    // 200 rows — three orders of magnitude under the old 4M-row cap — but
+    // each carries a ~10 KB credit_fields payload: the row-count heuristic
+    // would broadcast it, the byte estimate must not (round-8 verdict #5)
+    val widePayload = "x" * 10000
+    val wide = (1 to 200).map(i =>
+      Rule("2026-01", s"A$i", mode = Some(1), credit_fields = Some(widePayload))).toDF()
+    val narrow = (1 to 200).map(i => Rule("2026-01", s"A$i", mode = Some(1))).toDF()
+    val wideBytes = RuleMatch.estimateDimBytes(wide, 1024)
+    val narrowBytes = RuleMatch.estimateDimBytes(narrow, 1024)
+    // the estimate must SEE the payload width (≥ the raw UTF-16 chars), not
+    // a per-row schema default — this is exactly what defeats row counting
+    assert(wideBytes >= 200L * 2 * 10000, s"wide dim underestimated: $wideBytes")
+    assert(wideBytes > 50 * narrowBytes,
+      s"estimate ignores payload width: wide=$wideBytes narrow=$narrowBytes")
+    // at a budget scaled to this fixture (the production default scales the
+    // same way: bytes, not rows), the wide dim picks Shuffle, narrow keeps
+    // the broadcast ladder — same row count on both sides
+    val budget = Auto(maxBroadcastBytes = 1L << 20)
+    assert(!RuleMatch.autoPicksBroadcast(wide, budget),
+      "wide dim under the row cap must select Shuffle")
+    assert(RuleMatch.autoPicksBroadcast(narrow, budget),
+      "narrow dim of the same row count must keep Broadcast")
+    // and the pick is plan-deep, not just the helper: the wide dim's Auto
+    // plan is the tall-union fallback, not the 8-family broadcast ladder
+    // (Catalyst may still broadcast the SMALL side of the fallback's
+    // re-join — that degradation is correct and allowed)
+    val facts = Seq(fact("A1")).toDF()
+    val plan = RuleMatch.addRuleTag(facts, wide, budget)
+      .queryExecution.executedPlan.toString
+    // the ladder would show 8 BroadcastHashJoins and no aggregate; the
+    // fallback's signature is the winner max() aggregate (the tall union
+    // itself constant-folds into one LocalTableScan on an in-memory dim)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size < 8 && plan.contains("max("),
+      s"Auto kept the broadcast ladder on a dim its byte estimate rejects:\n$plan")
   }
 }

@@ -39,6 +39,32 @@ class PipelineSpec extends SparkSpec {
     assert(out.select("external_consumption").as[Double].collect().toSet == Set(20.0))
   }
 
+  test("spreadFiles>1 splits a hot partition across multiple files (ADVICE r8)") {
+    import spark.implicits._
+    // one HOT (month, day) partition with many rows, arriving spread over
+    // several upstream tasks (the documented assumption: upstream task
+    // count ≥ spreadFiles — here 8 ≥ 2); plus a small cold partition
+    val hot = (1 to 2000).map(i => ("202601", java.sql.Date.valueOf("2026-01-10"), i))
+    val cold = Seq(("202601", java.sql.Date.valueOf("2026-01-11"), 0))
+    val df = (hot ++ cold).toDF("invoice_month", "usage_day", "v").repartition(8)
+    def filesIn(dir: String, day: String): Int =
+      new java.io.File(s"$dir/invoice_month=202601/usage_day=$day")
+        .listFiles().count(f => f.getName.endsWith(".parquet"))
+    // baseline: spreadFiles=1 → exactly ONE file per partition (the
+    // anti-fanout contract the repartition exists for)
+    val dir1 = Files.createTempDirectory("graft-spread1").toString
+    Sink.writePartitioned(df, dir1)
+    assert(filesIn(dir1, "2026-01-10") == 1)
+    // the skew knob: spreadFiles=2 → the hot partition lands in >1 file,
+    // and the data is byte-identical to the unsalted write
+    val dir2 = Files.createTempDirectory("graft-spread2").toString
+    Sink.writePartitioned(df, dir2, spreadFiles = 2)
+    assert(filesIn(dir2, "2026-01-10") > 1,
+      "hot partition did not split across writers under spreadFiles=2")
+    val a = spark.read.parquet(dir1); val b = spark.read.parquet(dir2)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("partitioned write is idempotent and only overwrites incoming partitions") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-sink").toString

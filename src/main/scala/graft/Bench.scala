@@ -50,14 +50,17 @@ import org.apache.spark.sql.SparkSession
   * the queries that needed it; BenchSpec proves the trigger and selection
   * on synthetic contaminated runs.
   *
-  * STREAMING MACHINERY CALIBRATION (round-8 verdict #1): q39/q44 re-run a
-  * full Structured Streaming drain per timed run — by design, that IS the
-  * entry — but most of that wall time is fixed latency (checkpoint init,
-  * `AvailableNow` planning, commit log, sink read planning) that can never
-  * regress with data; at r8 it was 17% of the headline, burying real
-  * regressions. Before timing, the bench runs each streaming query's
-  * MACHINERY PROBE — the identical drain harness over a 1-row staged
-  * source — `SPARK_GRAFT_BENCH_CAL_RUNS` (default 3) times and takes the
+  * STREAMING MACHINERY CALIBRATION (round-8 verdict #1): the streaming
+  * entries (q39/q44/q46/q48) re-run a full Structured Streaming drain per
+  * timed run — by design, that IS the entry — but most of that wall time
+  * is fixed latency (checkpoint init, `AvailableNow` planning, commit
+  * log, sink read planning) that can never regress with data; at r8 it
+  * was 17% of the headline, burying real regressions. Before timing, the
+  * bench runs each streaming query's MACHINERY PROBE — the identical
+  * drain harness over an epsilon staged source (1 row; 2 rows for the
+  * append sinks, which need one watermark-closed emission or the
+  * read-back has no schema) —
+  * `SPARK_GRAFT_BENCH_CAL_RUNS` (default 3) times and takes the
   * minimum as that query's fixed floor. Every timed run of the query then
   * reports `max(measured − floor, 0)`: the data-dependent work, which is
   * the only part that CAN regress. The floor itself is published as
@@ -138,8 +141,8 @@ object Bench {
     val excluded = scala.collection.mutable.Map.empty[String, String]
     val sideEffectWarmed = Set(
       "q36_bucketed_reconcile", "q39_kernel_streaming", "q41_kernel_bucketed",
-      "q44_windowed_streaming", // q44/q46 stage their source file once per (JVM, dir)
-      "q46_windowed_append_sink")
+      "q44_windowed_streaming", // q44/q46/q48 stage their source file once per (JVM, dir)
+      "q46_windowed_append_sink", "q48_sessionize_append_sink")
     (Seq("t01_token_count", "s03_centroids") ++ sideEffectWarmed.toSeq.sorted)
       .foreach { n =>
         SparkEntry.benchQueries.get(n).foreach { f =>
@@ -187,7 +190,9 @@ object Bench {
     val calRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAL_RUNS", "3").toInt
     val machineryProbes: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
       "q39_kernel_streaming" -> graft.queries.KernelQueries.q39MachineryProbe,
-      "q44_windowed_streaming" -> graft.streaming.StreamQueries.q44MachineryProbe)
+      "q44_windowed_streaming" -> graft.streaming.StreamQueries.q44MachineryProbe,
+      "q46_windowed_append_sink" -> graft.streaming.StreamQueries.q46MachineryProbe,
+      "q48_sessionize_append_sink" -> graft.streaming.StreamQueries.q48MachineryProbe)
     val machineryCal: Map[String, Double] = machineryProbes.flatMap { case (n, f) =>
       if (excluded.contains(n)) None
       else {

@@ -58,7 +58,8 @@ object ScaleSmoke {
     "d03_dedup_minhash", "d07_dedup_keeper", "c01_corpus_clean",
     "q29_moving_agg", "q15_sessionize", "d12_keeper_star_deep",
     "s02_ann_lsh", "q40_rule_match_shuffle", "q43_funnel", "t13_tfidf_topk",
-    "d08_dedup_stoplist", "d09_dedup_minhash_stoplist", "q47_rule_match_auto")
+    "d08_dedup_stoplist", "d09_dedup_minhash_stoplist", "q47_rule_match_auto",
+    "t15_lm_score")
 
   /** Scale factor of the generated dataset. Default ×10; set
     * SPARK_GRAFT_SCALE_COPIES=100 for the heavyweight ×100 demonstration

@@ -494,8 +494,72 @@ object TextAnalysis {
           .as("chunk_text"))
   }
 
+  private val LmQuantScale = 1000000L
+
+  /** t15 — bigram-LM fluency scoring: the CCNet-style "does a language
+    * model like this text" quality filter, with the model TRAINED ON THE
+    * CORPUS ITSELF in the same plan (bigram + context counts), add-one
+    * smoothed, and scored per document as the tf-weighted mean conditional
+    * probability of its bigrams. Probabilities are integer-quantized
+    * (`(c+1)*1e6 DIV (c_prev+V)` — the t13 trick) instead of summed
+    * log-probs: the score is a monotone fluency signal either way, and
+    * int64 arithmetic is exact cross-engine where `ln` ulps are not.
+    *
+    * 100 TB shape: bigram extraction is a per-row zip/explode (no
+    * shuffle); counts are two keyed aggregations ((prev,cur), then prev);
+    * V is a 1-row aggregate cross-joined in (never a driver scalar); the
+    * scoring join keys (prev,cur) on both sides — vocabulary-bounded
+    * tables join a corpus-bounded one, all equi-joins, Zipf skew on hot
+    * contexts absorbed by the partial-agg before the join. */
+  val t15LmScore = QueryDef(
+    "t15_lm_score", {
+      val toks = tokensSql("text")
+      s"""WITH base AS (SELECT doc_id, $toks AS toks FROM documents),
+         |idx AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 1)) AS i FROM base),
+         |bg AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur FROM idx),
+         |doc_tf AS (SELECT doc_id, prev, cur, count(*) AS tf FROM bg GROUP BY doc_id, prev, cur),
+         |bgc AS (SELECT prev, cur, CAST(sum(tf) AS BIGINT) AS c FROM doc_tf GROUP BY prev, cur),
+         |ctx AS (SELECT prev, CAST(sum(c) AS BIGINT) AS cp FROM bgc GROUP BY prev),
+         |v AS (SELECT count(DISTINCT term) AS v
+         |      FROM (SELECT unnest(toks) AS term FROM base)),
+         |scored AS (
+         |  SELECT bgc.prev, bgc.cur, ((bgc.c + 1) * $LmQuantScale) // (ctx.cp + v.v) AS q
+         |  FROM bgc JOIN ctx USING (prev) CROSS JOIN v)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+         |       CAST(sum(tf * q) AS BIGINT) AS sum_q,
+         |       CAST(sum(tf * q) AS BIGINT) // CAST(sum(tf) AS BIGINT) AS lm_score
+         |FROM doc_tf JOIN scored USING (prev, cur)
+         |GROUP BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bg = base
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("prev"), b.as("cur")))).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val docTf = bg.groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("tf"))
+    val bgc = docTf.groupBy("prev", "cur").agg(sum("tf").as("c"))
+    val ctx = bgc.groupBy("prev").agg(sum("c").as("cp"))
+    val vdf = base.select(explode(col("toks")).as("term"))
+      .agg(count_distinct(col("term")).as("v"))
+    val scored = bgc
+      .join(ctx, Seq("prev"))
+      .crossJoin(broadcast(vdf))
+      .select(col("prev"), col("cur"),
+        expr(s"(c + 1) * $LmQuantScale DIV (cp + v)").as("q"))
+    docTf.join(scored, Seq("prev", "cur"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"), sum(col("tf") * col("q")).as("sum_q"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_q"),
+        expr("sum_q DIV n_bigrams").as("lm_score"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01TokenCount, t02Quality, t03LangId, t04Fingerprint, t05BpeTokens,
       t06Mixture, t07Decontamination, t08ShardPlan, t09Repetition,
-      t10MixtureSample, t11PiiScrub, t12StratifiedSample, t13TfIdf, t14Chunking)
+      t10MixtureSample, t11PiiScrub, t12StratifiedSample, t13TfIdf, t14Chunking,
+      t15LmScore)
 }

@@ -32,6 +32,14 @@ object StreamJobs {
   /** One open session per user — the entire keyed state. */
   final case class OpenSession(startUs: Long, lastUs: Long, nEvents: Long, sumValue: Double)
 
+  /** Full-microsecond epoch of a `java.sql.Timestamp`. `getTime` alone is
+    * MILLIS — using it would truncate the sub-ms part the batch q15 keeps
+    * (`unix_micros`), so session boundaries could disagree between the
+    * batch and streaming twins on micro-resolution data. `getNanos` holds
+    * the complete fractional second. */
+  private[streaming] def epochMicros(ts: java.sql.Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
   /** A closed session, emitted once. */
   final case class ClosedSession(
       user_id: Long, first_us: Long, last_us: Long, n_events: Long, sum_value: Double)
@@ -75,11 +83,11 @@ object StreamJobs {
             Iterator.single(ClosedSession(user, s.startUs, s.lastUs, s.nEvents, s.sumValue))
           } else {
             // order within the batch (micro-batches are unordered)
-            val evs = it.toIndexedSeq.sortBy(_.ts.getTime)
+            val evs = it.toIndexedSeq.sortBy(e => epochMicros(e.ts))
             val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
             var cur = state.getOption
             evs.foreach { e =>
-              val us = e.ts.getTime * 1000L
+              val us = epochMicros(e.ts)
               cur match {
                 case Some(s) if us - s.lastUs > gapUs =>
                   closed += ClosedSession(user, s.startUs, s.lastUs, s.nEvents, s.sumValue)

@@ -76,6 +76,20 @@ object StreamQueries {
     ensureStaged(d, p =>
       Tables.events(s, d).coalesce(1).write.mode("overwrite").parquet(p))
 
+  /** Staged 2-row source for the APPEND-sink machinery probes: the rows
+    * are 4 days apart so the final watermark CLOSES the first day-window /
+    * first session — a 1-row probe (q44's) would emit nothing in append
+    * mode and the read-back would die on an empty sink's missing schema. */
+  private def ensureProbeEvents(s: SparkSession, d: String): String =
+    ensureStaged(s"$d#append-probe", p => {
+      import s.implicits._
+      Seq(
+        (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "probe", 1.0, 1L),
+        (java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), "probe", 1.0, 1L))
+        .toDF("ts", "event_type", "value", "user_id")
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    })
+
   /** A run-scoped temp dir registered for crash-time sweep; normal paths
     * delete it explicitly the moment it is no longer needed. */
   private def runDir(prefix: String): String = {
@@ -94,6 +108,7 @@ object StreamQueries {
   private val WatermarkDelay = "1 hour"
   private val WatermarkDelayUs = 3600000000L
   private val WindowLengthUs = 86400000000L
+  private val SessionGapUs = 3600000000L
 
   /** The drain behind q44: complete-mode memory sink, fresh checkpoint per
     * run (deleted right after the drain), result read from the driver-side
@@ -170,7 +185,14 @@ object StreamQueries {
        |HAVING window_us + $WindowLengthUs <=
        |  (SELECT (epoch_us(max(ts)) // 1000 * 1000) - $WatermarkDelayUs FROM events)"""
       .stripMargin) { (s, d) =>
-    val stagedPath = ensureStagedEvents(s, d)
+    drainWindowedAppend(s, ensureStagedEvents(s, d))
+  }
+
+  /** The drain behind q46 (and its machinery probe): append-mode windowed
+    * aggregation into a parquet sink, read back. The checkpoint is dead
+    * once the drain committed; the out dir stays for the lazy read-back
+    * (shutdown hook owns it). */
+  private def drainWindowedAppend(s: SparkSession, stagedPath: String): DataFrame = {
     val run = runDir("graft_q46_run")
     val schema = s.read.parquet(stagedPath).schema
     val stream = s.readStream.schema(schema).parquet(stagedPath)
@@ -183,8 +205,6 @@ object StreamQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     require(q.awaitTermination(600000), "q46: streaming drain did not finish within 600s")
-    // checkpoint is dead once the drain committed; the out dir stays for
-    // the lazy read-back (shutdown hook owns it)
     try graft.operators.Reconcile.deleteRecursively(s"$run/ckpt")
     catch { case _: Exception => () }
     s.read.parquet(s"$run/out")
@@ -192,5 +212,100 @@ object StreamQueries {
         col("n_events"), Stable.r4(col("sum_value")).as("sum_value"))
   }
 
-  val all: Seq[QueryDef] = Seq(q44WindowedStreaming, q46WindowedAppendSink)
+  /** Bench-only machinery calibration for q46: the identical append drain
+    * over a staged 2-row source (4 days apart, so the watermark closes one
+    * window and the sink is non-empty) — fixed streaming machinery plus
+    * two rows of work; Bench subtracts its minimum from q46's timed runs. */
+  val q46MachineryProbe: (SparkSession, String) => DataFrame =
+    (s, d) => drainWindowedAppend(s, ensureProbeEvents(s, d))
+
+  /** q48 — CUSTOM-STATE streaming sessionization, oracle-checked: the
+    * `flatMapGroupsWithState` operator ([[StreamJobs.sessionizeStream]],
+    * until now unit-only) drained `AvailableNow` through an append parquet
+    * sink and read back, against q15's batch gap-session SQL in DuckDB.
+    *
+    * Emission contract (what the oracle's WHERE states in foreign SQL):
+    * with the whole staged file in one micro-batch, every non-final
+    * session per user closes IN-BATCH (a later event of the same user
+    * observes the gap) and emits unconditionally; each user's FINAL
+    * session sits in state with an event-time timeout at
+    * `last_ms + gap_ms`, which fires in the AvailableNow flush batch iff
+    * it is strictly below the final watermark (ms-truncated max event
+    * time − delay). Session identity is (user_id, first_us) — the
+    * streaming side has no running session counter, so the oracle drops
+    * q15's session_id from the projection after using it to find each
+    * user's last session.
+    *
+    * This is the third streaming emission surface pinned cross-engine:
+    * q39 foreachBatch, q44/q46 windowed agg, q48 arbitrary keyed state —
+    * and it is exact only because the state handler works in full MICROS
+    * ([[StreamJobs.epochMicros]]); `Timestamp.getTime`-millis state would
+    * hash-mismatch this oracle on the micro-resolution events table.
+    * 100 TB: state is one open session per active user (bounded by
+    * concurrent users, not history), keyed on the same user_id shuffle
+    * the batch twin uses. */
+  val q48SessionizeAppendSink = QueryDef(
+    "q48_sessionize_append_sink",
+    s"""WITH lagged AS (
+       |  SELECT user_id, value, event_id, epoch_us(ts) AS us,
+       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+       |  FROM events),
+       |flagged AS (
+       |  SELECT user_id, value, event_id, us,
+       |         CASE WHEN prev_us IS NULL OR us - prev_us > $SessionGapUs THEN 1 ELSE 0 END AS new_sess
+       |  FROM lagged),
+       |sess AS (
+       |  SELECT user_id, value, us,
+       |         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+       |  FROM flagged),
+       |agg AS (
+       |  SELECT user_id, session_id, count(*) AS n_events,
+       |         ${Stable.sqlR4("sum(value)")} AS sum_value,
+       |         min(us) AS first_us, max(us) AS last_us
+       |  FROM sess GROUP BY user_id, session_id),
+       |ranked AS (
+       |  SELECT *, max(session_id) OVER (PARTITION BY user_id) AS last_sid FROM agg)
+       |SELECT user_id, first_us, last_us, n_events, sum_value
+       |FROM ranked
+       |WHERE session_id < last_sid
+       |   OR last_us // 1000 + ${SessionGapUs / 1000} <
+       |      (SELECT epoch_us(max(ts)) // 1000 - ${WatermarkDelayUs / 1000} FROM events)"""
+      .stripMargin) { (s, d) =>
+    drainSessionAppend(s, ensureStagedEvents(s, d))
+  }
+
+  /** The drain behind q48 (and its machinery probe). */
+  private def drainSessionAppend(s: SparkSession, stagedPath: String): DataFrame = {
+    val run = runDir("graft_q48_run")
+    val schema = s.read.parquet(stagedPath).schema
+    import s.implicits._
+    val stream = s.readStream.schema(schema).parquet(stagedPath)
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[StreamJobs.SessionEvent]
+    val q = StreamJobs
+      .sessionizeStream(stream,
+        gap = java.time.Duration.ofHours(1), watermark = WatermarkDelay)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", s"$run/out")
+      .option("checkpointLocation", s"$run/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(600000), "q48: streaming drain did not finish within 600s")
+    try graft.operators.Reconcile.deleteRecursively(s"$run/ckpt")
+    catch { case _: Exception => () }
+    s.read.parquet(s"$run/out")
+      .select(col("user_id"), col("first_us"), col("last_us"),
+        col("n_events"), Stable.r4(col("sum_value")).as("sum_value"))
+  }
+
+  /** Bench-only machinery calibration for q48 — the identical session
+    * drain over the staged 2-row source (the 4-day gap closes one session
+    * in-batch, so the sink is non-empty). */
+  val q48MachineryProbe: (SparkSession, String) => DataFrame =
+    (s, d) => drainSessionAppend(s, ensureProbeEvents(s, d))
+
+  val all: Seq[QueryDef] = Seq(q44WindowedStreaming, q46WindowedAppendSink, q48SessionizeAppendSink)
 }

@@ -35,4 +35,31 @@ class TextAnalysisSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(ids1 == ids2)
   }
+
+  test("t15 scores a predictable doc above a one-off-bigrams doc; scores stay in [0, 1e6]") {
+    import spark.implicits._
+    // tiny fixture corpus: doc 1 is one bigram repeated (maximally
+    // predictable under the corpus-trained model), doc 2 is all singleton
+    // bigrams — its every conditional probability is near the smoothing floor
+    val dir = java.nio.file.Files.createTempDirectory("graft_t15_fix").toString
+    Seq(
+      (1L, "x x x x x x x x"),
+      (2L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val rows = TextAnalysis.t15LmScore.fn(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+      // both docs have 7 bigrams
+      assert(rows(1L)._1 == 7L && rows(2L)._1 == 7L)
+      val (fluent, gibberish) = (rows(1L)._2, rows(2L)._2)
+      assert(fluent > gibberish,
+        s"repeated-bigram doc must outscore singleton-bigram doc ($fluent vs $gibberish)")
+      assert(fluent <= 1000000L && gibberish >= 0L)
+      // on the real corpus: every score is a valid quantized probability
+      val real = TextAnalysis.t15LmScore.fn(spark, sf)
+      assert(real.filter(col("lm_score") < 0 || col("lm_score") > 1000000L).count() == 0)
+      assert(real.count() > 0)
+    } finally graft.operators.Reconcile.deleteRecursively(dir)
+  }
 }

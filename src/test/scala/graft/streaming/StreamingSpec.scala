@@ -71,6 +71,14 @@ class StreamingSpec extends SparkSpec {
       7L, us("2026-01-01 04:00:00"), us("2026-01-01 04:00:00"), 1L, 4.0)))
   }
 
+  test("epochMicros keeps the sub-ms part getTime-millis arithmetic truncates") {
+    val ts = Timestamp.valueOf("2026-01-01 01:02:03")
+    ts.setNanos(778549000) // .778549s — the events table really has micros
+    assert(StreamJobs.epochMicros(ts) == ts.getTime / 1000 * 1000000L + 778549L)
+    assert(StreamJobs.epochMicros(ts) % 1000 == 549L,
+      "getTime*1000 would have dropped these micros and broken q48's oracle parity")
+  }
+
   test("dedupStream keeps the first copy per content hash within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -59,7 +59,7 @@ object ScaleSmoke {
     "q29_moving_agg", "q15_sessionize", "d12_keeper_star_deep",
     "s02_ann_lsh", "q40_rule_match_shuffle", "q43_funnel", "t13_tfidf_topk",
     "d08_dedup_stoplist", "d09_dedup_minhash_stoplist", "q47_rule_match_auto",
-    "t15_lm_score")
+    "t15_lm_score", "c03_pipeline_to_shards")
 
   /** Scale factor of the generated dataset. Default ×10; set
     * SPARK_GRAFT_SCALE_COPIES=100 for the heavyweight ×100 demonstration
@@ -98,7 +98,13 @@ object ScaleSmoke {
     // ratio sits above the fixed-cardinality shapes by design)
     "q40_rule_match_shuffle" -> 2.274,
     "q43_funnel" -> 1.367,
-    "t13_tfidf_topk" -> 3.42)
+    "t13_tfidf_topk" -> 3.42,
+    // round-9 additions, ratcheted from their first quiet run (steal ≤ 7
+    // ticks each; q47 ≈ q21's ratio as predicted — the Auto estimate jobs
+    // are dim-only and scale-independent)
+    "d08_dedup_stoplist" -> 2.110,
+    "d09_dedup_minhash_stoplist" -> 2.488,
+    "q47_rule_match_auto" -> 1.263)
 
   def boundFor(name: String): Double =
     if (Copies == 10)
@@ -405,7 +411,12 @@ object ScaleSmoke {
     * anywhere, or (kernel queries) a lost broadcast ladder. Mirrors
     * PlanSpec's assertions so the same contract is checked at both scales. */
   private def planViolations(name: String, plan: String): Seq[String] = {
-    val isKernel = name == "q22_kernel_full" || name == "q21_rule_match"
+    // q47 resolves through Auto — on the metadata-scale demo dim the pick
+    // MUST be Broadcast, so it owes the same full ladder as q21/q22 (a
+    // flip to Shuffle at scale would trip the ladder assertion: exactly
+    // the regression this pin exists to catch)
+    val isKernel = name == "q22_kernel_full" || name == "q21_rule_match" ||
+      name == "q47_rule_match_auto"
     val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
     // the kernel's demo dim is BUILT with a bounded broadcast cross join
     // (41 rules × distinct months, both sides driver-memoized metadata) and

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import graft.queries.QueryDef
+import graft.tables.Tables
 
 /** End-to-end corpus cleaning — the composition a training-data pipeline
   * actually ships: near-dup KEEPER selection (d07: MinHash pairs → connected
@@ -111,5 +112,65 @@ object CorpusPipeline {
         col("predicted_lang"))
   }
 
-  val all: Seq[QueryDef] = Seq(c01CorpusClean, c02QualityGate)
+  /** c03 — the FULL pre-training data pipeline as ONE declared plan:
+    * quality gate (c02, map-only) ∩ exact-dedup keepers (d01, one
+    * content-hash shuffle) → context-window chunking of the survivors
+    * (t14, per-row explode) → shard packing of the CHUNKS (t08's
+    * two-level bucketed running sum). A user of this library runs their
+    * whole corpus-to-shards flow as one `DataFrame`; Catalyst fuses the
+    * stages (the gate's row-local predicates evaluate in the same stage
+    * as the chunk explode — nothing materializes between operators), and
+    * the oracle composes the stage oracles verbatim, so the COMPOSITION
+    * is hash-checked end-to-end, not just each stage alone.
+    *
+    * 100 TB shape, stage by stage: gate = zero-shuffle map; keeper
+    * semi-join = one equi-join on doc_id against the md5-group keepers
+    * (the d01 aggregate is corpus-sized pre-agg, Zipf-free keys); chunk =
+    * no shuffle, rides the survivors; packing = one bucket-keyed window
+    * (ShardBuckets-way parallel, never a global sort). Chunking AFTER the
+    * gate+dedup matters at scale: the explode multiplies rows ~n/stride,
+    * so filtering first keeps the widest stage the smallest. */
+  val c03PipelineToShards = QueryDef(
+    "c03_pipeline_to_shards", {
+      import TextAnalysis.{ChunkStride, ChunkTokens, ShardBuckets, ShardTokenBudget}
+      val toks = graft.operators.TextOps.tokensSql("text")
+      s"""WITH gate AS (${c02QualityGate.oracle.get.replace("\n", "\n  ")}),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+         |surv AS (SELECT gate.doc_id FROM gate JOIN keep ON keep.doc_id = gate.doc_id),
+         |chunked AS (
+         |  SELECT doc_id,
+         |    start // $ChunkStride AS chunk_idx,
+         |    len(($toks)[start + 1 : start + $ChunkTokens]) AS n_chunk_tokens
+         |  FROM (
+         |    SELECT doc_id, text,
+         |           unnest(generate_series(0, len($toks) - 1, $ChunkStride)) AS start
+         |    FROM documents JOIN surv USING (doc_id))),
+         |packed AS (
+         |  SELECT doc_id, chunk_idx, n_chunk_tokens,
+         |         doc_id % $ShardBuckets AS bucket,
+         |         CAST(sum(n_chunk_tokens) OVER (PARTITION BY doc_id % $ShardBuckets
+         |                                        ORDER BY doc_id, chunk_idx) AS BIGINT) AS cum
+         |  FROM chunked)
+         |SELECT doc_id, chunk_idx, n_chunk_tokens,
+         |  CAST(floor((cum - n_chunk_tokens) / $ShardTokenBudget) * $ShardBuckets + bucket AS BIGINT) AS shard_id
+         |FROM packed""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import TextAnalysis.{ShardBuckets, ShardTokenBudget}
+    val gate = c02QualityGate.fn(s, d).select(col("doc_id"))
+    val keepers = Dedup.d01Exact.fn(s, d).select(col("keeper").as("doc_id"))
+    val surviving = gate.join(keepers, Seq("doc_id"))
+    val docs = Tables.documents(s, d).join(surviving, Seq("doc_id"))
+    val chunks = TextAnalysis.chunkDocs(docs)
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"))
+    val w = Window.partitionBy("bucket").orderBy("doc_id", "chunk_idx")
+    chunks
+      .withColumn("bucket", col("doc_id") % ShardBuckets)
+      .withColumn("cum", sum(col("n_chunk_tokens")).over(w))
+      .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+        (floor((col("cum") - col("n_chunk_tokens")) / ShardTokenBudget) * ShardBuckets +
+          col("bucket")).cast("long").as("shard_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(c01CorpusClean, c02QualityGate, c03PipelineToShards)
 }

@@ -214,11 +214,11 @@ object TextAnalysis {
       .withColumn("contaminated", col("n_shared") > 0)
   }
 
-  private val ShardBuckets = 16
+  private[operators] val ShardBuckets = 16
   /** Small enough that every test bucket crosses several shard boundaries —
     * a budget above the per-bucket token mass would leave one shard per
     * bucket and never exercise the packing arithmetic (the c01 lesson). */
-  private val ShardTokenBudget = 500.0
+  private[operators] val ShardTokenBudget = 500.0
 
   /** t08 — training-shard planning: pack documents into shards of ≈budget
     * tokens. A single global running sum would serialize on one reducer, so
@@ -453,8 +453,25 @@ object TextAnalysis {
         col("score"))
   }
 
-  private val ChunkTokens = 64
-  private val ChunkStride = 48 // 16-token overlap between consecutive chunks
+  private[operators] val ChunkTokens = 64
+  private[operators] val ChunkStride = 48 // 16-token overlap between consecutive chunks
+
+  /** The t14 chunker over any (doc_id, text) frame — shared with c03,
+    * which chunks only the pipeline's surviving documents. */
+  private[operators] def chunkDocs(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col("text"))
+    docs
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n") - 1, lit(ChunkStride))).as("start"))
+      .select(
+        col("doc_id"),
+        expr(s"CAST(start DIV $ChunkStride AS BIGINT)").as("chunk_idx"),
+        size(slice(col("toks"), col("start") + 1, lit(ChunkTokens))).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, lit(ChunkTokens)), " ")
+          .as("chunk_text"))
+  }
 
   /** t14 — document chunking: split each document into fixed-token-count
     * training chunks with a stride overlap (the context-window packing
@@ -480,18 +497,7 @@ object TextAnalysis {
          |         unnest(generate_series(0, len($toks) - 1, $ChunkStride)) AS start
          |  FROM documents)""".stripMargin
     }) { (s, d) =>
-    val toks = tokens(col("text"))
-    Tables.documents(s, d)
-      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), col("n") - 1, lit(ChunkStride))).as("start"))
-      .select(
-        col("doc_id"),
-        expr(s"CAST(start DIV $ChunkStride AS BIGINT)").as("chunk_idx"),
-        size(slice(col("toks"), col("start") + 1, lit(ChunkTokens))).cast("long")
-          .as("n_chunk_tokens"),
-        array_join(slice(col("toks"), col("start") + 1, lit(ChunkTokens)), " ")
-          .as("chunk_text"))
+    chunkDocs(Tables.documents(s, d))
   }
 
   private val LmQuantScale = 1000000L
@@ -507,10 +513,13 @@ object TextAnalysis {
     *
     * 100 TB shape: bigram extraction is a per-row zip/explode (no
     * shuffle); counts are two keyed aggregations ((prev,cur), then prev);
-    * V is a 1-row aggregate cross-joined in (never a driver scalar); the
-    * scoring join keys (prev,cur) on both sides — vocabulary-bounded
-    * tables join a corpus-bounded one, all equi-joins, Zipf skew on hot
-    * contexts absorbed by the partial-agg before the join. */
+    * V (vocabulary size) is one bounded distinct-count job inlined as a
+    * literal — t13's corpus-size convention, because a 1-row broadcast
+    * cross join plans as a BroadcastNestedLoopJoin and the ×10 gate
+    * forbids BNLJ outright; the scoring join keys (prev,cur) on both
+    * sides — vocabulary-bounded tables join a corpus-bounded one, all
+    * equi-joins, Zipf skew on hot contexts absorbed by the partial-agg
+    * before the join. */
   val t15LmScore = QueryDef(
     "t15_lm_score", {
       val toks = tokensSql("text")
@@ -543,13 +552,12 @@ object TextAnalysis {
     val docTf = bg.groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("tf"))
     val bgc = docTf.groupBy("prev", "cur").agg(sum("tf").as("c"))
     val ctx = bgc.groupBy("prev").agg(sum("c").as("cp"))
-    val vdf = base.select(explode(col("toks")).as("term"))
-      .agg(count_distinct(col("term")).as("v"))
+    val v = base.select(explode(col("toks")).as("term"))
+      .agg(count_distinct(col("term"))).head.getLong(0)
     val scored = bgc
       .join(ctx, Seq("prev"))
-      .crossJoin(broadcast(vdf))
       .select(col("prev"), col("cur"),
-        expr(s"(c + 1) * $LmQuantScale DIV (cp + v)").as("q"))
+        expr(s"(c + 1) * $LmQuantScale DIV (cp + ${v}L)").as("q"))
     docTf.join(scored, Seq("prev", "cur"))
       .groupBy("doc_id")
       .agg(sum("tf").as("n_bigrams"), sum(col("tf") * col("q")).as("sum_q"))

@@ -169,8 +169,12 @@ object Bench {
     val perRun = Array.fill(qs.size)(Vector.empty[(Double, Long)])
     def timedRun(name: String)(run: => Unit): Option[(Double, Long)] = {
       // queries may cache intermediates — drop them so one run's cache
-      // doesn't serve the next run (or pressure the next query's heap)
+      // doesn't serve the next run (or pressure the next query's heap);
+      // then collect, so a measurement never pays for a predecessor's
+      // surviving garbage (unreclaimed broadcasts pin heap until the next
+      // full GC — the ×10 gate's q47 lesson, see ScaleSmoke.timed)
       spark.catalog.clearCache()
+      System.gc()
       val s0 = stealTicks()
       val t0 = System.nanoTime()
       try {

@@ -104,7 +104,9 @@ object ScaleSmoke {
     // are dim-only and scale-independent)
     "d08_dedup_stoplist" -> 2.110,
     "d09_dedup_minhash_stoplist" -> 2.488,
-    "q47_rule_match_auto" -> 1.263)
+    "q47_rule_match_auto" -> 1.263,
+    "t15_lm_score" -> 2.391,
+    "c03_pipeline_to_shards" -> 1.540)
 
   def boundFor(name: String): Double =
     if (Copies == 10)
@@ -475,6 +477,16 @@ object ScaleSmoke {
       df.write.format("noop").mode("overwrite").save()
     def timed(f: => Unit): (Double, Long) = {
       spark.catalog.clearCache()
+      // full GC before the clock starts: by the 16th gate query the 4 GiB
+      // heap carries every predecessor's surviving garbage (AQE/listener
+      // state, unreclaimed broadcasts pinned until the next full GC), and
+      // a measurement taken against that heap charges THIS query for THAT
+      // garbage — observed as q47's ladder timing 12-20× only when ≥10
+      // queries precede it (clean 1.2-1.8× in five isolation subsets, plan
+      // byte-identical to q21's). The ratio gate exists to catch scaling
+      // regressions in the measured query, so each measurement starts from
+      // a collected heap; a REAL regression survives GC just fine.
+      System.gc()
       val s0 = stealTicks(); val t0 = System.nanoTime()
       f
       val s1 = stealTicks()
@@ -563,7 +575,13 @@ object ScaleSmoke {
 
     var violations = Vector.empty[String]
     val maxRetries = sys.env.getOrElse("SPARK_GRAFT_SCALE_RETRIES", "2").toInt
-    val rows = GateQueries.map { name =>
+    // SPARK_GRAFT_SCALE_ONLY=a,b isolates a subset in a FRESH JVM (local
+    // iteration on one query's scaling, or separating a real regression
+    // from cumulative-heap contagion of the 18-query sequence). Partial
+    // runs never overwrite the canonical artifact (see outName below).
+    val onlySubset = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    val gateSet = GateQueries.filter(n => onlySubset.forall(_.contains(n)))
+    val rows = gateSet.map { name =>
       System.err.println(s"[scale] gate query: $name")
       val fn = SparkEntry.queries(name)
       // untimed warm run first: the first execution of a query absorbs its
@@ -618,7 +636,8 @@ object ScaleSmoke {
     // delete+insert twin of main.py:177-202), at base and ×Copies under
     // the same constrained driver, and audits run-twice idempotency AT
     // SCALE with the declared reconciliation operator.
-    val writeRows: Seq[(String, Double)] = try {
+    val writeRows: Seq[(String, Double)] = if (
+      onlySubset.exists(s => !s.contains("e1_write_month"))) Nil else try {
       import graft.queries.BillingDemo
       import graft.pipeline.{Jobs, Sink}
       // busiest fact month keeps the written slice meaningful
@@ -673,7 +692,7 @@ object ScaleSmoke {
         s""""t_base_sec":${fmt(rows.map(r => r._1 -> r._2))},""" +
         s""""t_scale_sec":${fmt(rows.map(r => r._1 -> r._3))},""" +
         s""""ratio":${fmt(rows.map(r => r._1 -> r._4))},""" +
-        s""""ratio_bound":${fmt(GateQueries.map(n => n -> boundFor(n)) :+ ("e1_write_month" -> boundFor("e1_write_month")))},""" +
+        s""""ratio_bound":${fmt(gateSet.map(n => n -> boundFor(n)) :+ ("e1_write_month" -> boundFor("e1_write_month")))},""" +
         s""""steal_ticks":${rows.map(r => "\"" + r._1 + "\":" + r._5).mkString("{", ",", "}")},""" +
         s""""retries":${rows.map(r => "\"" + r._1 + "\":" + r._6).mkString("{", ",", "}")},""" +
         s""""write_path":${fmt(writeRows)},""" +
@@ -683,7 +702,8 @@ object ScaleSmoke {
     // roomy-driver ×100 run → SCALE_SMOKE_x100_16g.json) without
     // clobbering the canonical one
     val outName = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT",
-      if (Copies == 10) "SCALE_SMOKE.json" else s"SCALE_SMOKE_x$Copies.json")
+      if (onlySubset.isDefined) "SCALE_SMOKE_partial.json"
+      else if (Copies == 10) "SCALE_SMOKE.json" else s"SCALE_SMOKE_x$Copies.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outName), json + "\n")
     catch { case e: Exception => System.err.println(s"[scale] write failed: $e") }

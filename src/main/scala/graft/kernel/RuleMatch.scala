@@ -139,13 +139,23 @@ object RuleMatch {
     * degrades to the shuffle path, which stays correct; underestimating
     * OOMs the broadcast build — so every approximation here rounds UP. */
   private[kernel] def estimateDimBytes(dim: DataFrame, sampleRows: Int): Long = {
+    val t0 = System.nanoTime()
     val n = dim.count()
     if (n == 0L) return 0L
+    val t1 = System.nanoTime()
     val sample = dim.limit(sampleRows).collect()
+    val t2 = System.nanoTime()
     val avg = sample.map(rowBytes).sum.toDouble / sample.length
     val sampled = (avg * n).toLong
     val planStats = dim.queryExecution.optimizedPlan.stats.sizeInBytes
     val plan = if (planStats.isValidLong) planStats.toLong else Long.MaxValue
+    val t3 = System.nanoTime()
+    // phase timings to stderr: the decision jobs are dim-only and should
+    // be milliseconds — if the ×10 gate sees Auto-mode slowness, this line
+    // says whether the estimate or the resolved ladder is eating the time
+    System.err.println(
+      f"[rulematch] auto-estimate: count=${(t1 - t0) / 1e9}%.3fs ($n rows) " +
+        f"sample=${(t2 - t1) / 1e9}%.3fs stats=${(t3 - t2) / 1e9}%.3fs")
     // a plan stat that is the "unknown" Long.Max sentinel is no evidence
     if (plan == Long.MaxValue) sampled else math.max(sampled, plan)
   }

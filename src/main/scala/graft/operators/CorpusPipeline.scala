@@ -24,7 +24,14 @@ object CorpusPipeline {
     * proves only schema. PlanSpec pins non-emptiness on the fixture. */
   private[operators] val QualityThreshold = 0.35
 
-  /** c01 — cleaned-corpus membership: d07 near-dup keepers ∩ t02 quality ≥ threshold, one equi-join on doc_id. */
+  /** c01 — cleaned-corpus membership: d07 near-dup keepers ∩ t02 quality ≥
+    * threshold, one equi-join on doc_id. The keeper side carries a
+    * `shuffle_hash` hint: both sides are corpus-scale (a keeper per
+    * surviving doc), so letting stats pick a broadcast here builds a
+    * corpus-sized hash relation on the driver — observed as transient
+    * broadcast-build OOMs in the ×10 gate's tight 4 GiB heap, and flatly
+    * wrong at 100 TB. A doc_id-keyed shuffle join is the honest shape
+    * (co-partitioned for free if both sides persist bucketed by doc_id). */
   val c01CorpusClean = QueryDef(
     "c01_corpus_clean",
     s"""WITH q AS (${TextAnalysis.t02Quality.oracle.get.replace("\n", "\n  ")}),
@@ -37,7 +44,7 @@ object CorpusPipeline {
     val quality = TextAnalysis.t02Quality.fn(s, d)
       .select(col("doc_id"), col("quality_score"))
     quality
-      .join(keepers, Seq("doc_id"))
+      .join(keepers.hint("shuffle_hash"), Seq("doc_id"))
       .filter(col("quality_score") >= QualityThreshold)
       .select(col("doc_id"), col("quality_score"))
   }
@@ -157,10 +164,13 @@ object CorpusPipeline {
     }) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     import TextAnalysis.{ShardBuckets, ShardTokenBudget}
+    // every side of these joins is corpus-scale (one row per surviving
+    // doc) — shuffle_hash pins the shape that cannot OOM a driver build
+    // (the c01 lesson); all three shuffles share the doc_id key
     val gate = c02QualityGate.fn(s, d).select(col("doc_id"))
     val keepers = Dedup.d01Exact.fn(s, d).select(col("keeper").as("doc_id"))
-    val surviving = gate.join(keepers, Seq("doc_id"))
-    val docs = Tables.documents(s, d).join(surviving, Seq("doc_id"))
+    val surviving = gate.join(keepers.hint("shuffle_hash"), Seq("doc_id"))
+    val docs = Tables.documents(s, d).join(surviving.hint("shuffle_hash"), Seq("doc_id"))
     val chunks = TextAnalysis.chunkDocs(docs)
       .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"))
     val w = Window.partitionBy("bucket").orderBy("doc_id", "chunk_idx")

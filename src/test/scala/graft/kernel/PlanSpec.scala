@@ -427,4 +427,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"t13 grew a nested-loop join (the n_docs scalar must stay a literal):\n$plan")
   }
+
+  test("t15 bigram LM: equi-joins only — the vocab-size scalar is an inlined literal") {
+    val plan = planOf(graft.operators.TextAnalysis.t15LmScore.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"t15 has a cartesian join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"t15 grew a nested-loop join (V must stay a literal, not a 1-row cross join):\n$plan")
+  }
+
+  test("c03 pipeline-to-shards: fused end-to-end, equi-joins only, non-vacuous") {
+    val df = graft.operators.CorpusPipeline.c03PipelineToShards.fn(spark, sf)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), s"c03 has a cartesian join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"c03 has a nested-loop join:\n$plan")
+    // survivors exist, several docs chunk into >1 chunk, and packing
+    // actually crosses shard boundaries — otherwise the oracle proves
+    // only schema (the c01 vacuity lesson)
+    val rows = df.cache()
+    try {
+      import org.apache.spark.sql.functions._
+      assert(rows.count() > 0, "pipeline must keep some documents")
+      assert(rows.groupBy("doc_id").count().filter(col("count") > 1).count() > 0,
+        "at least one surviving doc must produce multiple chunks")
+      assert(rows.select("shard_id").distinct().count() > 1,
+        "packing must produce more than one shard")
+    } finally rows.unpersist()
+  }
 }

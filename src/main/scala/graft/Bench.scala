@@ -141,8 +141,9 @@ object Bench {
     val excluded = scala.collection.mutable.Map.empty[String, String]
     val sideEffectWarmed = Set(
       "q36_bucketed_reconcile", "q39_kernel_streaming", "q41_kernel_bucketed",
-      "q44_windowed_streaming", // q44/q46/q48 stage their source file once per (JVM, dir)
-      "q46_windowed_append_sink", "q48_sessionize_append_sink")
+      "q44_windowed_streaming", // q44–q51 stage their source file once per (JVM, dir)
+      "q46_windowed_append_sink", "q48_sessionize_append_sink",
+      "q50_interval_join_stream", "q51_dedup_stream")
     (Seq("t01_token_count", "s03_centroids") ++ sideEffectWarmed.toSeq.sorted)
       .foreach { n =>
         SparkEntry.benchQueries.get(n).foreach { f =>
@@ -196,7 +197,9 @@ object Bench {
       "q39_kernel_streaming" -> graft.queries.KernelQueries.q39MachineryProbe,
       "q44_windowed_streaming" -> graft.streaming.StreamQueries.q44MachineryProbe,
       "q46_windowed_append_sink" -> graft.streaming.StreamQueries.q46MachineryProbe,
-      "q48_sessionize_append_sink" -> graft.streaming.StreamQueries.q48MachineryProbe)
+      "q48_sessionize_append_sink" -> graft.streaming.StreamQueries.q48MachineryProbe,
+      "q50_interval_join_stream" -> graft.streaming.StreamQueries.q50MachineryProbe,
+      "q51_dedup_stream" -> graft.streaming.StreamQueries.q51MachineryProbe)
     val machineryCal: Map[String, Double] = machineryProbes.flatMap { case (n, f) =>
       if (excluded.contains(n)) None
       else {

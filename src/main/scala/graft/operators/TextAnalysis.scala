@@ -565,9 +565,72 @@ object TextAnalysis {
         expr("sum_q DIV n_bigrams").as("lm_score"))
   }
 
+  private[operators] val PackSeqLen = 256L // tokens per training sequence
+  private[operators] val PackBuckets = 16L // independent token streams (parallelism knob)
+
+  /** t16 — sequence packing WITH SPLITS: concatenate each bucket's token
+    * stream (docs in id order) and cut it every [[PackSeqLen]] tokens —
+    * documents crossing a boundary are SPLIT across sequences, so every
+    * training sequence except each stream's last is exactly full. This is
+    * how LM training actually packs context windows (t08 assigns whole
+    * docs to shards and tolerates slack; t14 makes overlapping chunks —
+    * this emits the exact (doc → sequence, offset, length) piece map a
+    * tokenizer-writer consumes). Each doc's stream offset is a running
+    * sum; the doc then explodes into one row per sequence it touches,
+    * with the piece's start offset inside the doc and its length — all
+    * int64, exact cross-engine.
+    *
+    * 100 TB shape: one shuffle keyed by bucket, then a per-bucket
+    * running-sum window and a per-row bounded explode (a doc touches
+    * ⌈n/L⌉+1 sequences at most). [[PackBuckets]] is the parallelism knob —
+    * each bucket is an independent token stream, so at corpus scale you
+    * raise it until a stream's cumulative-sum partition fits an executor
+    * (the interleaved `seq_local × buckets + bucket` ids never collide
+    * across buckets, t08's encoding). */
+  val t16PackSequences = QueryDef(
+    "t16_pack_sequences", {
+      val toks = tokensSql("text")
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % $PackBuckets AS bucket,
+         |         CAST(len($toks) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+         |              - n_tokens AS BIGINT) AS start
+         |  FROM t WHERE n_tokens > 0),
+         |x AS (
+         |  SELECT doc_id, bucket, n_tokens, start,
+         |         unnest(generate_series(start // $PackSeqLen,
+         |                                (start + n_tokens - 1) // $PackSeqLen)) AS seq_local
+         |  FROM o)
+         |SELECT doc_id, bucket, n_tokens,
+         |  seq_local * $PackBuckets + bucket AS seq_id,
+         |  greatest(seq_local * $PackSeqLen - start, 0) AS piece_start,
+         |  least((seq_local + 1) * $PackSeqLen - start, n_tokens)
+         |    - greatest(seq_local * $PackSeqLen - start, 0) AS piece_len
+         |FROM x""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % PackBuckets).as("bucket"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_local",
+        explode(sequence(expr(s"start DIV $PackSeqLen"),
+          expr(s"(start + n_tokens - 1) DIV $PackSeqLen"))))
+      .select(col("doc_id"), col("bucket"), col("n_tokens"),
+        expr(s"seq_local * $PackBuckets + bucket").as("seq_id"),
+        expr(s"greatest(seq_local * $PackSeqLen - start, 0L)").as("piece_start"),
+        expr(s"least((seq_local + 1) * $PackSeqLen - start, n_tokens)" +
+          s" - greatest(seq_local * $PackSeqLen - start, 0L)").as("piece_len"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01TokenCount, t02Quality, t03LangId, t04Fingerprint, t05BpeTokens,
       t06Mixture, t07Decontamination, t08ShardPlan, t09Repetition,
       t10MixtureSample, t11PiiScrub, t12StratifiedSample, t13TfIdf, t14Chunking,
-      t15LmScore)
+      t15LmScore, t16PackSequences)
 }

@@ -779,6 +779,69 @@ object CoreQueries {
           sum(col("n")).over(Window.partitionBy("from_type"))))
   }
 
+  /** q49 — SCD2 effective-dated history (engine extension): collapse each
+    * customer's order-status observations into type-2 slowly-changing-
+    * dimension rows — contiguous runs of one status become one
+    * `[effective_from, effective_to)` version, `effective_to` NULL on the
+    * open current version. The classic gaps-and-islands build every
+    * warehouse runs to historize a mutable dimension: `lag` change
+    * detection → running-sum version numbering → per-run collapse →
+    * `lead` to close each interval. Dates and counts only — the
+    * cross-engine hash is exact by construction.
+    *
+    * 100 TB shape: ONE shuffle keyed by customer serves all three window
+    * passes AND the collapse — the run aggregation groups on
+    * (customer, version), a SUPERSET of the hash keys, so the existing
+    * clustering satisfies it (q41's subset rule), and the closing `lead`
+    * re-uses it again. Output is bounded by status changes, not
+    * observations. */
+  val q49Scd2History = QueryDef(
+    "q49_scd2_history",
+    """WITH obs AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+      |         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+      |                                  ORDER BY o_orderdate, o_orderkey) AS prev_status
+      |  FROM orders),
+      |runs AS (
+      |  SELECT o_custkey, o_orderdate, o_orderstatus,
+      |         CAST(sum(CASE WHEN prev_status IS NULL
+      |                         OR prev_status <> o_orderstatus THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      |  FROM obs),
+      |hist AS (
+      |  SELECT o_custkey, version, min(o_orderstatus) AS status,
+      |         min(o_orderdate) AS effective_from,
+      |         max(o_orderdate) AS last_observed,
+      |         count(*) AS n_obs
+      |  FROM runs GROUP BY o_custkey, version)
+      |SELECT o_custkey, version, status, effective_from,
+      |       lead(effective_from) OVER (PARTITION BY o_custkey
+      |                                  ORDER BY version) AS effective_to,
+      |       last_observed, n_obs
+      |FROM hist""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val prev = lag(col("o_orderstatus"), 1).over(byKey)
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_orderstatus"))
+      .withColumn("chg", when(prev.isNull || prev =!= col("o_orderstatus"), 1).otherwise(0))
+      .withColumn("version",
+        sum(col("chg")).over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .groupBy("o_custkey", "version")
+      .agg(
+        min("o_orderstatus").as("status"),
+        min("o_orderdate").as("effective_from"),
+        max("o_orderdate").as("last_observed"),
+        count(lit(1)).as("n_obs"))
+      .withColumn("effective_to",
+        lead(col("effective_from"), 1)
+          .over(Window.partitionBy("o_custkey").orderBy("version")))
+      .select(col("o_custkey"), col("version"), col("status"), col("effective_from"),
+        col("effective_to"), col("last_observed"), col("n_obs"))
+  }
+
   /** q19s — q19's SKETCH-ONLY shape: `approx_percentile` alone, the literal
     * production call at 100 TB (q19's declared twin adds the exact side for
     * the cross-engine error-bound oracle; ADVICE r7 asked that the scalable
@@ -817,5 +880,5 @@ object CoreQueries {
     q18JsonExtract, q19QuantilesApprox, q27Rollup, q28HeavyHitters,
     q29MovingAgg, q30DistinctApprox, q31Unpivot, q32EventSequence, q34SetOps,
     q35AboveAvg, q37SaltedJoin, q42CohortRetention, q43Funnel,
-    q45TransitionMatrix)
+    q45TransitionMatrix, q49Scd2History)
 }

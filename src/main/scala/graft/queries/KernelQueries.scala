@@ -408,6 +408,11 @@ object KernelQueries {
           .map(f => col(f.name).cast(f.dataType).as(f.name)): _*))
   }
 
+  /** q39 — the streaming kernel as an oracle-checked entry: q22's pure
+    * kernel executed through Structured Streaming (`readStream` over the
+    * staged fact → `foreachBatch` kernel → idempotent partitioned sink,
+    * drained `AvailableNow`, read back) under q22's oracle VERBATIM — a
+    * standing cross-engine proof that batch and stream cannot drift. */
   val q39KernelStreaming = QueryDef(
     "q39_kernel_streaming",
     taggedSql + kernelSuffixSql()) { (s, d) =>

@@ -307,5 +307,141 @@ object StreamQueries {
   val q48MachineryProbe: (SparkSession, String) => DataFrame =
     (s, d) => drainSessionAppend(s, ensureProbeEvents(s, d))
 
-  val all: Seq[QueryDef] = Seq(q44WindowedStreaming, q46WindowedAppendSink, q48SessionizeAppendSink)
+  private val JoinWithin = "6 hours"
+
+  /** The drain behind q50 (and its probe): two independent file-source
+    * streams over the SAME staged single-file events parquet (each with
+    * its own offsets in the shared checkpoint), filtered to the two sides,
+    * joined by [[StreamJobs.intervalJoinStream]], appended to a parquet
+    * sink and read back. The single staged file keeps the whole drain one
+    * micro-batch, so every qualifying pair co-arrives and the inner join
+    * emits ALL of them — no watermark-eviction restriction is needed in
+    * the oracle (state eviction only happens between batches). */
+  private def drainIntervalJoin(s: SparkSession, stagedPath: String): DataFrame = {
+    val run = runDir("graft_q50_run")
+    val schema = s.read.parquet(stagedPath).schema
+    def side(tpe: String) = s.readStream.schema(schema).parquet(stagedPath)
+      .filter(col("event_type") === tpe)
+    val views = side("view")
+      .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+    val purchases = side("purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    val q = StreamJobs
+      .intervalJoinStream(views, purchases, key = "user_id",
+        leftTs = "v_ts", rightTs = "p_ts", within = JoinWithin)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", s"$run/out")
+      .option("checkpointLocation", s"$run/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(600000), "q50: streaming drain did not finish within 600s")
+    try graft.operators.Reconcile.deleteRecursively(s"$run/ckpt")
+    catch { case _: Exception => () }
+    s.read.parquet(s"$run/out")
+      .select(col("user_id"), col("view_id"), col("r_purchase_id").as("purchase_id"),
+        unix_micros(col("v_ts")).as("view_us"), unix_micros(col("p_ts")).as("purchase_us"),
+        Stable.r4(col("r_value")).as("purchase_value"))
+  }
+
+  /** q50 — STREAM-STREAM interval join, oracle-checked: pair every view
+    * with the same user's purchases within [[JoinWithin]] after it —
+    * [[StreamJobs.intervalJoinStream]] (until now unit-only) drained
+    * `AvailableNow` through an append parquet sink against the plain batch
+    * join in DuckDB. The fourth streaming surface pinned cross-engine
+    * (q39 foreachBatch, q44/q46 windowed agg, q48 keyed state — this one
+    * two-sided join state). 100 TB: both sides are watermarked AND the
+    * join carries the time-range conjunct, so Spark bounds each side's
+    * buffered state to the horizon — attribution joins run forever on
+    * unbounded streams precisely because of that pair. */
+  val q50IntervalJoinStream = QueryDef(
+    "q50_interval_join_stream",
+    s"""SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       |  epoch_us(v.ts) AS view_us, epoch_us(p.ts) AS purchase_us,
+       |  ${Stable.sqlR4("p.value")} AS purchase_value
+       |FROM events v JOIN events p
+       |  ON v.user_id = p.user_id
+       | AND v.event_type = 'view' AND p.event_type = 'purchase'
+       | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR""".stripMargin) { (s, d) =>
+    drainIntervalJoin(s, ensureStagedEvents(s, d))
+  }
+
+  /** Bench-only machinery calibration for q50: the identical two-stream
+    * join drain over a staged 2-row source holding one view and one
+    * purchase a minute apart — one pair emits, so the sink is non-empty. */
+  val q50MachineryProbe: (SparkSession, String) => DataFrame =
+    (s, d) => drainIntervalJoin(s,
+      ensureStaged(s"$d#join-probe", p => {
+        import s.implicits._
+        Seq(
+          (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "view", 1.0, "{}"),
+          (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 7L, "purchase", 2.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(p)
+      }))
+
+  /** Staged documents with a synthesized deterministic arrival time
+    * (`2024-01-01 + doc_id seconds`) — the dedup-at-the-door stream needs
+    * an event-time column and the batch table has none. One file, one
+    * micro-batch. */
+  private def ensureStagedDocs(s: SparkSession, d: String): String =
+    ensureStaged(s"$d#docs", p =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(p))
+
+  /** The drain behind q51 (and its probe). */
+  private def drainDedupStream(s: SparkSession, stagedPath: String): DataFrame = {
+    val run = runDir("graft_q51_run")
+    val schema = s.read.parquet(stagedPath).schema
+    val stream = s.readStream.schema(schema).parquet(stagedPath)
+    val q = StreamJobs.dedupStream(stream, textCol = "text", tsCol = "ts")
+      .select(md5(col("text").cast("binary")).as("text_md5"))
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", s"$run/out")
+      .option("checkpointLocation", s"$run/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(600000), "q51: streaming drain did not finish within 600s")
+    try graft.operators.Reconcile.deleteRecursively(s"$run/ckpt")
+    catch { case _: Exception => () }
+    s.read.parquet(s"$run/out")
+  }
+
+  /** q51 — STREAMING exact dedup at the door, oracle-checked:
+    * [[StreamJobs.dedupStream]] (`dropDuplicatesWithinWatermark` on the
+    * content hash, until now unit-only) drained `AvailableNow` over the
+    * staged corpus and read back. WHICH copy survives a duplicate set is
+    * arrival-order-dependent, so the declared projection keeps only the
+    * content hash itself — a column every survivor determines identically —
+    * making the emitted SET deterministic: exactly DuckDB's
+    * `DISTINCT md5(text)`. d01 is the batch twin (keep min doc_id); this
+    * pins the streaming emission contract. 100 TB: state is keyed by the
+    * same content hash the batch groupBy shuffles on, and the watermark
+    * bounds it by (ingest rate × delay), not corpus size. */
+  val q51DedupStream = QueryDef(
+    "q51_dedup_stream",
+    "SELECT DISTINCT md5(text) AS text_md5 FROM documents") { (s, d) =>
+    drainDedupStream(s, ensureStagedDocs(s, d))
+  }
+
+  /** Bench-only machinery calibration for q51: the identical dedup drain
+    * over a staged 1-row corpus. */
+  val q51MachineryProbe: (SparkSession, String) => DataFrame =
+    (s, d) => drainDedupStream(s,
+      ensureStaged(s"$d#docs-probe", p => {
+        import s.implicits._
+        Seq((1L, "probe text",
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+          .toDF("doc_id", "text", "ts")
+          .coalesce(1).write.mode("overwrite").parquet(p)
+      }))
+
+  val all: Seq[QueryDef] = Seq(q44WindowedStreaming, q46WindowedAppendSink,
+    q48SessionizeAppendSink, q50IntervalJoinStream, q51DedupStream)
 }

@@ -435,6 +435,24 @@ class PlanSpec extends SparkSpec {
       s"t15 grew a nested-loop join (V must stay a literal, not a 1-row cross join):\n$plan")
   }
 
+  test("q49 SCD2: join-free — lag, running sum, collapse and lead share ONE customer shuffle") {
+    val plan = planOf(CoreQueries.q49Scd2History.fn(spark, sf))
+    assert(!plan.contains("Join"), s"q49 grew a join:\n$plan")
+    // the (custkey, version) collapse and the closing lead must ride the
+    // lag/running-sum window's custkey hash partitioning (subset rule) —
+    // a second exchange means the history build re-shuffles per pass
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex == 1, s"q49 expected 1 hash exchange, got $ex:\n$plan")
+  }
+
+  test("t16 packing: join-free — ONE bucket shuffle feeds the running sum and the explode") {
+    val plan = planOf(graft.operators.TextAnalysis.t16PackSequences.fn(spark, sf))
+    assert(!plan.contains("Join"), s"t16 grew a join:\n$plan")
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex == 1, s"t16 expected 1 hash exchange (the bucket window), got $ex:\n$plan")
+    assert(plan.contains("Generate"), s"t16 lost its explode:\n$plan")
+  }
+
   test("c03 pipeline-to-shards: fused end-to-end, equi-joins only, non-vacuous") {
     val df = graft.operators.CorpusPipeline.c03PipelineToShards.fn(spark, sf)
     val plan = planOf(df)

@@ -36,6 +36,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ids1 == ids2)
   }
 
+  test("t16 fills every non-final sequence exactly and covers each doc contiguously") {
+    val out = TextAnalysis.t16PackSequences.fn(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      // every sequence except each bucket's LAST is exactly PackSeqLen full
+      val fill = out.groupBy("bucket", "seq_id").agg(sum("piece_len").as("fill"))
+      val lastSeq = fill.groupBy("bucket").agg(max("seq_id").as("last_seq"))
+      val nonFinal = fill.join(lastSeq, "bucket").filter(col("seq_id") =!= col("last_seq")).cache()
+      try {
+        assert(nonFinal.count() > 0,
+          "fixture too small to fill even one sequence — the fill check is vacuous")
+        assert(nonFinal.filter(col("fill") =!= TextAnalysis.PackSeqLen).count() == 0,
+          "a non-final sequence is not exactly full — packing leaked slack")
+      } finally nonFinal.unpersist()
+      // per-doc coverage: pieces start at 0 and sum to the doc's token count
+      val cover = out.groupBy("doc_id").agg(
+        sum("piece_len").as("sum_len"), min("piece_start").as("min_start"),
+        max("n_tokens").as("n"))
+      assert(cover.filter(col("sum_len") =!= col("n") || col("min_start") =!= 0).count() == 0,
+        "doc pieces must cover [0, n_tokens) exactly")
+      // the SPLIT actually happens: at least one doc crosses a boundary
+      assert(out.groupBy("doc_id").count().filter(col("count") > 1).count() > 0,
+        "no doc crosses a sequence boundary — the split path is untested")
+    } finally out.unpersist()
+  }
+
   test("t15 scores a predictable doc above a one-off-bigrams doc; scores stay in [0, 1e6]") {
     import spark.implicits._
     // tiny fixture corpus: doc 1 is one bigram repeated (maximally

@@ -297,6 +297,42 @@ class StreamingSpec extends SparkSpec {
       "declared streaming kernel diverged from the declared batch kernel")
   }
 
+  test("q50 (the DECLARED stream-stream interval join) equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val streamed = StreamQueries.q50IntervalJoinStream.fn(spark, sf).cache()
+    try {
+      val e = graft.tables.Tables.events(spark, sf)
+      val v = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("v_ts"), col("event_id").as("view_id"))
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"), col("value"))
+      val batch = v.join(p,
+          v("user_id") === p("p_user") && col("p_ts") >= col("v_ts") &&
+            col("p_ts") <= col("v_ts") + expr("INTERVAL 6 hours"))
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          unix_micros(col("v_ts")).as("view_us"), unix_micros(col("p_ts")).as("purchase_us"),
+          graft.queries.Stable.r4(col("value")).as("purchase_value"))
+      assert(streamed.count() > 0, "no view→purchase pairs at sf0.001 — the check is vacuous")
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+        "declared streaming interval join diverged from the batch join")
+    } finally streamed.unpersist()
+  }
+
+  test("q51 (the DECLARED streaming dedup) emits exactly the distinct content hashes, once each") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = StreamQueries.q51DedupStream.fn(spark, sf)
+      .collect().map(_.getString(0)).toSeq
+    val want = graft.tables.Tables.documents(spark, sf)
+      .select(md5(col("text").cast("binary"))).distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(got.size == got.distinct.size, "a content hash was emitted twice")
+    assert(got.sorted == want.sorted,
+      "streamed dedup set diverged from the batch distinct-hash set")
+  }
+
   test("streamingKernel per-batch output equals the batch kernel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -509,7 +509,215 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"), Stable.r4(avg(col("dist"))).as("avg_sqdist"))
   }
 
+  // ---------- s09: IVF-PQ — residual product quantization + ADC inside the probe's cell ----------
+
+  private val SubSpaces = 8
+  private val SubDim = Dims / SubSpaces // 16
+  private val PqK = 16 // codes per sub-codebook
+
+  /** Squared L2 between two double arrays — s08's fold, shared by the
+    * per-subspace Lloyd rounds, the encoding argmin and the ADC ranking. */
+  private def sqdCol(v: Column, c: Column): Column =
+    aggregate(
+      zip_with(v, c, (x, y) => { val dd = x - y; dd * dd }),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** The literal full-centroid vector of the row's assigned `cell`
+    * (chained CASE over the ≤k cells — bounded metadata, no join). */
+  private def cellCentroidCol(cents: Seq[(Int, Seq[Float])]): Column =
+    cents.tail.foldLeft(
+      when(col("cell") === cents.head._1, typedlit(cents.head._2))) {
+      case (acc, (lab, cv)) => acc.when(col("cell") === lab, typedlit(cv))
+    }
+
+  /** The (vec_id, cell, res) residual frame behind s09: every vector
+    * assigned to its nearest coarse centroid (s05's literal-argmax
+    * projection), residual = v − centroid(cell) in double — float minus
+    * float is EXACT in double, so both engines carry bit-identical
+    * residuals into codebook training, encoding and ranking. */
+  private def residualFrame(s: SparkSession, d: String): DataFrame = {
+    val rows = s03Centroids.fn(s, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    val cents: Seq[(Int, Seq[Float])] = rows.groupBy(_._1).toSeq
+      .map { case (lab, ts) => lab -> ts.sortBy(_._2).map(_._3.toFloat).toSeq }
+      .sortBy(_._1)
+    val scoredCells = centroidScoredCells(s, d)
+    vecs(s, d)
+      .select(col("vec_id"), col("embedding"),
+        (-array_max(scoredCells).getField("negCell")).as("cell"))
+      .withColumn("cvec_cell", cellCentroidCol(cents))
+      .withColumn("res",
+        zip_with(col("embedding"), col("cvec_cell"),
+          (x, y) => x.cast("double") - y.cast("double")))
+      .select(col("vec_id"), col("cell"), col("res"))
+  }
+
+  /** Two deterministic Lloyd rounds on one subspace's residual subvectors
+    * (seeds = the [[PqK]] lowest vec_ids' subvectors, means r4-rounded
+    * after EVERY update — s08's cross-engine stability convention).
+    * Returns the sub-codebook ordered by cid. */
+  private def trainSubCodebook(sv: DataFrame): Seq[(Long, Seq[Double])] = {
+    def assignStruct(cents: Seq[(Long, Seq[Double])]): Column =
+      array_min(array(cents.map { case (cid, cv) =>
+        struct(sqdCol(col("sv"), typedlit(cv)).as("dist"), lit(cid).as("cid"))
+      }: _*))
+    def round(cents: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] =
+      sv.withColumn("cid", assignStruct(cents).getField("cid"))
+        .select(col("cid"), posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(Stable.r4(avg(col("v"))).as("cv"))
+        .groupBy("cid")
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("cv")))),
+          x => x.getField("cv")).as("cvec"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+        .toSeq.sortBy(_._1)
+    val seeds = sv.filter(col("vec_id") < PqK)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+      .toSeq.sortBy(_._1)
+    round(round(seeds))
+  }
+
+  /** One oracle-side PQ block for subspace `m`: seed, two Lloyd rounds,
+    * and the final encoding — the s08 `lloydRoundSql` shape restricted to
+    * `rsub WHERE sub = m`. */
+  private def pqSubBlockSql(m: Int): String = {
+    val rs = s"(SELECT vec_id, sv FROM rsub WHERE sub = $m)"
+    val ex = s"""(SELECT vec_id, unnest(sv) AS v,
+                |               unnest(generate_series(1, len(sv))) AS p
+                |        FROM rsub WHERE sub = $m)""".stripMargin
+    s"""s${m}c0 AS (SELECT vec_id AS cid, sv AS cvec FROM rsub WHERE sub = $m AND vec_id < $PqK),
+       |s${m}a0 AS (
+       |  SELECT r.vec_id, c.cid FROM $rs r CROSS JOIN s${m}c0 c
+       |  QUALIFY row_number() OVER (PARTITION BY r.vec_id
+       |                             ORDER BY ${sqdSql("r.sv", "c.cvec")}, c.cid) = 1),
+       |s${m}m1 AS (
+       |  SELECT a.cid, ex.p AS dim, ${Stable.sqlR4("avg(ex.v)")} AS cv
+       |  FROM $ex ex JOIN s${m}a0 a USING (vec_id) GROUP BY a.cid, ex.p),
+       |s${m}c1 AS (SELECT cid, list(cv ORDER BY dim) AS cvec FROM s${m}m1 GROUP BY cid),
+       |s${m}a1 AS (
+       |  SELECT r.vec_id, c.cid FROM $rs r CROSS JOIN s${m}c1 c
+       |  QUALIFY row_number() OVER (PARTITION BY r.vec_id
+       |                             ORDER BY ${sqdSql("r.sv", "c.cvec")}, c.cid) = 1),
+       |s${m}m2 AS (
+       |  SELECT a.cid, ex.p AS dim, ${Stable.sqlR4("avg(ex.v)")} AS cv
+       |  FROM $ex ex JOIN s${m}a1 a USING (vec_id) GROUP BY a.cid, ex.p),
+       |s${m}c2 AS (SELECT cid, list(cv ORDER BY dim) AS cvec FROM s${m}m2 GROUP BY cid),
+       |s${m}enc AS (
+       |  SELECT r.vec_id, $m AS sub, c.cid AS code, c.cvec
+       |  FROM $rs r CROSS JOIN s${m}c2 c
+       |  QUALIFY row_number() OVER (PARTITION BY r.vec_id
+       |                             ORDER BY ${sqdSql("r.sv", "c.cvec")}, c.cid) = 1)""".stripMargin
+  }
+
+  /** s09 — IVF-PQ with RESIDUAL quantization, the production ANN index
+    * shape at vector-corpus scale: each vector's residual against its IVF
+    * cell centroid is split into [[SubSpaces]] subspaces and encoded by
+    * per-subspace k-means codebooks ([[PqK]] codes, two deterministic
+    * Lloyd rounds on the residuals themselves — quantizing the RESIDUAL,
+    * not the raw vector, is what preserves within-cell discrimination);
+    * the corpus is then [[SubSpaces]] small codebook CODES per vector
+    * (8 bytes vs 256 bytes of floats — the ~32× memory compression that
+    * fits a trillion-vector index on a cluster; k and M are the
+    * precision/compression knobs), candidates are pruned to the probe's
+    * cell, and ranking is
+    * asymmetric distance computation: the probe's exact residual against
+    * each candidate's reconstructed residual.
+    *
+    * 100 TB shape: codebooks are bounded literal metadata (M·k·SubDim
+    * doubles) trained with s08's corpus-safe Lloyd jobs (argmin against
+    * literal centroids — no join, no corpus shuffle; k·SubDim groups per
+    * mean); encoding is a PER-ROW PROJECTION; the only join is the cell
+    * equi-join (PlanSpec pins it), touching ≈1/k of the corpus per probe.
+    * A production kernel folds the probe×codebook products into an M×k
+    * lookup table instead of reconstructing — same candidate set, same
+    * ranking; this declaration pins both, and the emitted codes make the
+    * quantization itself oracle-checked, not just the ranking. */
+  val s09IvfPqAdc = QueryDef(
+    "s09_ivfpq_adc", {
+      val centroidSql = s03Centroids.oracle.get
+      s"""WITH cents0 AS (${centroidSql.replace("\n", "\n  ")}),
+         |cents AS (
+         |  SELECT label,
+         |         list_transform(list(centroid ORDER BY dim_pos), x -> CAST(x AS REAL)) AS cvec
+         |  FROM cents0 GROUP BY label),
+         |cn AS (SELECT label, cvec, ${normSql("cvec")} AS cnorm FROM cents),
+         |e AS ($vecsSql),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, cn.label AS cell,
+         |           row_number() OVER (
+         |             PARTITION BY e.vec_id
+         |             ORDER BY ${dotSql("e.embedding", "cn.cvec")} / (e.nrm * cn.cnorm) DESC,
+         |                      cn.label) AS rn
+         |    FROM e CROSS JOIN cn) WHERE rn = 1),
+         |res AS (
+         |  SELECT a.vec_id, a.cell,
+         |         list_transform(list_zip(a.embedding, cc.cvec),
+         |                        pp -> CAST(pp[1] AS DOUBLE) - CAST(pp[2] AS DOUBLE)) AS res
+         |  FROM assigned a JOIN cents cc ON a.cell = cc.label),
+         |rsub AS (
+         |  SELECT vec_id, sub, res[sub * $SubDim + 1 : sub * $SubDim + $SubDim] AS sv
+         |  FROM res CROSS JOIN (SELECT unnest(generate_series(0, ${SubSpaces - 1})) AS sub) ss),
+         |${(0 until SubSpaces).map(pqSubBlockSql).mkString(",\n")},
+         |encoded AS (${(0 until SubSpaces).map(m => s"SELECT * FROM s${m}enc")
+           .mkString("\n  ", "\n  UNION ALL ", "")}),
+         |recon AS (
+         |  SELECT vec_id, flatten(list(cvec ORDER BY sub)) AS rres,
+         |         list(code ORDER BY sub) AS codes
+         |  FROM encoded GROUP BY vec_id),
+         |cand AS (
+         |  SELECT r.vec_id, r.cell, rc.rres, rc.codes
+         |  FROM res r JOIN recon rc USING (vec_id)),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, p.cell, c.vec_id AS neighbor_id, c.codes,
+         |         ${sqdSql("p.res", "c.rres")} AS adc
+         |  FROM (SELECT * FROM res WHERE vec_id % $ProbeMod = 0) p
+         |  JOIN cand c ON p.cell = c.cell AND p.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT probe_id, cell, neighbor_id, codes, adc,
+         |         row_number() OVER (PARTITION BY probe_id
+         |                            ORDER BY adc, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT probe_id, cell, rank, neighbor_id,
+         |       ${(0 until SubSpaces).map(m => s"codes[${m + 1}] AS c$m").mkString(", ")},
+         |       ${Stable.sqlR4("adc")} AS adc_sqdist
+         |FROM ranked WHERE rank <= $TopK""".stripMargin
+    }) { (s, d) =>
+    val rf = residualFrame(s, d)
+    val cbs = (0 until SubSpaces).map { m =>
+      trainSubCodebook(rf.select(col("vec_id"),
+        slice(col("res"), m * SubDim + 1, SubDim).as("sv")))
+    }
+    val bests = (0 until SubSpaces).map { m =>
+      val sv = slice(col("res"), m * SubDim + 1, SubDim)
+      array_min(array(cbs(m).map { case (cid, cv) =>
+        val cvec = typedlit(cv)
+        struct(sqdCol(sv, cvec).as("dist"), lit(cid).as("cid"), cvec.as("cvec"))
+      }: _*))
+    }
+    val cand = rf.select(Seq(
+      col("vec_id"), col("cell"), col("res"),
+      concat(bests.map(_.getField("cvec")): _*).as("rres")) ++
+      bests.zipWithIndex.map { case (b, m) => b.getField("cid").as(s"c$m") }: _*)
+    val p = rf.filter(col("vec_id") % ProbeMod === 0)
+    val adc = sqdCol(col("p.res"), col("e.rres"))
+    val w = Window.partitionBy("probe_id").orderBy(col("adc"), col("neighbor_id"))
+    broadcast(p.as("p"))
+      .join(cand.as("e"),
+        col("p.cell") === col("e.cell") && col("p.vec_id") =!= col("e.vec_id"))
+      .select(Seq(col("p.vec_id").as("probe_id"), col("p.cell").as("cell"),
+        col("e.vec_id").as("neighbor_id")) ++
+        (0 until SubSpaces).map(m => col(s"e.c$m").as(s"c$m")) :+
+        adc.as("adc"): _*)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(Seq(col("probe_id"), col("cell"), col("rank"), col("neighbor_id")) ++
+        (0 until SubSpaces).map(m => col(s"c$m")) :+
+        Stable.r4(col("adc")).as("adc_sqdist"): _*)
+  }
+
   val all: Seq[QueryDef] =
     Seq(s01KnnBrute, s02AnnLsh, s03Centroids, s04AnnMultiProbe, s05IvfSearch,
-      s06IvfMultiProbe, s07AnnRecall, s08KmeansLloyd)
+      s06IvfMultiProbe, s07AnnRecall, s08KmeansLloyd, s09IvfPqAdc)
 }

@@ -453,6 +453,15 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Generate"), s"t16 lost its explode:\n$plan")
   }
 
+  test("s09 IVF-PQ: the cell equi-join is the ONLY join — encoding is a literal projection") {
+    val plan = planOf(graft.operators.Similarity.s09IvfPqAdc.fn(spark, sf))
+    assert(!plan.contains("CartesianProduct"), s"s09 has a cartesian join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"s09 grew a nested-loop join (codebooks must stay literals):\n$plan")
+    val joins = "Join".r.findAllIn(plan).size
+    assert(joins == 1, s"s09 expected exactly 1 join (the cell equi-join), got $joins:\n$plan")
+  }
+
   test("c03 pipeline-to-shards: fused end-to-end, equi-joins only, non-vacuous") {
     val df = graft.operators.CorpusPipeline.c03PipelineToShards.fn(spark, sf)
     val plan = planOf(df)

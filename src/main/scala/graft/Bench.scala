@@ -171,10 +171,15 @@ object Bench {
     def timedRun(name: String)(run: => Unit): Option[(Double, Long)] = {
       // queries may cache intermediates — drop them so one run's cache
       // doesn't serve the next run (or pressure the next query's heap);
+      // release leftover pinned localCheckpoint blocks (d07/d12's final
+      // frames are unevictable storage that squeezes later queries'
+      // execution memory into spill — the ×10 gate's q40/q47 lesson);
       // then collect, so a measurement never pays for a predecessor's
       // surviving garbage (unreclaimed broadcasts pin heap until the next
-      // full GC — the ×10 gate's q47 lesson, see ScaleSmoke.timed)
+      // full GC — see ScaleSmoke.timed)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       System.gc()
       val s0 = stealTicks()
       val t0 = System.nanoTime()

@@ -54,12 +54,36 @@ object ScaleSmoke {
     * count + row-size sample, must themselves be scale-invisible: expected
     * ratio ≈ q21's). */
   val GateQueries: Seq[String] = Seq(
-    "q22_kernel_full", "q21_rule_match", "d02_dedup_ngram",
+    // The four LADDER-CLASS queries (q22/q21/q47/q40 — each embeds the 8
+    // dim-construction broadcast subtrees) run ADJACENTLY, first. Their
+    // assertions are pairwise comparisons ("Auto's decision overhead is
+    // invisible: q47 ≈ q21"; "the shuffle fallback scales like the
+    // ladder: q40 vs q21"), and those comparisons are only clean when the
+    // twins execute back-to-back under the same JVM state. Empirically,
+    // whichever ladder-class query ran LATE in the sequence intermittently
+    // timed 8-19× on a byte-identical plan (q47 at old position 16 twice,
+    // q40 at position 12 twice) while isolated, prefix, and early-position
+    // runs of the same query stayed at 1.1-2.7× — JVM-state drift that
+    // persists through in-JVM retries and that GC isolation, cache
+    // clearing, and pinned-RDD release did not close. Grouping the cohort
+    // makes each a controlled experiment instead of a position-confounded
+    // one; no non-ladder query has shown the pathology at any position.
+    "q22_kernel_full", "q21_rule_match", "q47_rule_match_auto",
+    "q40_rule_match_shuffle",
+    "d02_dedup_ngram",
     "d03_dedup_minhash", "d07_dedup_keeper", "c01_corpus_clean",
     "q29_moving_agg", "q15_sessionize", "d12_keeper_star_deep",
-    "s02_ann_lsh", "q40_rule_match_shuffle", "q43_funnel", "t13_tfidf_topk",
-    "d08_dedup_stoplist", "d09_dedup_minhash_stoplist", "q47_rule_match_auto",
-    "t15_lm_score", "c03_pipeline_to_shards")
+    "s02_ann_lsh", "q43_funnel", "t13_tfidf_topk",
+    "d08_dedup_stoplist", "d09_dedup_minhash_stoplist",
+    "t15_lm_score", "c03_pipeline_to_shards",
+    // round-9 additions: the SCD2 history build (one customer shuffle
+    // shared by three window passes + the collapse — the subset-clustering
+    // claim must hold at scale, not just in PlanSpec), sequence packing
+    // (per-bucket running sum + bounded explode: output row count rides
+    // token count), and IVF-PQ (codebook training = 16 bounded Lloyd jobs
+    // whose cost must stay corpus-dominated, encoding a per-row
+    // projection, candidate work ≈1/k of the corpus per probe)
+    "q49_scd2_history", "t16_pack_sequences", "s09_ivfpq_adc")
 
   /** Scale factor of the generated dataset. Default ×10; set
     * SPARK_GRAFT_SCALE_COPIES=100 for the heavyweight ×100 demonstration
@@ -106,7 +130,13 @@ object ScaleSmoke {
     "d09_dedup_minhash_stoplist" -> 2.488,
     "q47_rule_match_auto" -> 1.263,
     "t15_lm_score" -> 2.391,
-    "c03_pipeline_to_shards" -> 1.540)
+    "c03_pipeline_to_shards" -> 1.540,
+    // round-9 batch 2, ratcheted from their first quiet runs (steal ≤ 11
+    // ticks each; s09's base is codebook-training-dominated — 16 bounded
+    // Lloyd jobs — so its ratio measures the corpus-scaling tail)
+    "t16_pack_sequences" -> 1.602,
+    "s09_ivfpq_adc" -> 1.532,
+    "q49_scd2_history" -> 1.511)
 
   def boundFor(name: String): Double =
     if (Copies == 10)
@@ -229,6 +259,17 @@ object ScaleSmoke {
       appendCopies(ev, s"$dir/events.parquet") { (df, i) =>
         df.withColumn("event_id", col("event_id") + lit(i * IdShift))
           .withColumn("user_id", col("user_id") + lit(i * IdShift))
+      }
+    }
+    // orders (q49): shift o_custkey as well as o_orderkey, so each copy
+    // brings NEW customers carrying the base's per-customer status
+    // history — the SCD2 collapse's per-key run structure is unchanged,
+    // customer count grows ×Copies (the same linear shape as events)
+    ensureTable("orders") {
+      val ord = spark.read.parquet(s"$baseDir/orders.parquet")
+      appendCopies(ord, s"$dir/orders.parquet") { (df, i) =>
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(i * IdShift))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * IdShift))
       }
     }
     // embeddings: each copy applies a deterministic diag(±1) transform
@@ -477,6 +518,20 @@ object ScaleSmoke {
       df.write.format("noop").mode("overwrite").save()
     def timed(f: => Unit): (Double, Long) = {
       spark.catalog.clearCache()
+      // ALSO release leftover persistent RDDs: the iterative dedup
+      // operators (d07/d12) leave their final `localCheckpoint` frame
+      // pinned — localCheckpoint cuts lineage, so its blocks are
+      // UNEVICTABLE storage that neither clearCache (catalog-level) nor
+      // GC touches. Those pinned blocks shrink the unified pool's
+      // execution side for every LATER measurement, and whichever big
+      // shuffle/broadcast query tips into spill first reads 15-20× slow
+      // on a byte-identical plan — observed intermittently on q47 and
+      // q40 (position-dependent, JVM-persistent through 3 in-JVM retries,
+      // absent in fresh-JVM isolation). Blocking unpersist makes each
+      // measurement start from an EMPTY storage pool; a query's own
+      // in-flight checkpoints remain its own timed cost.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
       // full GC before the clock starts: by the 16th gate query the 4 GiB
       // heap carries every predecessor's surviving garbage (AQE/listener
       // state, unreclaimed broadcasts pinned until the next full GC), and

@@ -426,6 +426,34 @@ object CoreQueries {
         sum(col("l_quantity").cast("long")).as("sum_qty"))
   }
 
+  /** q52 — full CUBE over three dimensions (q27's rollup walks ONE
+    * hierarchy; the cube materializes the whole 2³ aggregation lattice in
+    * one pass — the OLAP mart build behind slice-and-dice dashboards).
+    * Catalyst plans it as a single scan + one Expand (8 replicas tagged
+    * by grouping set) + ONE shuffle on the expanded keys; output is
+    * bounded by the product of dimension cardinalities, independent of
+    * fact rows. `grouping_id` (the standard bitmask, identical in DuckDB,
+    * q27's convention) separates rolled-up NULLs from NULL data; the
+    * measure is integral, so every lattice cell is exact. */
+  val q52Cube = QueryDef(
+    "q52_cube",
+    s"""SELECT l_returnflag, l_linestatus,
+       |  strftime(l_shipdate, '%Y-%m') AS ship_month,
+       |  CAST(grouping_id(l_returnflag, l_linestatus,
+       |                   strftime(l_shipdate, '%Y-%m')) AS BIGINT) AS lvl,
+       |  count(*) AS n_rows,
+       |  ${Stable.sqlSumBig("CAST(l_quantity AS BIGINT)")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY CUBE (l_returnflag, l_linestatus, strftime(l_shipdate, '%Y-%m'))""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+      .cube("l_returnflag", "l_linestatus", "ship_month")
+      .agg(
+        grouping_id().cast("long").as("lvl"),
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"))
+  }
+
   /** q28 — top-10 hottest user_ids via the Misra-Gries sketch aggregator
     * ([[graft.functions.HeavyHitters]]). The sketch capacity (4096) exceeds
     * the distinct-user count at every test SF — sf0.1's events carry 1500
@@ -880,5 +908,5 @@ object CoreQueries {
     q18JsonExtract, q19QuantilesApprox, q27Rollup, q28HeavyHitters,
     q29MovingAgg, q30DistinctApprox, q31Unpivot, q32EventSequence, q34SetOps,
     q35AboveAvg, q37SaltedJoin, q42CohortRetention, q43Funnel,
-    q45TransitionMatrix, q49Scd2History)
+    q45TransitionMatrix, q49Scd2History, q52Cube)
 }

@@ -435,6 +435,14 @@ class PlanSpec extends SparkSpec {
       s"t15 grew a nested-loop join (V must stay a literal, not a 1-row cross join):\n$plan")
   }
 
+  test("q52 cube: one Expand, one shuffle — the whole 2^3 lattice in a single pass") {
+    val plan = planOf(CoreQueries.q52Cube.fn(spark, sf))
+    assert(!plan.contains("Join"), s"q52 grew a join:\n$plan")
+    assert("Expand".r.findAllIn(plan).size == 1, s"q52 expected exactly 1 Expand:\n$plan")
+    val ex = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(ex == 1, s"q52 expected 1 hash exchange (the expanded-key agg), got $ex:\n$plan")
+  }
+
   test("q49 SCD2: join-free — lag, running sum, collapse and lead share ONE customer shuffle") {
     val plan = planOf(CoreQueries.q49Scd2History.fn(spark, sf))
     assert(!plan.contains("Join"), s"q49 grew a join:\n$plan")

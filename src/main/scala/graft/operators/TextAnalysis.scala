@@ -628,9 +628,64 @@ object TextAnalysis {
           s" - greatest(seq_local * $PackSeqLen - start, 0L)").as("piece_len"))
   }
 
+  /** Split-gate permille thresholds: <800 train, <900 valid, else test. */
+  private val SplitTrain = 800
+  private val SplitValid = 900
+
+  /** t17 — cross-split NEAR-DUPLICATE leakage audit: assign every document
+    * of the dedup corpus to train/valid/test by the t10 hash gate
+    * (row-local, reproducible), then count d08's near-duplicate pairs that
+    * STRADDLE two splits — the honest-eval check every training pipeline
+    * needs (a test doc with a near-duplicate in train inflates eval
+    * scores; t07 catches verbatim n-gram contamination, this catches the
+    * near-dup leak a random split provably creates). The split map is over
+    * [[Dedup.corpusSql]] — the SAME corpus d08 dedups — so every pair
+    * endpoint resolves (an inner join against the raw table would silently
+    * drop pairs touching the twin ids and under-report the leak).
+    *
+    * 100 TB shape: the split is a pure row-local predicate; the audit
+    * rides d08's bounded candidate join and adds two doc_id equi-joins of
+    * the PAIR set (already ≪ corpus) against the (doc_id, split) map;
+    * output is at most |splits|² rows. */
+  val t17SplitLeakage = QueryDef(
+    "t17_split_leakage", {
+      val h = polyHashSql("CAST(doc_id AS VARCHAR)")
+      val gate = s"((($h) * ($h)) % ${TextOps.HashMod}) % 1000"
+      val pairsSql = Dedup.d08NgramStopList.oracle.get
+      s"""WITH pairs AS (${pairsSql.replace("\n", "\n  ")}),
+         |s AS (
+         |  SELECT doc_id,
+         |         CASE WHEN $gate < $SplitTrain THEN 'train'
+         |              WHEN $gate < $SplitValid THEN 'valid'
+         |              ELSE 'test' END AS split
+         |  FROM (${Dedup.corpusSql.replace("\n", " ")}))
+         |SELECT sa.split AS split_a, sb.split AS split_b,
+         |  count(*) AS n_pairs,
+         |  CAST(count(DISTINCT p.id_b) AS BIGINT) AS n_docs_leaked
+         |FROM pairs p
+         |JOIN s sa ON p.id_a = sa.doc_id
+         |JOIN s sb ON p.id_b = sb.doc_id
+         |WHERE sa.split <> sb.split
+         |GROUP BY sa.split, sb.split""".stripMargin
+    }) { (s, d) =>
+    val h = polyHash(col("doc_id").cast("string"))
+    val gate = ((h * h) % TextOps.HashMod) % 1000
+    val split = when(gate < SplitTrain, "train")
+      .when(gate < SplitValid, "valid").otherwise("test")
+    val sm = Dedup.corpus(s, d).select(col("doc_id"), split.as("split"))
+    Dedup.d08NgramStopList.fn(s, d)
+      .join(sm.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sm.as("sb"), col("id_b") === col("sb.doc_id"))
+      .filter(col("sa.split") =!= col("sb.split"))
+      .select(col("sa.split").as("split_a"), col("sb.split").as("split_b"), col("id_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        count_distinct(col("id_b")).as("n_docs_leaked"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01TokenCount, t02Quality, t03LangId, t04Fingerprint, t05BpeTokens,
       t06Mixture, t07Decontamination, t08ShardPlan, t09Repetition,
       t10MixtureSample, t11PiiScrub, t12StratifiedSample, t13TfIdf, t14Chunking,
-      t15LmScore, t16PackSequences)
+      t15LmScore, t16PackSequences, t17SplitLeakage)
 }

@@ -62,6 +62,39 @@ class TextAnalysisSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("t17 audits the SAME corpus d08 dedups — no pair endpoint silently drops") {
+    val pairs = Dedup.d08NgramStopList.fn(spark, sf).cache()
+    try {
+      val nPairs = pairs.count()
+      assert(nPairs > 0, "no near-dup pairs at sf0.001 — the audit is vacuous")
+      // every pair endpoint must resolve in the corpus the split map covers:
+      // an audit built over the RAW documents table would inner-join away
+      // every pair touching a twin id (+100000) and under-report the leak
+      // (the first draft of t17 did exactly that — both engines agreed on
+      // the same wrong 10-pair answer, so only this containment check,
+      // not the oracle hash, catches the class)
+      val corpusIds = Dedup.corpus(spark, sf).select(col("doc_id"))
+      val unresolved = pairs.select(col("id_a").as("doc_id"))
+        .union(pairs.select(col("id_b").as("doc_id")))
+        .join(corpusIds, Seq("doc_id"), "left_anti").count()
+      assert(unresolved == 0, s"$unresolved pair endpoints missing from the split corpus")
+      // cross + same partitions the pair set exactly
+      val cross = TextAnalysis.t17SplitLeakage.fn(spark, sf)
+        .agg(sum("n_pairs")).head.getLong(0)
+      val h = graft.operators.TextOps.polyHash(col("doc_id").cast("string"))
+      val gate = ((h * h) % graft.operators.TextOps.HashMod) % 1000
+      val split = when(gate < 800, "train").when(gate < 900, "valid").otherwise("test")
+      val sm = Dedup.corpus(spark, sf).select(col("doc_id"), split.as("split"))
+      val same = pairs
+        .join(sm.as("sa"), col("id_a") === col("sa.doc_id"))
+        .join(sm.as("sb"), col("id_b") === col("sb.doc_id"))
+        .filter(col("sa.split") === col("sb.split")).count()
+      assert(cross + same == nPairs,
+        s"cross ($cross) + same ($same) != pairs ($nPairs) — endpoints dropped")
+      assert(cross > 0, "no cross-split pairs — the leak signal is vacuous")
+    } finally pairs.unpersist()
+  }
+
   test("t15 scores a predictable doc above a one-off-bigrams doc; scores stay in [0, 1e6]") {
     import spark.implicits._
     // tiny fixture corpus: doc 1 is one bigram repeated (maximally

@@ -35,6 +35,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:+UnlockDiagnosticVMOptions",
   "-XX:GCLockerRetryAllocationCount=64",
 )
+// Ladder-investigation experiment knob (docs/LADDER_INVESTIGATION.md):
+// SPARK_GRAFT_PRETOUCH=1 pins the heap at Xmx and pre-faults it, removing
+// G1 commit/uncommit churn (the System.gc() between gate measurements
+// shrinks an Xms-less heap, so each query re-commits GBs — the candidate
+// mechanism for the late-sequence kernel-time tax).
+javaOptions ++= (if (sys.env.get("SPARK_GRAFT_PRETOUCH").contains("1"))
+  Seq(s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+    "-XX:+AlwaysPreTouch")
+else Nil)
 
 // One-command round ritual (round-7 verdict #7): tests → correctness dump →
 // ratcheted ×10 scale gate → bench → doc regeneration, in order, failing

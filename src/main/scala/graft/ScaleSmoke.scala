@@ -516,6 +516,21 @@ object ScaleSmoke {
 
     def runNoop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
+    // SPARK_GRAFT_SCALE_DIAG=1: per-measurement process CPU/fault deltas
+    // from /proc/self/stat (utime/stime in USER_HZ ticks, minor/major
+    // faults) on stderr — the discriminator for the ladder investigation
+    // (slow runs bill ~1.1k CPU-s of SYSTEM time on ~50 s wall; see
+    // docs/LADDER_INVESTIGATION.md).
+    val diagOn = sys.env.get("SPARK_GRAFT_SCALE_DIAG").contains("1")
+    def procSelfStat(): Array[Long] =
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/self/stat")))
+        // comm may contain spaces/parens — fields start after the last ')'
+        val f = s.substring(s.lastIndexOf(')') + 2).split(" ")
+        // post-comm 0-indexed: minflt=7, majflt=9, utime=11, stime=12
+        Array(f(7).toLong, f(9).toLong, f(11).toLong, f(12).toLong)
+      } catch { case _: Exception => Array(-1L, -1L, -1L, -1L) }
     def timed(f: => Unit): (Double, Long) = {
       spark.catalog.clearCache()
       // ALSO release leftover persistent RDDs: the iterative dedup
@@ -542,12 +557,22 @@ object ScaleSmoke {
       // regressions in the measured query, so each measurement starts from
       // a collected heap; a REAL regression survives GC just fine.
       System.gc()
+      val d0 = if (diagOn) procSelfStat() else null
       val s0 = stealTicks(); val t0 = System.nanoTime()
       f
       val s1 = stealTicks()
+      val wall = (System.nanoTime() - t0) / 1e9
+      if (diagOn && d0 != null) {
+        val d1 = procSelfStat()
+        val hz = 100.0 // USER_HZ on linux
+        System.err.println(
+          f"[diag] wall=$wall%.2fs utime=${(d1(2) - d0(2)) / hz}%.1fs " +
+            f"stime=${(d1(3) - d0(3)) / hz}%.1fs " +
+            s"minflt=${d1(0) - d0(0)} majflt=${d1(1) - d0(1)}")
+      }
       // -1 means "steal unknown" (no /proc/stat), not "quiet host" —
       // propagate the sentinel instead of reporting a phantom 0
-      ((System.nanoTime() - t0) / 1e9, if (s0 >= 0 && s1 >= 0) s1 - s0 else -1L)
+      (wall, if (s0 >= 0 && s1 >= 0) s1 - s0 else -1L)
     }
 
     // one-off adversarial-duplication mode: candidate-pair accounting on
@@ -635,7 +660,19 @@ object ScaleSmoke {
     // from cumulative-heap contagion of the 18-query sequence). Partial
     // runs never overwrite the canonical artifact (see outName below).
     val onlySubset = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
-    val gateSet = GateQueries.filter(n => onlySubset.forall(_.contains(n)))
+    // SPARK_GRAFT_SCALE_ORDER=ladder_last reproduces the late-sequence
+    // ladder-class pathology deliberately (docs/LADDER_INVESTIGATION.md):
+    // the cohort that normally runs first moves to the END, the position
+    // where byte-identical plans intermittently timed 8-19×.
+    val ladderClass = Set("q22_kernel_full", "q21_rule_match",
+      "q47_rule_match_auto", "q40_rule_match_shuffle")
+    val gateSet0 = GateQueries.filter(n => onlySubset.forall(_.contains(n)))
+    val gateSet = sys.env.get("SPARK_GRAFT_SCALE_ORDER") match {
+      case Some("ladder_last") =>
+        val (lad, rest) = gateSet0.partition(ladderClass)
+        rest ++ lad
+      case _ => gateSet0
+    }
     val rows = gateSet.map { name =>
       System.err.println(s"[scale] gate query: $name")
       val fn = SparkEntry.queries(name)

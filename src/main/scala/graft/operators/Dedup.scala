@@ -506,11 +506,15 @@ object Dedup {
     * kept), so both outcomes are exercised.
     *
     * 100 TB shape: an anti-join keyed by the content hash — the historical
-    * side is corpus-sized, so it shuffles by hash rather than broadcasting;
-    * the standard hardening is a bloom-filter pre-pass on the (small)
-    * incoming side's hashes to skip re-reading cold history partitions.
-    * Semi/anti joins never multiply rows, so skew is bounded by the
-    * incoming batch. */
+    * side is corpus-sized, so it shuffles by hash rather than broadcasting.
+    * The declared path runs the standard bloom hardening
+    * ([[incrementalDedupBloom]]): history's hashes fold into a bounded
+    * bloom (built once, amortized over every daily batch); batch rows the
+    * bloom REJECTS are definitely-new and bypass the join entirely, rows
+    * it accepts (true dupes + ~fpp false positives) go through the exact
+    * anti-join backstop — so the bloom can only shrink the join, never
+    * change the answer. Semi/anti joins never multiply rows, so skew is
+    * bounded by the incoming batch. */
   val d11IncrementalDedup = QueryDef(
     "d11_dedup_incremental",
     """WITH existing AS (SELECT md5(text) AS h FROM documents),
@@ -528,8 +532,36 @@ object Dedup {
       .select((col("doc_id") + 200000).as("doc_id"), md5(col("text").cast("binary")).as("h"))
       .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"),
         md5(lower(trim(col("text"))).substr(lit(15), length(lower(trim(col("text"))))).cast("binary")).as("h")))
-    incoming
-      .join(existing, Seq("h"), "left_anti")
+    incrementalDedupBloom(incoming, existing)
+  }
+
+  /** The bloom-hardened incremental dedup behind d11 (round-9 verdict #7):
+    * build history's bloom over `xxhash64(h)` with Spark's own
+    * `BloomFilterAggregate` (the runtime-filter producer, merged
+    * distributed) and probe it with its paired `BloomFilterMightContain`
+    * expression — codegen'd, no UDF; route definitely-new rows around the
+    * join and bloom-accepted rows through the exact anti-join backstop.
+    * Output is EXACTLY the plain anti-join's (the oracle doesn't change):
+    * a false positive merely rides the backstop, which DedupSpec proves
+    * with a saturated 64-bit bloom. `numBits` sizes the filter —
+    * production derives it from the history-cardinality estimate
+    * (n·ln fpp / ln²2); the default is ~1.2 MB for 1M hashes at 1%. */
+  private[graft] def incrementalDedupBloom(
+      incoming: DataFrame, existing: DataFrame,
+      numBits: Long = 9585059L): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val bytes = existing.select(column(new BloomFilterAggregate(
+        expression(xxhash64(col("h"))), Literal(1000000L), Literal(numBits))
+      .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    def might = column(BloomFilterMightContain(
+      Literal(bytes, org.apache.spark.sql.types.BinaryType),
+      expression(xxhash64(col("h")))))
+    incoming.filter(!might).select(col("doc_id"), col("h"))
+      .unionAll(incoming.filter(might).join(existing, Seq("h"), "left_anti")
+        .select(col("doc_id"), col("h")))
       .select(col("doc_id"), col("h").as("content_md5"))
   }
 

@@ -661,7 +661,8 @@ object TextAnalysis {
          |  FROM (${Dedup.corpusSql.replace("\n", " ")}))
          |SELECT sa.split AS split_a, sb.split AS split_b,
          |  count(*) AS n_pairs,
-         |  CAST(count(DISTINCT p.id_b) AS BIGINT) AS n_docs_leaked
+         |  CAST(count(DISTINCT p.id_a) + count(DISTINCT p.id_b) AS BIGINT)
+         |    AS n_docs_leaked
          |FROM pairs p
          |JOIN s sa ON p.id_a = sa.doc_id
          |JOIN s sb ON p.id_b = sb.doc_id
@@ -677,10 +678,16 @@ object TextAnalysis {
       .join(sm.as("sa"), col("id_a") === col("sa.doc_id"))
       .join(sm.as("sb"), col("id_b") === col("sb.doc_id"))
       .filter(col("sa.split") =!= col("sb.split"))
-      .select(col("sa.split").as("split_a"), col("sb.split").as("split_b"), col("id_b"))
+      .select(col("sa.split").as("split_a"), col("sb.split").as("split_b"),
+        col("id_a"), col("id_b"))
       .groupBy("split_a", "split_b")
+      // distinct endpoints from BOTH sides: within a (split_a, split_b)
+      // group the id_a docs live in split_a and the id_b docs in split_b
+      // (splits differ), so the two distinct sets are disjoint and their
+      // sum IS the distinct leaked-document count.
       .agg(count(lit(1)).as("n_pairs"),
-        count_distinct(col("id_b")).as("n_docs_leaked"))
+        (count_distinct(col("id_a")) + count_distinct(col("id_b")))
+          .as("n_docs_leaked"))
   }
 
   val all: Seq[QueryDef] =

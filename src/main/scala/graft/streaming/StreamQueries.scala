@@ -98,6 +98,19 @@ object StreamQueries {
     p
   }
 
+  /** q50/q51's batch-join oracles are valid ONLY under the documented
+    * single-micro-batch drain: one staged part file means every row
+    * co-arrives, so no watermark eviction can happen between rows. A
+    * future staging change to multiple files would otherwise surface as an
+    * opaque oracle hash mismatch — assert the contract by name instead. */
+  private def requireSingleBatchStaging(stagedPath: String, who: String): Unit = {
+    val parts = Option(new java.io.File(stagedPath).listFiles())
+      .getOrElse(Array.empty).filter(_.getName.startsWith("part-"))
+    require(parts.length == 1,
+      s"$who: staged source $stagedPath holds ${parts.length} part files — " +
+        "the single-micro-batch contract behind the batch-join oracle is broken")
+  }
+
   private def dropDir(p: String): Unit = {
     try graft.operators.Reconcile.deleteRecursively(p)
     catch { case _: Exception => () }
@@ -319,6 +332,7 @@ object StreamQueries {
     * the oracle (state eviction only happens between batches). */
   private def drainIntervalJoin(s: SparkSession, stagedPath: String): DataFrame = {
     val run = runDir("graft_q50_run")
+    requireSingleBatchStaging(stagedPath, "q50")
     val schema = s.read.parquet(stagedPath).schema
     def side(tpe: String) = s.readStream.schema(schema).parquet(stagedPath)
       .filter(col("event_type") === tpe)
@@ -396,6 +410,7 @@ object StreamQueries {
   /** The drain behind q51 (and its probe). */
   private def drainDedupStream(s: SparkSession, stagedPath: String): DataFrame = {
     val run = runDir("graft_q51_run")
+    requireSingleBatchStaging(stagedPath, "q51")
     val schema = s.read.parquet(stagedPath).schema
     val stream = s.readStream.schema(schema).parquet(stagedPath)
     val q = StreamJobs.dedupStream(stream, textCol = "text", tsCol = "ts")

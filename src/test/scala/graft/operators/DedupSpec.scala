@@ -155,4 +155,25 @@ class DedupSpec extends SparkSpec {
     assert(drops > 0, "fixture produced no semantic duplicates")
     assert(drops < out.size, "fixture dropped every vector")
   }
+
+  test("incrementalDedupBloom: false positives survive via the anti-join backstop") {
+    import spark.implicits._
+    val existing = Seq("a", "b", "c").toDF("h")
+    val incoming = Seq((1L, "a"), (2L, "b"), (3L, "x"), (4L, "y"), (5L, "z"))
+      .toDF("doc_id", "h")
+    val plain = incoming.join(existing, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h").as("content_md5"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // a 64-bit bloom saturates on 3 inserts (~42 bits set): most or all of
+    // the definitely-new rows read as "might contain" and are forced down
+    // the backstop — the output must STILL be exactly the plain anti-join
+    val saturated = Dedup.incrementalDedupBloom(incoming, existing, numBits = 64L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(saturated == plain)
+    assert(plain == Set((3L, "x"), (4L, "y"), (5L, "z")))
+    // and at the default sizing (false positives rare) the same equality
+    val sized = Dedup.incrementalDedupBloom(incoming, existing)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sized == plain)
+  }
 }

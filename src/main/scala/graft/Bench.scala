@@ -28,8 +28,11 @@ import org.apache.spark.sql.SparkSession
   * Steal robustness (three round-5 runs spread 64–70s on contention alone):
   * runs are interleaved ROUND-ROBIN across queries — a steal burst then
   * contaminates one run of many queries instead of every run of one query —
-  * and the JSON carries the full per-run time and steal arrays
-  * (`queries_runs` / `queries_steal_runs`) plus `queries_unstable`, the
+  * and the JSON carries the full per-run time and contamination arrays
+  * (`queries_runs` / `queries_steal_runs`; since round 10 the per-run
+  * contamination channel counts hypervisor steal PLUS hot foreign load —
+  * CPU burned by concurrent processes, the root-caused ladder-flakiness
+  * trigger that steal alone cannot see) plus `queries_unstable`, the
   * queries whose runs disagree by >20% (read their `queries_min`, the
   * median is contaminated). Queries whose timed path would carry a side
   * effect are warmed first so the effect lands outside the timing (q36's
@@ -182,12 +185,43 @@ object Bench {
         .foreach(_.unpersist(blocking = true))
       System.gc()
       val s0 = stealTicks()
+      val b0 = ScaleSmoke.hostBusyTicks(); val o0 = ScaleSmoke.ownBusyTicks()
       val t0 = System.nanoTime()
       try {
         run
         val sec = (System.nanoTime() - t0) / 1e9
         val s1 = stealTicks()
-        Some((sec, if (s0 >= 0 && s1 >= 0) s1 - s0 else -1L))
+        val b1 = ScaleSmoke.hostBusyTicks(); val o1 = ScaleSmoke.ownBusyTicks()
+        // the per-run contamination channel counts hypervisor steal PLUS
+        // hot foreign load (CPU burned by concurrent processes beyond
+        // ~half a core for the run) — concurrent JVM workloads convoy the
+        // big hash aggregates up to 20× with ZERO steal (the root-caused
+        // ladder flakiness, docs/LADDER_INVESTIGATION.md), so a run's
+        // quietness claim must cover both
+        val foreign =
+          if (b0 >= 0 && b1 >= 0 && o0 >= 0 && o1 >= 0)
+            math.max(0L, (b1 - b0) - (o1 - o0))
+          else 0L
+        // streaming drains flush checkpoints through kernel worker
+        // threads whose CPU is indistinguishable from a foreign process —
+        // exempt them from the hot-foreign trigger or every drain
+        // self-reports as contaminated and retry-loops
+        val selfIoExempt = Set("q39_kernel_streaming", "q44_windowed_streaming",
+          "q46_windowed_append_sink", "q48_sessionize_append_sink",
+          "q50_interval_join_stream", "q51_dedup_stream")
+        // startsWith: calibration probes time as "<name> (machinery cal)"
+        val hotForeign =
+          if (foreign > (sec * 50).toLong && !selfIoExempt.exists(name.startsWith))
+            foreign
+          else 0L
+        if (hotForeign > 0)
+          System.err.println(
+            f"[bench] $name: foreign host load $foreign ticks in a " +
+              f"$sec%.1f s run — concurrent process, measurement suspect")
+        Some((sec,
+          if (s0 >= 0 && s1 >= 0) s1 - s0 + hotForeign
+          else if (hotForeign > 0) hotForeign
+          else -1L))
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         None
@@ -289,10 +323,14 @@ object Bench {
             // single-run numbers react to steal too (round-7 verdict #1):
             // q21's r7 "19.5×" was one 223-tick run — retry while every
             // observation is contaminated (bounded), keep the fastest
-            var obs = timedRun(n)(runNoop(fn(spark, dir))).toVector
+            // `adjust` applies the machinery floor to streaming entries
+            // (q48): the drain floor is data-independent, so the ×10
+            // number must shed it too or its ratio against the adjusted
+            // sf0.1 median reads floor/work-inflated
+            var obs = timedRun(n)(runNoop(fn(spark, dir))).map(adjust(n, _)).toVector
             var tries = 0
             while (tries < maxRetries && allContaminated(obs)) {
-              obs ++= timedRun(n)(runNoop(fn(spark, dir)))
+              obs ++= timedRun(n)(runNoop(fn(spark, dir))).map(adjust(n, _))
               tries += 1
             }
             val (sec, st) =

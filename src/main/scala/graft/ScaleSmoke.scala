@@ -55,19 +55,18 @@ object ScaleSmoke {
     * ratio ≈ q21's). */
   val GateQueries: Seq[String] = Seq(
     // The four LADDER-CLASS queries (q22/q21/q47/q40 — each embeds the 8
-    // dim-construction broadcast subtrees) run ADJACENTLY, first. Their
+    // dim-construction broadcast subtrees) run ADJACENTLY because their
     // assertions are pairwise comparisons ("Auto's decision overhead is
     // invisible: q47 ≈ q21"; "the shuffle fallback scales like the
-    // ladder: q40 vs q21"), and those comparisons are only clean when the
-    // twins execute back-to-back under the same JVM state. Empirically,
-    // whichever ladder-class query ran LATE in the sequence intermittently
-    // timed 8-19× on a byte-identical plan (q47 at old position 16 twice,
-    // q40 at position 12 twice) while isolated, prefix, and early-position
-    // runs of the same query stayed at 1.1-2.7× — JVM-state drift that
-    // persists through in-JVM retries and that GC isolation, cache
-    // clearing, and pinned-RDD release did not close. Grouping the cohort
-    // makes each a controlled experiment instead of a position-confounded
-    // one; no non-ladder query has shown the pathology at any position.
+    // ladder: q40 vs q21") — comparisons are cleanest when the twins
+    // execute back-to-back under the same JVM state. This is NOT a
+    // slowdown mitigation: the round-8/9 "late-position 8-19× on a
+    // byte-identical plan" pathology was root-caused in round 10 to
+    // CONCURRENT JVM workloads on the box (kernel-time amplification,
+    // docs/LADDER_INVESTIGATION.md) — on a quiet host the cohort times
+    // flat at ANY position (SPARK_GRAFT_SCALE_ORDER=ladder_last is the
+    // committed reproducer/regression check), and `foreign_ticks` in the
+    // artifact now records the contamination evidence per query.
     "q22_kernel_full", "q21_rule_match", "q47_rule_match_auto",
     "q40_rule_match_shuffle",
     "d02_dedup_ngram",
@@ -83,7 +82,16 @@ object ScaleSmoke {
     // token count), and IVF-PQ (codebook training = 16 bounded Lloyd jobs
     // whose cost must stay corpus-dominated, encoding a per-row
     // projection, candidate work ≈1/k of the corpus per probe)
-    "q49_scd2_history", "t16_pack_sequences", "s09_ivfpq_adc")
+    "q49_scd2_history", "t16_pack_sequences", "s09_ivfpq_adc",
+    // round-10 addition (round-9 verdict #4): ONE streaming surface
+    // executes at scale — q48's flatMapGroupsWithState sessionization is
+    // the entry whose keyed state could actually misbehave with volume
+    // (state rows ≈ open sessions; the ×10 events regime grows USERS, so
+    // state grows linearly and per-user work stays flat). Measured
+    // machinery-calibrated: the fixed AvailableNow drain floor (epsilon
+    // 2-row probe, min of 2) is subtracted from both sides, so the ratio
+    // reflects data-dependent work, not checkpoint/commit latency.
+    "q48_sessionize_append_sink")
 
   /** Scale factor of the generated dataset. Default ×10; set
     * SPARK_GRAFT_SCALE_COPIES=100 for the heavyweight ×100 demonstration
@@ -136,7 +144,15 @@ object ScaleSmoke {
     // Lloyd jobs — so its ratio measures the corpus-scaling tail)
     "t16_pack_sequences" -> 1.602,
     "s09_ivfpq_adc" -> 1.532,
-    "q49_scd2_history" -> 1.511)
+    "q49_scd2_history" -> 1.511,
+    // round-10: q48 is machinery-calibrated (floor-subtracted), so its
+    // denominator is the base drain's DATA work alone (≈0.3-0.6 s at
+    // sf0.1) — drain jitter swings the ratio more than the batch
+    // cohort's (quiet min-of-3 observations: 1.96 and 3.31), so the
+    // ratchet records the larger quiet run. The state-scaling claim it
+    // protects: sessionization state grows with USERS (linear here) and
+    // per-user work stays flat.
+    "q48_sessionize_append_sink" -> 3.31)
 
   def boundFor(name: String): Double =
     if (Copies == 10)
@@ -383,8 +399,27 @@ object ScaleSmoke {
        |  overwrite) at base and ×$Copies: `e1_write_month_{t_base,t_scale,
        |  ratio,rerun_diff_rows}`; a second identical write must diff 0 rows
        |  (idempotency at scale).
+       |- `foreign_ticks` — CPU ticks burned by OTHER processes on the box
+       |  during each query's measurements (host busy minus this process's
+       |  own utime+stime; the steal counter only sees the hypervisor).
+       |  Concurrent JVM workloads convoy the big hash aggregates up to 20×
+       |  on a byte-identical plan — a blown ratio with hot foreign_ticks is
+       |  contamination, not a regression (docs/LADDER_INVESTIGATION.md).
+       |  Caveat: kernel worker threads count as "foreign", so IO-heavy
+       |  entries (the q48 streaming drain flushing checkpoints) self-report
+       |  their own flusher load here — read against the entry's nature.
+       |- `lsh_occupancy` — `s02_cand_per_probe_{base,scale}`: expected
+       |  same-bucket candidates per probe (Σ n_b² / n over bucket sizes).
+       |  With corpus-scaled planes (`Similarity.planesFor`) the scale value
+       |  must stay within 3× of base; a fixed bucket space would grow it
+       |  ≈×copies (violation).
+       |- `streaming_floor` — the machinery floor (epsilon-probe drain
+       |  seconds, min of 2) subtracted from BOTH sides of each streaming
+       |  gate entry (q48), so its ratio reflects data-dependent work rather
+       |  than checkpoint/commit latency.
        |- `violations` — ratio bounds, plan shapes (cartesian/BNLJ/lost
-       |  broadcast ladder), pinned-RDD leaks, write-path idempotency.
+       |  broadcast ladder), pinned-RDD leaks, write-path idempotency,
+       |  LSH occupancy boundedness.
        |
        |Current ratcheted bounds (recorded quiet ratio → bound):
        |
@@ -434,6 +469,31 @@ object ScaleSmoke {
       val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
         .find(_.startsWith("cpu ")).get.trim.split("\\s+")
       if (cpu.length > 8) cpu(8).toLong else -1L
+    } catch { case _: Exception => -1L }
+
+  /** Total host busy ticks (user+nice+system+irq+softirq+steal across all
+    * cpus). The delta over a measurement, minus THIS process's own
+    * utime+stime delta, is FOREIGN load — CPU eaten by concurrent
+    * processes on the box. The steal counter only sees the hypervisor;
+    * in-VM oversubscription (a second 32-thread JVM) is invisible to it,
+    * yet it is exactly the trigger that convoys the ladder-class hash
+    * aggregates 8-20× (docs/LADDER_INVESTIGATION.md). */
+  private[graft] def hostBusyTicks(): Long =
+    try {
+      val f = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+      if (f.length > 8)
+        f(1).toLong + f(2).toLong + f(3).toLong + f(6).toLong + f(7).toLong + f(8).toLong
+      else -1L
+    } catch { case _: Exception => -1L }
+
+  /** This process's own utime+stime ticks. */
+  private[graft] def ownBusyTicks(): Long =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")))
+      val f = s.substring(s.lastIndexOf(')') + 2).split(" ")
+      f(11).toLong + f(12).toLong
     } catch { case _: Exception => -1L }
 
   /** JSON string escape for violation messages — exception text riding in
@@ -673,9 +733,46 @@ object ScaleSmoke {
         rest ++ lad
       case _ => gateSet0
     }
+    // streaming gate entries: their epsilon-probe (fixed drain floor) —
+    // measured per entry before timing, subtracted from both sides
+    val streamingProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "q48_sessionize_append_sink" -> graft.streaming.StreamQueries.q48MachineryProbe)
+    var streamingFloors = Vector.empty[(String, Double)]
+    // foreign-load accounting per gate query (ladder investigation): CPU
+    // burned by OTHER processes during this query's measurements. A
+    // foreign-hot measurement is contaminated — the convoy it induces in
+    // the big hash aggregates inflates wall time up to 20× on a
+    // byte-identical plan, with zero steal. Recorded in the artifact so a
+    // blown ratio is diagnosable as contamination vs regression.
+    val foreignByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    def timedQ(name: String)(f: => Unit): (Double, Long) = {
+      val b0 = hostBusyTicks(); val o0 = ownBusyTicks()
+      val r = timed(f)
+      val b1 = hostBusyTicks(); val o1 = ownBusyTicks()
+      if (b0 >= 0 && b1 >= 0 && o0 >= 0 && o1 >= 0) {
+        val foreign = math.max(0L, (b1 - b0) - (o1 - o0))
+        foreignByQuery(name) = foreignByQuery.getOrElse(name, 0L) + foreign
+        if (foreign > (r._1 * 50).toLong) // > ~half a core for the whole run
+          System.err.println(
+            f"[scale] $name: foreign host load $foreign ticks during a " +
+              f"${r._1}%.1f s run — concurrent process, measurement suspect")
+      }
+      r
+    }
     val rows = gateSet.map { name =>
       System.err.println(s"[scale] gate query: $name")
+      foreignByQuery(name) = 0L
       val fn = SparkEntry.queries(name)
+      val floor = streamingProbes.get(name).map { probe =>
+        val f = (1 to 2).map(_ => timed(runNoop(probe(spark, base)))._1).min
+        System.err.println(f"[scale] $name machinery floor: $f%.2fs")
+        streamingFloors :+= (s"${name}_floor" -> f)
+        f
+      }.getOrElse(0.0)
+      def cal(m: () => (Double, Long)): () => (Double, Long) = () => {
+        val (t, s) = m()
+        (math.max(t - floor, 0.001), s)
+      }
       // untimed warm run first: the first execution of a query absorbs its
       // codegen + scan init, which would inflate t_base and understate the
       // ratio (observed: q22 cold 16s vs warm 8s at sf0.1)
@@ -692,10 +789,14 @@ object ScaleSmoke {
           // ×100 single runs under memory pressure are noise-dominated
           // (round-8 verdict #3) — take per-side minima of N runs there;
           // the ×10 gate keeps single runs + violation-driven retries
-          minOf = sys.env.getOrElse("SPARK_GRAFT_SCALE_MINOF",
-            if (Copies > 10) "3" else "1").toInt)(
-          () => timed(runNoop(fn(spark, base))),
-          () => timed(runNoop(fn(spark, dir))))
+          // streaming entries are floor-subtracted, so the base-side
+          // denominator is SMALL (≈0.3 s at sf0.1) — min-of-3 both sides
+          // keeps drain jitter from swinging the ratio several-fold
+          minOf = math.max(if (streamingProbes.contains(name)) 3 else 1,
+            sys.env.getOrElse("SPARK_GRAFT_SCALE_MINOF",
+              if (Copies > 10) "3" else "1").toInt))(
+          cal(() => timedQ(name)(runNoop(fn(spark, base)))),
+          cal(() => timedQ(name)(runNoop(fn(spark, dir)))))
       val (t1, t10, steal, tries) =
         try attempt()
         catch {
@@ -709,8 +810,13 @@ object ScaleSmoke {
             }
         }
       val plan =
-        try fn(spark, dir).queryExecution.executedPlan.toString
-        catch { case _: Throwable => "" }
+        // a streaming entry's fn returns the SINK READ-BACK (constructing
+        // it runs a whole extra drain) — its batch plan shape is just a
+        // parquet scan, so there is nothing for planViolations to audit
+        if (streamingProbes.contains(name)) ""
+        else
+          try fn(spark, dir).queryExecution.executedPlan.toString
+          catch { case _: Throwable => "" }
       // an empty plan means the query itself failed above — that violation
       // is already recorded; a phantom "ladder lost" on "" would be noise
       val pv =
@@ -768,6 +874,33 @@ object ScaleSmoke {
       Nil
     }
 
+    // LSH bucket-occupancy boundedness (round-9 verdict #2): with
+    // corpus-scaled planes (Similarity.planesFor) the EXPECTED candidates
+    // per probe, Σ n_b² / n over bucket sizes n_b, must stay ~flat as the
+    // corpus grows ×Copies — a fixed 8-plane bucket space would grow it
+    // ≈×Copies (the recorded ×100 signature: s02 ratio 22.5 vs linear
+    // cohort ~3). 3× headroom absorbs occupancy-skew drift between the
+    // fixture corpus and its shifted copies.
+    val occRows: Seq[(String, Double)] = if (
+      onlySubset.exists(s => !s.contains("s02_ann_lsh"))) Nil else try {
+      def candPerProbe(dd: String): Double =
+        graft.tables.Tables.embeddings(spark, dd)
+          .select(graft.operators.Similarity.bucketCol(col("embedding"),
+            graft.operators.Similarity.planesFor(spark, dd)).as("bucket"))
+          .groupBy("bucket").count()
+          .agg((sum(col("count") * col("count")) /
+            sum(col("count"))).as("cpp"))
+          .head().getDouble(0)
+      val cb = candPerProbe(base)
+      val cs = candPerProbe(dir)
+      if (cs > 3.0 * math.max(cb, 1.0))
+        violations :+= f"s02 candidates/probe grew to $cs%.1f at x$Copies (base $cb%.1f, bound 3x) — plane scaling lost"
+      Seq("s02_cand_per_probe_base" -> cb, "s02_cand_per_probe_scale" -> cs)
+    } catch { case e: Throwable =>
+      violations :+= s"bucket-occupancy check: ${e.getClass.getSimpleName}: ${e.getMessage}"
+      Nil
+    }
+
     // pinned-RDD leak guard: localCheckpoint blocks are unevictable, so an
     // iterative operator that forgets to release superseded rounds (the
     // d07 bug this gate originally caught as an intermittent broadcast
@@ -786,8 +919,11 @@ object ScaleSmoke {
         s""""ratio":${fmt(rows.map(r => r._1 -> r._4))},""" +
         s""""ratio_bound":${fmt(gateSet.map(n => n -> boundFor(n)) :+ ("e1_write_month" -> boundFor("e1_write_month")))},""" +
         s""""steal_ticks":${rows.map(r => "\"" + r._1 + "\":" + r._5).mkString("{", ",", "}")},""" +
+        s""""foreign_ticks":${gateSet.map(n => "\"" + n + "\":" + foreignByQuery.getOrElse(n, -1L)).mkString("{", ",", "}")},""" +
         s""""retries":${rows.map(r => "\"" + r._1 + "\":" + r._6).mkString("{", ",", "}")},""" +
         s""""write_path":${fmt(writeRows)},""" +
+        s""""lsh_occupancy":${fmt(occRows)},""" +
+        s""""streaming_floor":${fmt(streamingFloors)},""" +
         s""""violations":${violationsJson(violations)}}"""
     println(json)
     // SPARK_GRAFT_SCALE_OUT names companion artifacts (e.g. the

@@ -224,26 +224,44 @@ object RuleMatch {
     * specializer = wildcard, `__spec` = precedence rank); (2) join the
     * DISTINCT fact rule-key tuples — resolution is a function of the five
     * [[MatchKeys]] alone, so the heavy per-row fact never meets the dim —
-    * against the tall dim on the two [[RuleKeys]], wildcard residuals as
-    * post-join filters; (3) resolve PER PAYLOAD COLUMN with
-    * `max(struct(__spec, value))` over non-null cells — a null cell in a
-    * more specific family falls through to the next, exactly the ladder's
-    * per-column coalesce (pandas `df.update` skips NaN per cell); (4) one
-    * null-safe equi-join puts the resolved payload back on the fact.
-    * Every join/agg is key-hashed — no broadcast, no cartesian; Catalyst
-    * still broadcasts the small sides when stats allow, which is the
-    * correct degradation in BOTH directions. */
+    * against the tall dim on MASKED fully-equi keys (below); (3) resolve
+    * PER PAYLOAD COLUMN with `max(struct(__spec, value))` over non-null
+    * cells — a null cell in a more specific family falls through to the
+    * next, exactly the ladder's per-column coalesce (pandas `df.update`
+    * skips NaN per cell); (4) one null-safe equi-join puts the resolved
+    * payload back on the fact. Every join/agg is key-hashed — no
+    * broadcast, no cartesian; Catalyst still broadcasts the small sides
+    * when stats allow, which is the correct degradation in BOTH
+    * directions.
+    *
+    * The masked-key join (round-9 verdict #3): the old shape joined on the
+    * two [[RuleKeys]] alone and filtered wildcard residuals AFTER — so
+    * every fact tuple met ALL families' rows for its (month, account), a
+    * per-account fan-out that grew with dim density (q40 ×100 ratio 20.6
+    * vs the ladder's 3.2). Instead, each probe tuple is expanded 8× (once
+    * per family pattern) with every specializer wrapped in a ONE-FIELD
+    * STRUCT that is nulled where the pattern is wildcard; the dim side
+    * wraps its (already pattern-shaped) specializers the same way. Struct
+    * FIELDS compare null-safely inside equi-join keys (top-level keys
+    * don't), so wildcard=wildcard and value=value are one hash-join
+    * equality: a tuple meets exactly its ≤8 matching rule rows, never a
+    * whole account's rule set. The 8× expansion is on DISTINCT key tuples
+    * only and carries just the key columns. */
   def addRuleTagShuffle(fact: DataFrame, dimRaw: DataFrame): DataFrame = {
     val dim = withInvoiceMonth(dimRaw)
     val tall = (1 to 8).map(tallFamily(dim, _)).reduce(_ unionAll _)
-    // rename the dim-side specializers so the residual predicates can name
-    // both sides unambiguously after the rule-key equi-join
-    val t = SpecializerCols.foldLeft(tall)((df, c) => df.withColumnRenamed(c, s"__d_$c"))
+    val t = SpecializerCols.foldLeft(tall)((df, c) =>
+      df.withColumn(s"__m_$c", struct(col(c).as("v"))).drop(c))
     val fkeys = fact.select(MatchKeys.map(col): _*).distinct()
-    val residual = SpecializerCols
-      .map(c => col(s"__d_$c").isNull || col(s"__d_$c") === col(c))
-      .reduce(_ && _)
-    val matches = fkeys.join(t, RuleKeys, "inner").filter(residual)
+    val famsWith: Map[String, Seq[Int]] =
+      SpecializerCols.map(c => c -> (1 to 8).filter(i => keysFor(i).contains(c))).toMap
+    val probes = fkeys
+      .withColumn("__fam", explode(array((1 to 8).map(lit(_)): _*)))
+      .select(MatchKeys.map(col) ++ SpecializerCols.map(c =>
+        struct(when(col("__fam").isin(famsWith(c): _*), col(c)).as("v"))
+          .as(s"__m_$c")): _*)
+    val matches = probes.join(t,
+      RuleKeys ++ SpecializerCols.map(c => s"__m_$c"), "inner")
     val resolved = matches
       .groupBy(MatchKeys.map(col): _*)
       .agg(

@@ -567,11 +567,13 @@ object Dedup {
 
   // ---------- d06: embedding near-dup via LSH buckets (the scale path) ----------
 
-  /** d06 — the DEFAULT embedding near-dup: candidate pairs come from an
-    * 8-bit random-hyperplane bucket equi-join (Similarity.s02's buckets), so
-    * the shuffle is keyed by bucket and each vector compares only against
-    * its own bucket (≈1/256 of the corpus at uniform spread) — never the
-    * d05 all-pairs cartesian. Exact-cosine verification of candidates only.
+  /** d06 — the DEFAULT embedding near-dup: candidate pairs come from a
+    * random-hyperplane bucket equi-join (Similarity.s02's buckets, plane
+    * count corpus-scaled via [[Similarity.planesFor]] so per-bucket
+    * occupancy stays bounded as the corpus grows), so the shuffle is keyed
+    * by bucket and each vector compares only against its own bucket —
+    * never the d05 all-pairs cartesian. Exact-cosine verification of
+    * candidates only.
     *
     * Recall < 1 by construction (a near-dup pair split across buckets is
     * missed — P[same bucket] = (1 - θ/π)^8 for angle θ); raise it with
@@ -590,7 +592,7 @@ object Dedup {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         normCol(col("embedding")).as("nrm"),
-        Similarity.bucketCol(col("embedding")).as("bucket"))
+        Similarity.bucketCol(col("embedding"), Similarity.planesFor(s, d)).as("bucket"))
     val cos = dotCol(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))
     e.as("a")
       .join(e.as("b"),

@@ -690,9 +690,119 @@ object TextAnalysis {
           .as("n_docs_leaked"))
   }
 
+  private[operators] val Bm25Terms = Seq("vector", "stream", "hash", "window")
+  private val Bm25TopK = 20
+
+  /** t18 — BM25 document ranking for a fixed query term set, the classic
+    * IR relevance scorer (k1 = 1.2, b = 0.75) next to t13's TF-IDF. The
+    * arithmetic is ALL-INTEGER so the cross-engine hash is exact: the log
+    * in the idf is replaced by its argument's quantized ratio
+    * (`(2N−2df+1)·10⁶ div (2df+1)` — a monotone idf surrogate, the
+    * operator's declared contract), and the length-normalized tf clears
+    * k1/b's rationals by scaling num and den by 20·T:
+    * `(44·T·tf·10³) div (20·T·tf + 6·T + 18·dl·N)`.
+    *
+    * 100 TB shape: tf is one (doc, term)-keyed agg with the query-term
+    * filter applied AT THE EXPLODE (map-side, before any shuffle); df is
+    * |terms| rows (broadcast); dl re-joins only docs with hits; the final
+    * global top-k plans as TakeOrderedAndProject (per-partition top-k +
+    * driver merge of k·partitions rows — no global sort). N and T are two
+    * bounded scan-agg scalars inlined as literals (t13's convention — a
+    * 1-row cross join would plan as the BNLJ the gate forbids). */
+  val t18Bm25 = QueryDef(
+    "t18_bm25_topk", {
+      val toks = tokensSql("text")
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH docs_t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(len(toks)) AS BIGINT) AS tt FROM docs_t),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM docs_t)
+         |  WHERE term IN ($termList) GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs_t),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_terms_hit,
+         |    CAST(sum(
+         |      (((2 * st.n - 2 * df.df + 1) * 1000000) // (2 * df.df + 1)) *
+         |      ((44 * st.tt * tf.tf * 1000) //
+         |       (20 * st.tt * tf.tf + 6 * st.tt + 18 * dl.dl * st.n))
+         |    ) AS BIGINT) AS score
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |  GROUP BY tf.doc_id)
+         |SELECT doc_id, n_terms_hit, score FROM scored
+         |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+    }) { (s, d) =>
+    val docsT = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val st = docsT.agg(count(lit(1)), sum(size(col("toks")).cast("long"))).head()
+    val (n, tt) = (st.getLong(0), st.getLong(1))
+    val tf = docsT.select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfF = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = docsT.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val idfQ = expr(s"((${2 * n}L - 2L * df + 1L) * 1000000L) DIV (2L * df + 1L)")
+    val tfnQ = expr(s"(${44 * tt}L * tf * 1000L) DIV " +
+      s"(${20 * tt}L * tf + ${6 * tt}L + 18L * dl * ${n}L)")
+    tf.join(broadcast(dfF), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum(idfQ * tfnQ).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .select(col("doc_id"), col("n_terms_hit"), col("score"))
+  }
+
+  private val PadBuckets = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
+
+  /** t19 — padding-waste accounting for length-bucketed batching: each
+    * document lands in the smallest power-of-two length bucket that fits
+    * it (CASE ladder — exact integers, no float log2), and per bucket the
+    * report states how many tokens padding would burn if batches padded
+    * every member to the bucket length. The batch-shaping diagnostic next
+    * to t16's packing (which wastes nothing but splits documents): the
+    * two strategies' waste/split trade is exactly what these numbers
+    * decide. 100 TB: per-row map + ONE bounded agg (≤9 groups). */
+  val t19PaddingWaste = QueryDef(
+    "t19_padding_waste", {
+      val toks = tokensSql("text")
+      val ladder = PadBuckets.map(b => s"WHEN n <= $b THEN $b").mkString(" ")
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n FROM documents),
+         |b AS (
+         |  SELECT doc_id, n,
+         |         CASE $ladder ELSE ${PadBuckets.last * 2} END AS bucket_len
+         |  FROM t WHERE n > 0)
+         |SELECT bucket_len,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+         |  CAST(bucket_len * count(*) AS BIGINT) AS padded_tokens,
+         |  ${Stable.sqlR4(
+          "1.0 - CAST(sum(n) AS DOUBLE) / CAST(bucket_len * count(*) AS DOUBLE)")} AS waste_frac
+         |FROM b GROUP BY bucket_len""".stripMargin
+    }) { (s, d) =>
+    val nTok = size(tokens(col("text"))).cast("long")
+    val bucket = PadBuckets.foldRight(lit(PadBuckets.last * 2): org.apache.spark.sql.Column) {
+      (b, acc) => when(col("n") <= b, lit(b)).otherwise(acc)
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), nTok.as("n"))
+      .filter(col("n") > 0)
+      .withColumn("bucket_len", bucket)
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+      .select(col("bucket_len"), col("n_docs"), col("sum_tokens"),
+        (col("bucket_len") * col("n_docs")).as("padded_tokens"),
+        Stable.r4(lit(1.0) - col("sum_tokens").cast("double") /
+          (col("bucket_len") * col("n_docs")).cast("double")).as("waste_frac"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01TokenCount, t02Quality, t03LangId, t04Fingerprint, t05BpeTokens,
       t06Mixture, t07Decontamination, t08ShardPlan, t09Repetition,
       t10MixtureSample, t11PiiScrub, t12StratifiedSample, t13TfIdf, t14Chunking,
-      t15LmScore, t16PackSequences, t17SplitLeakage)
+      t15LmScore, t16PackSequences, t17SplitLeakage, t18Bm25, t19PaddingWaste)
 }

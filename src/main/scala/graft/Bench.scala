@@ -209,9 +209,12 @@ object Bench {
         val selfIoExempt = Set("q39_kernel_streaming", "q44_windowed_streaming",
           "q46_windowed_append_sink", "q48_sessionize_append_sink",
           "q50_interval_join_stream", "q51_dedup_stream")
-        // startsWith: calibration probes time as "<name> (machinery cal)"
+        // startsWith: calibration probes time as "<name> (machinery cal)";
+        // the 25-tick absolute floor keeps sub-second runs from flagging
+        // harness noise (a few ticks of shell/driver activity) as foreign
         val hotForeign =
-          if (foreign > (sec * 50).toLong && !selfIoExempt.exists(name.startsWith))
+          if (foreign > math.max((sec * 50).toLong, 25L) &&
+              !selfIoExempt.exists(name.startsWith))
             foreign
           else 0L
         if (hotForeign > 0)

@@ -752,7 +752,9 @@ object ScaleSmoke {
       if (b0 >= 0 && b1 >= 0 && o0 >= 0 && o1 >= 0) {
         val foreign = math.max(0L, (b1 - b0) - (o1 - o0))
         foreignByQuery(name) = foreignByQuery.getOrElse(name, 0L) + foreign
-        if (foreign > (r._1 * 50).toLong) // > ~half a core for the whole run
+        // > ~half a core for the whole run, floored at 25 ticks so
+        // sub-second runs don't flag harness noise
+        if (foreign > math.max((r._1 * 50).toLong, 25L))
           System.err.println(
             f"[scale] $name: foreign host load $foreign ticks during a " +
               f"${r._1}%.1f s run — concurrent process, measurement suspect")

@@ -800,9 +800,110 @@ object TextAnalysis {
           (col("bucket_len") * col("n_docs")).cast("double")).as("waste_frac"))
   }
 
+  /** t20 — n-gram NOVELTY scoring: the share of a document's distinct
+    * 3-gram shingles whose FIRST corpus occurrence (minimum doc_id) is
+    * this document — the "how much of this text have we already seen"
+    * curve a data pipeline tracks across crawl dumps (novelty ≈ 1 for
+    * fresh text, → 0 for boilerplate and re-crawls; the memorization-risk
+    * complement of t09's intra-doc repetition). Documents with fewer than
+    * 3 tokens have no shingles and are absent by definition, identically
+    * in both engines.
+    *
+    * 100 TB shape: d02's inverted-index discipline — shingle-hash
+    * explode, ONE shingle-keyed min aggregation (mergeable, map-side
+    * partial), one equi-join of the index back to itself keyed by
+    * shingle, then a doc-keyed count agg. Never all-pairs; boilerplate
+    * skew lands on single hot shingle keys that AQE splits. */
+  val t20Novelty = QueryDef(
+    "t20_novelty", {
+      val toks = tokensSql("lower(trim(text))")
+      s"""WITH sh0 AS (
+         |  SELECT doc_id, ${shinglesSql(toks)} AS sh FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(sh, sg -> ${polyHashSql("sg")})) AS hh
+         |  FROM sh0),
+         |ex AS (SELECT doc_id, unnest(hh) AS s FROM sh),
+         |firsts AS (SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY s)
+         |SELECT ex.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  ${Stable.sqlR4(
+          "CAST(sum(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END) AS DOUBLE)" +
+            " / count(*)")} AS novelty
+         |FROM ex JOIN firsts f USING (s)
+         |GROUP BY ex.doc_id""".stripMargin
+    }) { (s, d) =>
+    val sh = Tables.documents(s, d).select(col("doc_id"),
+      array_distinct(transform(shingles(lower(trim(col("text")))), sg => polyHash(sg)))
+        .as("hh"))
+    val ex = sh.select(col("doc_id"), explode(col("hh")).as("s"))
+    val firsts = ex.groupBy("s").agg(min(col("doc_id")).as("first_doc"))
+    val novel = sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+    ex.join(firsts, Seq("s"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), novel.as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        Stable.r4(col("n_novel").cast("double") / col("n_shingles").cast("double"))
+          .as("novelty"))
+  }
+
+  /** Fixed classifier weights: (bias, stop_ratio, diversity, length_prior,
+    * repetition_ratio). Stand-ins for a trained quality model's
+    * coefficients — the OPERATOR is the inference shape, not the fit. */
+  private val ClfW = (-1.75, 1.6, 2.1, 1.4, -2.5)
+
+  /** t21 — learned quality-filter INFERENCE (the CCNet/fastText-style
+    * classifier gate every production corpus runs after the heuristic
+    * filters): a linear model over t02's quality features plus t09's
+    * adjacent-repetition ratio, applied as one map-only projection with
+    * LITERAL weights. The logit is emitted r4-rounded and the keep
+    * decision is its SIGN — never the sigmoid, whose `exp` differs
+    * between engines in ulps; monotonicity makes sign + rounded logit the
+    * exact cross-engine contract. 100 TB: per-row arithmetic over already
+    * materialized token arrays, zero shuffle, codegen'd end to end. */
+  val t21QualityClassifier = QueryDef(
+    "t21_quality_classifier", {
+      val toks = tokensSql("text")
+      val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+      val stopR = s"(CAST(len(list_filter($toks, tk -> tk IN ($stopList))) AS DOUBLE) / len($toks))"
+      val divR = s"(CAST(len(list_distinct($toks)) AS DOUBLE) / len($toks))"
+      val lenP = s"least(CAST(len($toks) AS DOUBLE) / 100.0, 1.0)"
+      val repR = s"(CAST(len(list_filter(generate_series(2, len($toks)), " +
+        s"i -> ($toks)[i] = ($toks)[i - 1])) AS DOUBLE) / greatest(len($toks) - 1, 1))"
+      val logit = s"(${ClfW._1} + ${ClfW._2} * $stopR + ${ClfW._3} * $divR" +
+        s" + ${ClfW._4} * $lenP + ${ClfW._5} * $repR)"
+      s"""SELECT doc_id,
+         |  ${Stable.sqlR4(logit)} AS logit,
+         |  CAST(CASE WHEN $logit > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM documents WHERE len($toks) > 0""".stripMargin
+    }) { (s, d) =>
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val nD = n.cast("double")
+    val stopR = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / nD
+    val divR = size(array_distinct(toks)).cast("double") / nD
+    val lenP = least(nD / 100.0, lit(1.0))
+    // guard n<2: Spark's sequence(2, 1) is DESCENDING [2, 1] where
+    // DuckDB's generate_series(2, 1) is empty — and element_at(toks, 0)
+    // would throw under ANSI
+    val repR = size(filter(
+      when(n >= 2, sequence(lit(2), n)).otherwise(typedlit(Seq.empty[Int])),
+      i => element_at(toks, i) === element_at(toks, i - 1))).cast("double") /
+      greatest(nD - 1.0, lit(1.0))
+    val logit = lit(ClfW._1) + lit(ClfW._2) * stopR + lit(ClfW._3) * divR +
+      lit(ClfW._4) * lenP + lit(ClfW._5) * repR
+    Tables.documents(s, d)
+      .filter(n > 0)
+      .select(col("doc_id"), Stable.r4(logit).as("logit"),
+        when(logit > 0, 1L).otherwise(0L).as("keep"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01TokenCount, t02Quality, t03LangId, t04Fingerprint, t05BpeTokens,
       t06Mixture, t07Decontamination, t08ShardPlan, t09Repetition,
       t10MixtureSample, t11PiiScrub, t12StratifiedSample, t13TfIdf, t14Chunking,
-      t15LmScore, t16PackSequences, t17SplitLeakage, t18Bm25, t19PaddingWaste)
+      t15LmScore, t16PackSequences, t17SplitLeakage, t18Bm25, t19PaddingWaste,
+      t20Novelty, t21QualityClassifier)
 }

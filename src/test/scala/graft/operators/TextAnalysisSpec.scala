@@ -121,4 +121,52 @@ class TextAnalysisSpec extends SparkSpec {
       assert(real.count() > 0)
     } finally graft.operators.Reconcile.deleteRecursively(dir)
   }
+
+  test("t20: a verbatim re-crawl scores novelty 0, the original 1, a remix in between") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t20_fix").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // original: all shingles first here
+      (2L, "alpha beta gamma delta epsilon zeta"), // verbatim re-crawl of doc 1
+      (3L, "alpha beta gamma NEW tokens here"))    // shares 1 of 4 shingles with doc 1
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val m = TextAnalysis.t20Novelty.fn(spark, dir)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(m(1L) == ((4L, 4L)), s"original must be fully novel: ${m(1L)}")
+      assert(m(2L) == ((4L, 0L)), s"re-crawl must be zero-novel: ${m(2L)}")
+      val (n3, novel3) = m(3L)
+      assert(n3 == 4L && novel3 == 3L,
+        s"remix shares exactly its first shingle with doc 1: ${m(3L)}")
+      // real corpus: every novelty in [0, 1], non-empty
+      val real = TextAnalysis.t20Novelty.fn(spark, sf)
+      assert(real.filter(col("novelty") < 0 || col("novelty") > 1).count() == 0)
+      assert(real.count() > 0)
+    } finally graft.operators.Reconcile.deleteRecursively(dir)
+  }
+
+  test("t21: repetition is penalized and the fixture split is non-vacuous") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t21_fix").toString
+    // same token multiset, one degenerate repeater: only the repetition
+    // term differs, so the classifier must rank the varied doc higher
+    Seq(
+      (1L, "the and of to in a varied line with many distinct tokens"),
+      (2L, "the the the the the the the the the the the the"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val m = TextAnalysis.t21QualityClassifier.fn(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(m(1L) > m(2L),
+        s"repetitive doc must score below the varied one: $m")
+      // fixture corpus: both classes occur — a one-sided decision proves
+      // only the bias sign, not the boundary
+      val real = TextAnalysis.t21QualityClassifier.fn(spark, sf)
+        .groupBy("keep").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(real.getOrElse(0L, 0L) > 0 && real.getOrElse(1L, 0L) > 0,
+        s"decision must split the corpus: $real")
+    } finally graft.operators.Reconcile.deleteRecursively(dir)
+  }
 }

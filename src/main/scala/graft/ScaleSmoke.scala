@@ -726,7 +726,14 @@ object ScaleSmoke {
     // where byte-identical plans intermittently timed 8-19×.
     val ladderClass = Set("q22_kernel_full", "q21_rule_match",
       "q47_rule_match_auto", "q40_rule_match_shuffle")
-    val gateSet0 = GateQueries.filter(n => onlySubset.forall(_.contains(n)))
+    // the streaming entry gates at ×10 only: its harness stages ONE file
+    // so the whole drain is a single micro-batch (the oracle contract),
+    // and a ×100 run would push 10M rows through one batch — not a
+    // realistic streaming regime and a 4 GiB state-store OOM hazard; the
+    // state-scaling claim is already executed at ×10
+    val gateSet0 = GateQueries
+      .filter(n => onlySubset.forall(_.contains(n)))
+      .filterNot(n => Copies > 10 && n == "q48_sessionize_append_sink")
     val gateSet = sys.env.get("SPARK_GRAFT_SCALE_ORDER") match {
       case Some("ladder_last") =>
         val (lad, rest) = gateSet0.partition(ladderClass)

@@ -277,6 +277,38 @@ object Similarity {
     * table (no shuffle of the corpus); the candidate join shuffles by cell
     * id — with k cells each probe touches ≈1/k of the corpus. Recall rises
     * with multi-cell probing exactly like s04's bucket flips. */
+  /** Corpus-scaled SECOND-LEVEL coarse quantizer for the IVF family
+    * (round-10, the s09 ×100 finding — same disease as the fixed LSH
+    * plane count): with a FIXED 8-label cell set, per-cell occupancy
+    * grows linearly with the corpus, so every probe's in-cell scan grows
+    * linearly and total candidate work quadratically (s09 hit ratio 44 at
+    * ×100). Each label cell is refined by `bits` extra SplitMix
+    * hyperplane signs of the RAW vector — random-hyperplane partitioning
+    * is itself a coarse quantizer, assignment stays a pure per-row
+    * projection (no training, no join), and near neighbors co-locate
+    * with the usual LSH probability. `bits` scales so refined-cell
+    * occupancy stays ≈[[TargetCell]]: 0 at every oracle fixture (the
+    * declared results are bit-identical there), 3 at ×10, 6 at ×100.
+    * The RESIDUAL geometry is untouched — residuals still subtract the
+    * LABEL centroid; only the candidate-join key refines. */
+  private val TargetCell = 512
+  private val RefinePlaneBase = 1000
+  private val cellBitsCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private[operators] def cellRefineBits(s: SparkSession, d: String): Int =
+    cellBitsCache.computeIfAbsent(d, _ => {
+      val n = Tables.embeddings(s, d).count()
+      math.max(0, math.ceil(math.log(
+        math.max(1.0, n.toDouble / (8.0 * TargetCell))) / math.log(2.0) - 1e-9).toInt)
+    })
+  private def refinedCellCol(cell: Column, v: Column, bits: Int): Column =
+    if (bits == 0) cell
+    else (0 until bits).map { i =>
+      val dot = aggregate(
+        zip_with(v, typedlit(planeRow(RefinePlaneBase + i)), (x, s) => x.cast("double") * s),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _) + cell * lit(1L << bits)
+
   val s05IvfSearch = QueryDef(
     "s05_ivf_search", {
       val centroidSql = s03Centroids.oracle.get
@@ -309,15 +341,17 @@ object Similarity {
          |FROM ranked WHERE rank <= $TopK""".stripMargin
     }) { (s, d) =>
     val scoredCells = centroidScoredCells(s, d)
+    val bits = cellRefineBits(s, d)
     val e = vecs(s, d)
     val assigned = e.select(col("vec_id"), col("embedding"), col("nrm"),
       (-array_max(scoredCells).getField("negCell")).as("cell"))
+      .withColumn("cellr", refinedCellCol(col("cell"), col("embedding"), bits))
     val p = assigned.filter(col("vec_id") % ProbeMod === 0)
     val cos = dotCol(col("p.embedding"), col("e.embedding")) / (col("p.nrm") * col("e.nrm"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(p.as("p"))
       .join(assigned.as("e"),
-        col("p.cell") === col("e.cell") && col("p.vec_id") =!= col("e.vec_id"))
+        col("p.cellr") === col("e.cellr") && col("p.vec_id") =!= col("e.vec_id"))
       .select(col("p.vec_id").as("probe_id"), col("p.cell").as("cell"),
         col("e.vec_id").as("neighbor_id"), cos.as("cos"))
       .withColumn("rank", row_number().over(w))
@@ -377,20 +411,23 @@ object Similarity {
          |FROM ranked WHERE rank <= $TopK""".stripMargin
     }) { (s, d) =>
     val scoredCells = centroidScoredCells(s, d)
+    val bits = cellRefineBits(s, d)
     val e = vecs(s, d)
     val assigned = e.select(col("vec_id"), col("embedding"), col("nrm"),
       (-array_max(scoredCells).getField("negCell")).as("cell"))
+      .withColumn("cellr", refinedCellCol(col("cell"), col("embedding"), bits))
     // ascending struct sort ends with the best (cos DESC, label ASC) cells —
     // the last NProbe entries are exactly the oracle's rn <= NProbe
     val topCells = slice(array_sort(scoredCells), -NProbe, NProbe)
     val p = e.filter(col("vec_id") % ProbeMod === 0)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(transform(topCells, x => -x.getField("negCell"))).as("cell"))
+      .withColumn("cellr", refinedCellCol(col("cell"), col("embedding"), bits))
     val cos = dotCol(col("p.embedding"), col("e.embedding")) / (col("p.nrm") * col("e.nrm"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(p.as("p"))
       .join(assigned.as("e"),
-        col("p.cell") === col("e.cell") && col("p.vec_id") =!= col("e.vec_id"))
+        col("p.cellr") === col("e.cellr") && col("p.vec_id") =!= col("e.vec_id"))
       .select(col("p.vec_id").as("probe_id"), col("e.vec_id").as("neighbor_id"),
         cos.as("cos"))
       .withColumn("rank", row_number().over(w))
@@ -588,14 +625,16 @@ object Similarity {
       .map { case (lab, ts) => lab -> ts.sortBy(_._2).map(_._3.toFloat).toSeq }
       .sortBy(_._1)
     val scoredCells = centroidScoredCells(s, d)
+    val bits = cellRefineBits(s, d)
     vecs(s, d)
       .select(col("vec_id"), col("embedding"),
         (-array_max(scoredCells).getField("negCell")).as("cell"))
+      .withColumn("cellr", refinedCellCol(col("cell"), col("embedding"), bits))
       .withColumn("cvec_cell", cellCentroidCol(cents))
       .withColumn("res",
         zip_with(col("embedding"), col("cvec_cell"),
           (x, y) => x.cast("double") - y.cast("double")))
-      .select(col("vec_id"), col("cell"), col("res"))
+      .select(col("vec_id"), col("cell"), col("cellr"), col("res"))
   }
 
   /** Two deterministic Lloyd rounds for ALL [[SubSpaces]] sub-codebooks in
@@ -764,7 +803,7 @@ object Similarity {
       }: _*))
     }
     val cand = rf.select(Seq(
-      col("vec_id"), col("cell"), col("res"),
+      col("vec_id"), col("cell"), col("cellr"), col("res"),
       concat(bests.map(_.getField("cvec")): _*).as("rres")) ++
       bests.zipWithIndex.map { case (b, m) => b.getField("cid").as(s"c$m") }: _*)
     val p = rf.filter(col("vec_id") % ProbeMod === 0)
@@ -772,7 +811,7 @@ object Similarity {
     val w = Window.partitionBy("probe_id").orderBy(col("adc"), col("neighbor_id"))
     broadcast(p.as("p"))
       .join(cand.as("e"),
-        col("p.cell") === col("e.cell") && col("p.vec_id") =!= col("e.vec_id"))
+        col("p.cellr") === col("e.cellr") && col("p.vec_id") =!= col("e.vec_id"))
       .select(Seq(col("p.vec_id").as("probe_id"), col("p.cell").as("cell"),
         col("e.vec_id").as("neighbor_id")) ++
         (0 until SubSpaces).map(m => col(s"e.c$m").as(s"c$m")) :+

@@ -545,7 +545,13 @@ object Dedup {
     * a false positive merely rides the backstop, which DedupSpec proves
     * with a saturated 64-bit bloom. `numBits` sizes the filter —
     * production derives it from the history-cardinality estimate
-    * (n·ln fpp / ln²2); the default is ~1.2 MB for 1M hashes at 1%. */
+    * (n·ln fpp / ln²2); the default is ~1.2 MB for 1M hashes at 1%.
+    *
+    * Empty history: BloomFilterAggregate over zero rows evaluates to NULL,
+    * and MightContain(null, x) is null — which would fail BOTH filter
+    * branches and silently emit ZERO rows where the right answer is every
+    * incoming row (ADVICE r10 medium). A null bloom therefore falls back
+    * to the plain anti-join, which on an empty history is the identity. */
   private[graft] def incrementalDedupBloom(
       incoming: DataFrame, existing: DataFrame,
       numBits: Long = 9585059L): DataFrame = {
@@ -556,6 +562,9 @@ object Dedup {
         expression(xxhash64(col("h"))), Literal(1000000L), Literal(numBits))
       .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]](0)
+    if (bytes == null)
+      return incoming.join(existing, Seq("h"), "left_anti")
+        .select(col("doc_id"), col("h").as("content_md5"))
     def might = column(BloomFilterMightContain(
       Literal(bytes, org.apache.spark.sql.types.BinaryType),
       expression(xxhash64(col("h")))))

@@ -879,7 +879,14 @@ object TextAnalysis {
          |  CAST(CASE WHEN $logit > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM documents WHERE len($toks) > 0""".stripMargin
     }) { (s, d) =>
-    val toks = tokens(col("text"))
+    // MATERIALIZE the token array once per row (round-10 verdict #7: the
+    // four feature expressions each inlined tokens(text), and the regex
+    // split plus its dependent interpreted higher-order lambdas ran 6×
+    // per row — 6.1 s for a map-only projection at sf0.1). `toks` is a
+    // non-cheap alias referenced by several downstream expressions, so
+    // CollapseProject keeps the two-level projection and the split runs
+    // once; only size(toks) is re-derived by the pushed-down row filter.
+    val toks = col("toks")
     val n = size(toks)
     val nD = n.cast("double")
     val stopR = size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / nD
@@ -895,6 +902,7 @@ object TextAnalysis {
     val logit = lit(ClfW._1) + lit(ClfW._2) * stopR + lit(ClfW._3) * divR +
       lit(ClfW._4) * lenP + lit(ClfW._5) * repR
     Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(n > 0)
       .select(col("doc_id"), Stable.r4(logit).as("logit"),
         when(logit > 0, 1L).otherwise(0L).as("keep"))

@@ -176,4 +176,17 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(sized == plain)
   }
+
+  test("incrementalDedupBloom: empty history keeps every incoming row") {
+    import spark.implicits._
+    // BloomFilterAggregate over zero rows evals to NULL; MightContain on a
+    // null bloom is null, which fails BOTH filter branches — without the
+    // null-bloom fallback this returned EMPTY where the correct answer is
+    // all incoming rows (ADVICE r10 medium)
+    val existing = Seq.empty[String].toDF("h")
+    val incoming = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "h")
+    val out = Dedup.incrementalDedupBloom(incoming, existing)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "a"), (2L, "b")))
+  }
 }

@@ -83,6 +83,11 @@ object ScaleSmoke {
     // whose cost must stay corpus-dominated, encoding a per-row
     // projection, candidate work ≈1/k of the corpus per probe)
     "q49_scd2_history", "t16_pack_sequences", "s09_ivfpq_adc",
+    // round-11 addition (round-10 verdict #4): SemDeDup's within-cell pair
+    // join now keys on the corpus-scaled refined cell — the gate holds the
+    // fix with a ratcheted bound (the fixed-8-cell regime it replaces is
+    // exactly the shape that produced s09's ratio 44 at ×100)
+    "d13_semantic_dedup",
     // round-10 addition (round-9 verdict #4): ONE streaming surface
     // executes at scale — q48's flatMapGroupsWithState sessionization is
     // the entry whose keyed state could actually misbehave with volume
@@ -309,6 +314,10 @@ object ScaleSmoke {
           vec.as("embedding"), col("label"))
       }
     }
+    // the tables under `dir` may have just (re)grown — drop any stale
+    // corpus-scaled parameters cached against this path (ADVICE r10)
+    graft.operators.Similarity.invalidateParamCaches(dir)
+    graft.operators.Dedup.invalidateParamCaches(dir)
     dir
   }
 
@@ -341,6 +350,7 @@ object ScaleSmoke {
         .parquet(s"$dir/documents.parquet")
     }
     java.nio.file.Files.createFile(done)
+    graft.operators.Dedup.invalidateParamCaches(dir)
     dir
   }
 
@@ -413,6 +423,12 @@ object ScaleSmoke {
        |  With corpus-scaled planes (`Similarity.planesFor`) the scale value
        |  must stay within 3× of base; a fixed bucket space would grow it
        |  ≈×copies (violation).
+       |- `band_occupancy` — `d03_band_cand_per_doc_{base,scale}` and
+       |  `d04_block_cand_per_doc_{base,scale}`: candidate pairs per doc
+       |  from the MinHash band / SimHash block equi-joins under each
+       |  directory's corpus-scaled parameters (`Dedup.bandParamsFor`,
+       |  `Dedup.blockBitsFor`). Same 3× flatness contract as
+       |  `lsh_occupancy`.
        |- `streaming_floor` — the machinery floor (epsilon-probe drain
        |  seconds, min of 2) subtracted from BOTH sides of each streaming
        |  gate entry (q48), so its ratio reflects data-dependent work rather
@@ -910,6 +926,33 @@ object ScaleSmoke {
       Nil
     }
 
+    // MinHash-band / SimHash-block occupancy boundedness (round-10 verdict
+    // #2 — the d03/d04 members of the fixed-parameter class): candidate
+    // pairs PER DOC from the band/block equi-joins, under each directory's
+    // own corpus-scaled parameters (Dedup.bandParamsFor / blockBitsFor).
+    // Same contract as lsh_occupancy: flat base→scale (3× headroom) or the
+    // partitioning lost its corpus scaling. On the disjoint-copies gate
+    // data the per-doc mass is flat by construction even unscaled — the
+    // gauge's real job is catching a parameter-scaling regression, and on
+    // real corpora the scaled parameters are what keep the j≈0.3 candidate
+    // mass (quadratic under fixed bands) bounded.
+    val bandOccRows: Seq[(String, Double)] = if (
+      onlySubset.exists(s => !s.contains("d03_dedup_minhash"))) Nil else try {
+      val bb = graft.operators.Dedup.bandCandidatesPerDoc(spark, base)
+      val bs = graft.operators.Dedup.bandCandidatesPerDoc(spark, dir)
+      if (bs > 3.0 * math.max(bb, 1.0))
+        violations :+= f"d03 band candidates/doc grew to $bs%.1f at x$Copies (base $bb%.1f, bound 3x) — band scaling lost"
+      val kb = graft.operators.Dedup.blockCandidatesPerDoc(spark, base)
+      val ks = graft.operators.Dedup.blockCandidatesPerDoc(spark, dir)
+      if (ks > 3.0 * math.max(kb, 1.0))
+        violations :+= f"d04 block candidates/doc grew to $ks%.1f at x$Copies (base $kb%.1f, bound 3x) — block scaling lost"
+      Seq("d03_band_cand_per_doc_base" -> bb, "d03_band_cand_per_doc_scale" -> bs,
+        "d04_block_cand_per_doc_base" -> kb, "d04_block_cand_per_doc_scale" -> ks)
+    } catch { case e: Throwable =>
+      violations :+= s"band-occupancy check: ${e.getClass.getSimpleName}: ${e.getMessage}"
+      Nil
+    }
+
     // pinned-RDD leak guard: localCheckpoint blocks are unevictable, so an
     // iterative operator that forgets to release superseded rounds (the
     // d07 bug this gate originally caught as an intermittent broadcast
@@ -932,6 +975,7 @@ object ScaleSmoke {
         s""""retries":${rows.map(r => "\"" + r._1 + "\":" + r._6).mkString("{", ",", "}")},""" +
         s""""write_path":${fmt(writeRows)},""" +
         s""""lsh_occupancy":${fmt(occRows)},""" +
+        s""""band_occupancy":${fmt(bandOccRows)},""" +
         s""""streaming_floor":${fmt(streamingFloors)},""" +
         s""""violations":${violationsJson(violations)}}"""
     println(json)

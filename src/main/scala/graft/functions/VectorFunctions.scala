@@ -169,6 +169,93 @@ object VectorFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** [[SimHash28]] widened for corpus-scaled block partitioning (round-10
+    * verdict #2's fixed-parameter class, applied to SimHash): `bits` ≤ 56
+    * sign-bits, where bits 0..27 read the raw polynomial hash exactly like
+    * SimHash28 (so bits=28 is BIT-IDENTICAL to it — the oracle fixtures
+    * never see a wider signature) and bits 28..55 read a SplitMix64 remix
+    * of the hash (the raw hash is mod 1e9+7: only its low 28 bits are
+    * uniform, so wider signatures need fresh uniform bits — same mixing
+    * discipline as Similarity.planeSign). */
+  case class SimHashWide(child: Expression, bits: Int)
+      extends UnaryExpression with GraftExpectsInputTypes {
+    require(bits >= 1 && bits <= 56, s"SimHashWide bits out of range: $bits")
+    override def graftInputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    override def dataType: DataType = LongType
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val counts = ctx.freshName("counts")
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val h = ctx.freshName("h")
+        val m = ctx.freshName("m")
+        val b = ctx.freshName("b")
+        val sim = ctx.freshName("sim")
+        val mixBits = math.max(0, bits - 28)
+        val mix =
+          if (mixBits == 0) ""
+          else s"""
+             |long $m = $h + 0x9E3779B97F4A7C15L;
+             |$m = ($m ^ ($m >>> 30)) * 0xBF58476D1CE4E5B9L;
+             |$m = ($m ^ ($m >>> 27)) * 0x94D049BB133111EBL;
+             |$m ^= ($m >>> 31);
+             |for (int $b = 0; $b < $mixBits; $b++) {
+             |  if ((($m >> $b) & 1L) == 1L) $counts[28 + $b]++; else $counts[28 + $b]--;
+             |}""".stripMargin
+        s"""
+           |int[] $counts = new int[$bits];
+           |int $n = $arr.numElements();
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $h = $arr.getLong($i);
+           |  for (int $b = 0; $b < ${math.min(bits, 28)}; $b++) {
+           |    if ((($h >> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+           |  }
+           |  $mix
+           |}
+           |long $sim = 0L;
+           |for (int $b = 0; $b < $bits; $b++) {
+           |  if ($counts[$b] > 0) $sim |= 1L << $b;
+           |}
+           |${ev.value} = $sim;
+         """.stripMargin
+      })
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val counts = new Array[Int](bits)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        val h = arr.getLong(i)
+        var b = 0
+        val lo = math.min(bits, 28)
+        while (b < lo) {
+          if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        if (bits > 28) {
+          var m = h + 0x9E3779B97F4A7C15L
+          m = (m ^ (m >>> 30)) * 0xBF58476D1CE4E5B9L
+          m = (m ^ (m >>> 27)) * 0x94D049BB133111EBL
+          m ^= (m >>> 31)
+          var b2 = 0
+          while (b2 < bits - 28) {
+            if (((m >> b2) & 1L) == 1L) counts(28 + b2) += 1 else counts(28 + b2) -= 1
+            b2 += 1
+          }
+        }
+        i += 1
+      }
+      var sim = 0L
+      var b = 0
+      while (b < bits) {
+        if (counts(b) > 0) sim |= 1L << b
+        b += 1
+      }
+      sim
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** MinHash signature: sig[j] = min over h of (a_j·h + b_j) mod p, with
     * a_j = 2j+1, b_j = 7j+3 (must stay in lockstep with the SQL oracle).
     * Null for an empty array (== array_min / list_min semantics). */
@@ -281,6 +368,7 @@ object VectorFunctions {
   def dotF(a: Column, b: Column): Column = column(FloatVecDot(expression(a), expression(b)))
   def polyHashFast(c: Column): Column = column(PolyHash(expression(c)))
   def simHash28(c: Column): Column = column(SimHash28(expression(c)))
+  def simHashWide(c: Column, bits: Int): Column = column(SimHashWide(expression(c), bits))
   def minHashSig(c: Column, n: Int): Column = column(MinHashSig(expression(c), n))
   def wordShingles(c: Column, w: Int): Column = column(WordShingles(expression(c), w))
   def creditsPivot(t: Column, a: Column): Column =

@@ -127,19 +127,78 @@ object Dedup {
   private def permA(j: Int): Long = 2L * j + 1
   private def permB(j: Int): Long = 7L * j + 3
 
-  /** minhash_j = min over shingle-hashes h of (a_j·h + b_j) mod p.
-    * Shingle hashes are materialized once (col "hh") — recomputing the
-    * per-character fold for each of the 16 permutations would be 16× work. */
-  private def minhashCols: Seq[Column] =
-    (0 until NumHashes).map(j => element_at(col("sig"), j + 1).as(s"mh$j"))
+  // ---------- corpus-scaled banding/block parameters (round-10 verdict #2) ----------
+
+  /** MinHash banding parameters: `bandSize` rows per band (r), `nBands`
+    * bands (b); signature length = r·b. */
+  private[graft] final case class BandParams(bandSize: Int, nBands: Int) {
+    def numHashes: Int = bandSize * nBands
+  }
+
+  /** Corpus size at or below which every partitioning parameter keeps its
+    * fixture value — sf0.001/0.01/0.1 corpora (≤10k docs incl. mutated
+    * twins) all sit under it, so the pinned DuckDB oracles stay valid and
+    * the bench's sf0.1 base measures the same plan the oracle checked. */
+  private val FixtureDocs = 16384L
+
+  private val docsCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Dedup-input cardinality (the mutated-twin corpus, 2× documents) —
+    * one cached parquet-metadata count per directory, invalidated by the
+    * scale-data generator when it (re)writes a table (ADVICE r10: a stale
+    * per-path cache after an in-JVM data rebuild silently reuses the old
+    * corpus size). */
+  private[graft] def corpusDocsFor(s: SparkSession, d: String): Long =
+    docsCache.computeIfAbsent(d, _ => corpus(s, d).count())
+  private[graft] def invalidateParamCaches(d: String): Unit = docsCache.remove(d)
+
+  /** Corpus-scaled LSH banding (the third member of the fixed-parameter
+    * class, after s02's planes and the IVF family's cells): with FIXED
+    * (r=4, b=4) banding, a moderate-similarity pair (j≈0.3 — shared-vocab
+    * docs, not near-dups) becomes a candidate with constant probability
+    * 1−(1−j⁴)⁴ ≈ 3%, so candidate mass rides the corpus's j≈0.3 pair count
+    * — QUADRATIC in n on real corpora (the disjoint-copies gate data hides
+    * this by construction; the band-occupancy gauge records it). Scaling:
+    *
+    *  - r (rows/band) grows with log(n): each extra row multiplies a
+    *    j-similar pair's per-band collision odds by j, so
+    *    r = 4 + ceil(log(n/fixture) / log(1/0.3)) pins the EXPECTED
+    *    j≈0.3 candidate count per doc at its fixture value as n grows;
+    *  - b (bands) then re-holds the fixture's recall at the true-dup
+    *    operating point (the mutated twins measure j≈0.8):
+    *    1−(1−0.8^r)^b ≥ 1−(1−0.8⁴)⁴ = 0.878 ⇒
+    *    b = ceil(ln(0.122) / ln(1−0.8^r)).
+    *
+    * ×10 gate corpus (100k) ⇒ r=6, b=7 (42 perms); ×100 (1M) ⇒ r=8, b=12
+    * (96 perms). Signature cost is one compiled pass (MinHashSig), ~100ns
+    * per shingle·perm — shingling still dominates; band-join rows grow
+    * only ×(b/4). At every oracle fixture this IS (4, 4). */
+  private[graft] def bandParamsFor(n: Long): BandParams =
+    if (n <= FixtureDocs) BandParams(BandSize, NumHashes / BandSize)
+    else {
+      val r = BandSize + math.ceil(
+        math.log(n.toDouble / FixtureDocs) / math.log(1.0 / 0.3) - 1e-9).toInt
+      val fixtureRecall = 1.0 - math.pow(1.0 - math.pow(0.8, BandSize), NumHashes / BandSize)
+      val b = math.ceil(
+        math.log(1.0 - fixtureRecall) / math.log(1.0 - math.pow(0.8, r)) - 1e-9).toInt
+      BandParams(r, b)
+    }
 
   private def minhashSqlCols: Seq[String] =
     (0 until NumHashes).map { j =>
       s"list_min(list_transform(hh, h -> (${permA(j)} * h + ${permB(j)}) % $HashMod)) AS mh$j"
     }
 
-  private def bandCol(k: Int): Column =
-    concat_ws("-", (0 until BandSize).map(r => col(s"mh${k * BandSize + r}")): _*)
+  /** Band key k over the signature ARRAY: one xxhash64 of (k, the band's r
+    * signature values) — a single LONG join key. The oracle's band key is
+    * a `concat_ws` string of the same values; candidate SETS agree unless
+    * xxhash64 collides (2⁻⁶⁴ per bucket pair — immaterial), and the hashed
+    * key shuffles 8 bytes instead of a 20–80-char string and needs no
+    * per-permutation column materialization (the r9 shape projected
+    * `numHashes` element_at columns and concat'd them — at the ×100
+    * corpus-scaled 96 permutations that alone dominated the band stage). */
+  private def bandKeyCol(sig: Column, k: Int, bandSize: Int): Column =
+    xxhash64(lit(k), slice(sig, k * bandSize + 1, bandSize))
+
   private def bandSql(k: Int): String =
     s"concat_ws('-', ${(0 until BandSize).map(r => s"mh${k * BandSize + r}").mkString(", ")})"
 
@@ -169,26 +228,24 @@ object Dedup {
          |      / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
          |      >= $JaccardThreshold""".stripMargin
     }) { (s, d) =>
+    val bp = bandParamsFor(corpusDocsFor(s, d))
     val sh = shingled(s, d).cache()
     val sig = sh
+      // materialize the signature array ONCE per row; the band keys hash
+      // slices of it — recomputing MinHashSig per band would be b× work
       .select(col("doc_id"), transform(col("sh"), sg => polyHash(sg)).as("hh"))
-      // materialize the signature array ONCE per row; element_at over it is
-      // free — 16 copies of MinHashSig would each rescan the hash array
       .select(col("doc_id"),
-        graft.functions.VectorFunctions.minHashSig(col("hh"), NumHashes).as("sig"))
-      .select(col("doc_id") +: minhashCols: _*)
-      // cache: the 4 band branches × 2 join sides reference this frame 8× —
-      // without it each reference recomputes the 16-permutation signature
+        graft.functions.VectorFunctions.minHashSig(col("hh"), bp.numHashes).as("sig"))
+      // cache: the band branches × 2 join sides reference this frame 2b× —
+      // without it each reference recomputes the full signature
       // from the cached shingles (same fix as d04's sig cache)
       .cache()
-    val nBands = NumHashes / BandSize
-    val bands = (0 until nBands).map { k =>
-      sig.select(col("doc_id"), lit(k).as("band_k"), bandCol(k).as("band"))
+    val bands = (0 until bp.nBands).map { k =>
+      sig.select(col("doc_id"), bandKeyCol(col("sig"), k, bp.bandSize).as("band"))
     }.reduce(_ unionAll _)
     val cand = bands.as("a")
       .join(bands.as("b"),
-        col("a.band_k") === col("b.band_k") && col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val interSize = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double")
@@ -209,6 +266,27 @@ object Dedup {
   private val NumBlocks = 4
   private val BlockBits = 7
   private val MaxHamming = 2
+
+  /** Corpus-scaled SimHash block width (the fourth member of the
+    * fixed-parameter class): two RANDOM docs agree on a b-bit block with
+    * probability ≈2^−b (empirically higher — simhash bits correlate with
+    * the token distribution — but the scaling is still geometric in b), so
+    * expected random block-candidates per doc ≈ 4·n/2^b grow LINEARLY with
+    * the corpus under fixed b=7. One extra bit per corpus doubling pins
+    * them flat: b = 7 + ceil(log2(n/fixture)), capped at 13 (4 blocks × 13
+    * = 52 ≤ 56 sign-bits available from the raw hash + its SplitMix remix
+    * — [[graft.functions.VectorFunctions.SimHashWide]]). Block COUNT stays
+    * 4: the pigeonhole guarantee (hamming ≤ 3 shares a block; we keep ≤ 2)
+    * is per-signature and unchanged; a wider signature at the same hamming
+    * cutoff is a proportionally stricter match — the same
+    * precision-over-recall trade the LSH families make at scale. At every
+    * oracle fixture this IS 7 (28-bit signature, bit-identical to
+    * SimHash28). ×10 gate corpus (100k) ⇒ 10 (40 bits); ×100 (1M) ⇒ 13
+    * (52 bits). */
+  private[graft] def blockBitsFor(n: Long): Int =
+    if (n <= FixtureDocs) BlockBits
+    else math.min(13, BlockBits + math.ceil(
+      math.log(n.toDouble / FixtureDocs) / math.log(2.0) - 1e-9).toInt)
 
   /** bit_i(simhash) = sign of Σ_shingles (bit_i(hash(shingle)) ? +1 : -1),
     * over a materialized shingle-hash array (col "th" — 28× cheaper than
@@ -249,16 +327,19 @@ object Dedup {
          |FROM cand
          |WHERE bit_count(xor(sim_a, sim_b)) <= $MaxHamming""".stripMargin
     }) { (s, d) =>
+    val bb = blockBitsFor(corpusDocsFor(s, d))
     // cache: the signature subtree is referenced 8× (4 union branches ×
     // both join sides) and would be recomputed for each otherwise
     val sig = shingled(s, d)
       .select(col("doc_id"), transform(col("sh"), sg => polyHash(sg)).as("th"))
-      .select(col("doc_id"), simhashCol.as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.simHashWide(col("th"), NumBlocks * bb)
+          .as("simhash"))
       .cache()
     val blocks = (0 until NumBlocks).map { k =>
       sig.select(col("doc_id"), col("simhash"), lit(k).as("blk_k"),
-        shiftright(col("simhash"), k * BlockBits)
-          .bitwiseAND(lit((1L << BlockBits) - 1)).as("blk"))
+        shiftright(col("simhash"), k * bb)
+          .bitwiseAND(lit((1L << bb) - 1)).as("blk"))
     }.reduce(_ unionAll _)
     val cand = blocks.as("a")
       .join(blocks.as("b"),
@@ -428,21 +509,19 @@ object Dedup {
          |      / (len(sa.hh) + len(sb.hh) - len(list_intersect(sa.hh, sb.hh)))
          |      >= $JaccardThreshold""".stripMargin
     }) { (s, d) =>
+    val bp = bandParamsFor(corpusDocsFor(s, d))
     // sets feeds the signature AND both verify sides (3 refs) — cache
     val sets = stopListedHashSets(s, d, MaxShingleDf).cache()
     val sig = sets
       .select(col("doc_id"),
-        graft.functions.VectorFunctions.minHashSig(col("hh"), NumHashes).as("sig"))
-      .select(col("doc_id") +: minhashCols: _*)
-      .cache() // 4 band branches × 2 join sides = 8 refs, as in d03
-    val nBands = NumHashes / BandSize
-    val bands = (0 until nBands).map { k =>
-      sig.select(col("doc_id"), lit(k).as("band_k"), bandCol(k).as("band"))
+        graft.functions.VectorFunctions.minHashSig(col("hh"), bp.numHashes).as("sig"))
+      .cache() // band branches × 2 join sides = 2b refs, as in d03
+    val bands = (0 until bp.nBands).map { k =>
+      sig.select(col("doc_id"), bandKeyCol(col("sig"), k, bp.bandSize).as("band"))
     }.reduce(_ unionAll _)
     val cand = bands.as("a")
       .join(bands.as("b"),
-        col("a.band_k") === col("b.band_k") && col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val interSize = size(array_intersect(col("sa.hh"), col("sb.hh"))).cast("double")
@@ -477,14 +556,16 @@ object Dedup {
          |FROM cand
          |WHERE bit_count(xor(sim_a, sim_b)) <= $MaxHamming""".stripMargin
     }) { (s, d) =>
+    val bb = blockBitsFor(corpusDocsFor(s, d))
     val sig = stopListedHashSets(s, d, MaxShingleDf)
       .select(col("doc_id"),
-        graft.functions.VectorFunctions.simHash28(col("hh")).as("simhash"))
+        graft.functions.VectorFunctions.simHashWide(col("hh"), NumBlocks * bb)
+          .as("simhash"))
       .cache() // 4 block branches × 2 join sides = 8 refs
     val blocks = (0 until NumBlocks).map { k =>
       sig.select(col("doc_id"), col("simhash"), lit(k).as("blk_k"),
-        shiftright(col("simhash"), k * BlockBits)
-          .bitwiseAND(lit((1L << BlockBits) - 1)).as("blk"))
+        shiftright(col("simhash"), k * bb)
+          .bitwiseAND(lit((1L << bb) - 1)).as("blk"))
     }.reduce(_ unionAll _)
     val cand = blocks.as("a")
       .join(blocks.as("b"),
@@ -840,23 +921,59 @@ object Dedup {
     * boilerplate regime empties — bounded by construction. Returns
     * (d03BandPairs, d09BandPairs). */
   private[graft] def bandCandidateStats(s: SparkSession, d: String): (Long, Long) = {
-    def mass(sig: DataFrame): Long = {
-      val nBands = NumHashes / BandSize
-      val bands = (0 until nBands).map { k =>
-        sig.select(lit(k).as("band_k"), bandCol(k).as("band"))
-      }.reduce(_ unionAll _)
-      val agg = bands.groupBy("band_k", "band").agg(count(lit(1)).as("n"))
-        .agg(sum((col("n") * (col("n") - lit(1)) / lit(2)).cast("long")).as("pairs"))
-        .collect()(0)
-      if (agg.isNullAt(0)) 0L else agg.getLong(0)
-    }
+    val bp = bandParamsFor(corpusDocsFor(s, d))
     def toSig(sets: DataFrame): DataFrame = sets
       .select(col("doc_id"),
-        graft.functions.VectorFunctions.minHashSig(col("hh"), NumHashes).as("sig"))
-      .select(col("doc_id") +: minhashCols: _*)
+        graft.functions.VectorFunctions.minHashSig(col("hh"), bp.numHashes).as("sig"))
     val naiveSets = shingled(s, d).select(col("doc_id"),
       array_distinct(transform(col("sh"), sg => polyHash(sg))).as("hh"))
-    (mass(toSig(naiveSets)), mass(toSig(stopListedHashSets(s, d, MaxShingleDf))))
+    (bandMass(toSig(naiveSets), bp), bandMass(toSig(stopListedHashSets(s, d, MaxShingleDf)), bp))
+  }
+
+  /** Σ C(n_b, 2) over band-bucket sizes — the band equi-join's candidate
+    * mass, one groupBy, the join never runs. */
+  private def bandMass(sig: DataFrame, bp: BandParams): Long = {
+    val bands = (0 until bp.nBands).map { k =>
+      sig.select(bandKeyCol(col("sig"), k, bp.bandSize).as("band"))
+    }.reduce(_ unionAll _)
+    val agg = bands.groupBy("band").agg(count(lit(1)).as("n"))
+      .agg(sum((col("n") * (col("n") - lit(1)) / lit(2)).cast("long")).as("pairs"))
+      .collect()(0)
+    if (agg.isNullAt(0)) 0L else agg.getLong(0)
+  }
+
+  /** d03's band-join candidate mass PER DOC under the directory's own
+    * (corpus-scaled) banding — the MinHash analog of the gate's
+    * `lsh_occupancy` (round-10 verdict #2): flat base→scale means the
+    * banding bounds candidate growth; a fixed-parameter regression grows
+    * it with the corpus. */
+  private[graft] def bandCandidatesPerDoc(s: SparkSession, d: String): Double = {
+    val bp = bandParamsFor(corpusDocsFor(s, d))
+    val sig = shingled(s, d)
+      .select(col("doc_id"), transform(col("sh"), sg => polyHash(sg)).as("hh"))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.minHashSig(col("hh"), bp.numHashes).as("sig"))
+    bandMass(sig, bp).toDouble / math.max(1L, corpusDocsFor(s, d))
+  }
+
+  /** d04's block-join candidate mass per doc under the directory's own
+    * (corpus-scaled) block width — the SimHash gauge twin. */
+  private[graft] def blockCandidatesPerDoc(s: SparkSession, d: String): Double = {
+    val bb = blockBitsFor(corpusDocsFor(s, d))
+    val sig = shingled(s, d)
+      .select(col("doc_id"), transform(col("sh"), sg => polyHash(sg)).as("th"))
+      .select(graft.functions.VectorFunctions.simHashWide(col("th"), NumBlocks * bb)
+        .as("simhash"))
+    val blocks = (0 until NumBlocks).map { k =>
+      sig.select(lit(k).as("blk_k"),
+        shiftright(col("simhash"), k * bb)
+          .bitwiseAND(lit((1L << bb) - 1)).as("blk"))
+    }.reduce(_ unionAll _)
+    val agg = blocks.groupBy("blk_k", "blk").agg(count(lit(1)).as("n"))
+      .agg(sum((col("n") * (col("n") - lit(1)) / lit(2)).cast("long")).as("pairs"))
+      .collect()(0)
+    val mass = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+    mass.toDouble / math.max(1L, corpusDocsFor(s, d))
   }
 
   /** d12 — [[keeperSelectionStar]] as a DECLARED query on an adversarially
@@ -928,6 +1045,18 @@ object Dedup {
     * pairs” (the paper uses k ≈ √n·c), and the within-cell join stays
     * an equi-join (PlanSpec: no cartesian anywhere in the d-family).
     *
+    * The PAIR JOIN keys on the corpus-scaled REFINED cell (round-10
+    * verdict #4 — the d13 member of the fixed-parameter class): under the
+    * fixed 8-label cell set, per-cell occupancy grows linearly with the
+    * corpus and the within-cell pair join quadratically — exactly the
+    * defect `Similarity.cellRefineBits` fixed for the IVF family. Each
+    * label cell is refined by the same corpus-scaled SplitMix hyperplane
+    * signs (0 extra bits at every oracle fixture, so the declared result
+    * is untouched; 3 at ×10, 6 at ×100). Semantically this narrows the
+    * SemDeDup prune to refined sub-cells — a finer clustering, the same
+    * approximation knob the paper's k already is. The emitted `cell`
+    * column stays the LABEL cell (the s03-aligned contract).
+    *
     * Declared `lazy` (with `all` below): the oracle embeds s03's SQL, so a
     * strict val would read a Similarity val inside Dedup's own `<clinit>` —
     * and Similarity's init triggers Dedup's (its vals call the shared
@@ -964,14 +1093,17 @@ object Dedup {
          |FROM assigned v LEFT JOIN dropped dr ON v.vec_id = dr.vec_id""".stripMargin
     }) { (s, d) =>
     val best = array_max(Similarity.centroidScoredCells(s, d))
+    val bits = Similarity.cellRefineBits(s, d)
     val assigned = Similarity.vecs(s, d)
       .select(col("vec_id"), col("embedding"), col("nrm"),
         (-best.getField("negCell")).as("cell"),
         Stable.r4(best.getField("c")).as("ccos"))
+      .withColumn("cellr",
+        Similarity.refinedCellCol(col("cell"), col("embedding"), bits))
     val cos = dotCol(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm"))
     val dropped = assigned.as("a")
       .join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id") &&
+        col("a.cellr") === col("b.cellr") && col("a.vec_id") =!= col("b.vec_id") &&
           (col("b.ccos") < col("a.ccos") ||
             (col("b.ccos") === col("a.ccos") && col("b.vec_id") < col("a.vec_id"))))
       .filter(cos >= CosineThreshold)

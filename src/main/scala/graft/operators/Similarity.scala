@@ -89,6 +89,19 @@ object Similarity {
         math.log(math.max(1.0, n.toDouble / TargetBucket)) / math.log(2.0) - 1e-9).toInt)
     })
 
+  /** Drop the cached corpus-scaled parameters for `d` (ADVICE r10: the
+    * caches key by path alone, so a path whose embeddings are REGENERATED
+    * with a different row count within one JVM — a scale-data rebuild, a
+    * reused temp dir — would silently reuse the stale plane/bit count, and
+    * on a fixture-sized corpus a stale >8 value reads as an opaque
+    * cross-engine mismatch). Every writer of an embeddings table
+    * (ScaleSmoke.ensureData, test data generators) calls this after the
+    * write. */
+  private[graft] def invalidateParamCaches(d: String): Unit = {
+    planeCache.remove(d)
+    cellBitsCache.remove(d)
+  }
+
   /** Deterministic ±1 hyperplane matrix, SplitMix64-mixed per (plane, dim)
     * and MATERIALIZED AS LITERALS in both engines — the sign matrix is
     * planes×[[Dims]] values, tiny metadata, so neither engine needs the
@@ -300,7 +313,7 @@ object Similarity {
       math.max(0, math.ceil(math.log(
         math.max(1.0, n.toDouble / (8.0 * TargetCell))) / math.log(2.0) - 1e-9).toInt)
     })
-  private def refinedCellCol(cell: Column, v: Column, bits: Int): Column =
+  private[operators] def refinedCellCol(cell: Column, v: Column, bits: Int): Column =
     if (bits == 0) cell
     else (0 until bits).map { i =>
       val dot = aggregate(

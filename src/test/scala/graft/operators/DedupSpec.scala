@@ -177,6 +177,53 @@ class DedupSpec extends SparkSpec {
     assert(sized == plain)
   }
 
+  test("bandParamsFor / blockBitsFor: fixture values under the threshold, scaled above") {
+    // every oracle fixture corpus (≤ 10k docs with twins) keeps (r=4, b=4)
+    // and 7-bit blocks — the pinned DuckDB SQL stays valid
+    for (n <- Seq(100L, 1000L, 10000L, 16384L)) {
+      assert(Dedup.bandParamsFor(n) == Dedup.BandParams(4, 4), s"n=$n")
+      assert(Dedup.blockBitsFor(n) == 7, s"n=$n")
+    }
+    // ×10 gate corpus (100k incl. twins): r=6, b=7; 10-bit blocks
+    assert(Dedup.bandParamsFor(100000L) == Dedup.BandParams(6, 7))
+    assert(Dedup.blockBitsFor(100000L) == 10)
+    // ×100 (1M): r=8, b=12; block bits hit the 13-bit cap (4×13 = 52 ≤ 56)
+    assert(Dedup.bandParamsFor(1000000L) == Dedup.BandParams(8, 12))
+    assert(Dedup.blockBitsFor(1000000L) == 13)
+    assert(Dedup.blockBitsFor(1000000000L) == 13)
+    // monotone: a bigger corpus never gets LOOSER banding
+    val rs = Seq(2e4, 5e4, 1e5, 5e5, 1e6, 1e7).map(n => Dedup.bandParamsFor(n.toLong).bandSize)
+    assert(rs == rs.sorted)
+    // recall at the mutated-twin operating point (j=0.8) holds the
+    // fixture's 0.878 under every scaled (r, b)
+    for (n <- Seq(1e5, 1e6, 1e8).map(_.toLong)) {
+      val bp = Dedup.bandParamsFor(n)
+      val recall = 1.0 - math.pow(1.0 - math.pow(0.8, bp.bandSize), bp.nBands)
+      assert(recall >= 0.878, s"n=$n recall=$recall")
+    }
+  }
+
+  test("SimHashWide: bits=28 is bit-identical to SimHash28; wider keeps the low 28") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)(Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong().abs % 1000000007L))
+    val df = rows.toDF("th")
+    val out = df.select(
+      VectorFunctions.simHash28(col("th")).as("s28"),
+      VectorFunctions.simHashWide(col("th"), 28).as("w28"),
+      VectorFunctions.simHashWide(col("th"), 52).as("w52")).collect()
+    out.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1)) // bits=28 ≡ SimHash28
+      assert((r.getLong(2) & ((1L << 28) - 1)) == r.getLong(0)) // low 28 preserved
+      assert(r.getLong(2) >>> 52 == 0L) // no bits beyond the requested width
+    }
+    // the remixed high bits are not degenerate: across 50 docs some high
+    // bit must differ between signatures (a constant high half would make
+    // wider blocks vacuous)
+    assert(out.map(_.getLong(2) >>> 28).distinct.length > 1)
+  }
+
   test("incrementalDedupBloom: empty history keeps every incoming row") {
     import spark.implicits._
     // BloomFilterAggregate over zero rows evals to NULL; MightContain on a

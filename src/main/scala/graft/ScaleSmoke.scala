@@ -159,9 +159,49 @@ object ScaleSmoke {
     // per-user work stays flat.
     "q48_sessionize_append_sink" -> 3.31)
 
+  /** Ratcheted ×100 ratio bounds (round-10 verdict #6): until now the ×100
+    * demonstration ran under the flat blanket `1.2 × copies` = 120, which
+    * would not catch a 2× ×100 regression in ANY query. Each entry is the
+    * MAX of the two committed same-HEAD artifacts (the 4g and 16g
+    * companions, both min-of-3 per side) — the bound must hold in both
+    * memory regimes — × 1.5 headroom, floored at 6.0 (×100 single-JVM
+    * runs carry more eviction/GC variance than ×10; the floor absorbs a
+    * burst landing on one side's minimum). Same one-way discipline as
+    * [[RecordedRatio10]]: never auto-rebaselined, tighten on durable
+    * quiet-run headroom only. Queries whose shape changed this round
+    * (d03/d09's corpus-scaled bands, d13's refined cells — new at ×100)
+    * enter after their first quiet ×100 run. */
+  private val RecordedRatio100: Map[String, Double] = Map(
+    "c01_corpus_clean" -> 8.415, "c03_pipeline_to_shards" -> 5.485,
+    "d07_dedup_keeper" -> 8.521, "d08_dedup_stoplist" -> 11.308,
+    "d12_keeper_star_deep" -> 3.573, "q15_sessionize" -> 7.705,
+    "q21_rule_match" -> 9.007, "q22_kernel_full" -> 8.382,
+    "q29_moving_agg" -> 7.442, "q40_rule_match_shuffle" -> 11.745,
+    "q43_funnel" -> 7.332, "q47_rule_match_auto" -> 6.845,
+    "q49_scd2_history" -> 11.33, "s02_ann_lsh" -> 6.179,
+    "s09_ivfpq_adc" -> 4.601, "t13_tfidf_topk" -> 12.46,
+    "t15_lm_score" -> 21.46, "t16_pack_sequences" -> 6.14,
+    "e1_write_month" -> 2.066)
+
+  /** Gate entries excluded from the ×100 demonstration BY DESIGN, with the
+    * reason recorded in the artifact (round-10 verdict #8 — an artifact
+    * red flag must always mean a regression, never a baseline doing what
+    * baselines do): d02 is the DECLARED brute-force foil whose ×100 ratio
+    * 51–58 is superlinear by construction (d08 is the production path);
+    * q48's single-file staging would push 10M rows through one micro-batch
+    * — not a streaming regime, a state-store OOM hazard (its state-scaling
+    * claim executes at ×10). Both stay oracle-checked at fixture scale. */
+  val ExcludedPast10x: Map[String, String] = Map(
+    "d02_dedup_ngram" ->
+      "declared brute-force baseline; superlinear by design (d08 is the production path)",
+    "q48_sessionize_append_sink" ->
+      "single-micro-batch staging is not a streaming regime at x100; gated at x10")
+
   def boundFor(name: String): Double =
     if (Copies == 10)
       RecordedRatio10.get(name).map(r => math.max(r * 1.5, 3.0)).getOrElse(LinearBound)
+    else if (Copies == 100)
+      RecordedRatio100.get(name).map(r => math.max(r * 1.5, 6.0)).getOrElse(LinearBound)
     else LinearBound
 
   /** The ratio assertion as a pure function, so ScaleSmokeSpec can prove
@@ -432,7 +472,14 @@ object ScaleSmoke {
        |- `streaming_floor` — the machinery floor (epsilon-probe drain
        |  seconds, min of 2) subtracted from BOTH sides of each streaming
        |  gate entry (q48), so its ratio reflects data-dependent work rather
-       |  than checkpoint/commit latency.
+       |  than checkpoint/commit latency. Also carries the UN-FLOORED
+       |  per-side minima (`<q>_t_base_raw` / `<q>_t_scale_raw` — the
+       |  reproducible numbers when the floor-subtracted residual is
+       |  jitter-dominated) and, when drain jitter makes floor ≥ the raw
+       |  base drain, the explicit `<q>_floor_ge_base` marker: the ratio is
+       |  undefined there (denominator clamped), so the gate checks the
+       |  absolute scale-side data time (10 s bound) instead of emitting a
+       |  phantom ratio violation.
        |- `violations` — ratio bounds, plan shapes (cartesian/BNLJ/lost
        |  broadcast ladder), pinned-RDD leaks, write-path idempotency,
        |  LSH occupancy boundedness.
@@ -446,14 +493,26 @@ object ScaleSmoke {
        |## SCALE_SMOKE_x100.json — the ×100 demonstration
        |
        |Same gate with `SPARK_GRAFT_SCALE_COPIES=100` (60M lineitem rows, 500k
-       |docs, 1M events): completion without driver OOM under the blanket
-       |bound is the assertion. Past ×10 every per-query time is the MINIMUM
+       |docs, 1M events): completion without driver OOM within the per-query
+       |bounds is the assertion. Past ×10 every per-query time is the MINIMUM
        |of `SPARK_GRAFT_SCALE_MINOF` (default 3) runs per side — memory
        |pressure mixes cache-eviction variance into single runs, and minima
        |are the steal/eviction-immune statistic (contamination only inflates).
-       |The tight per-query ratchet still applies at ×10 where the regime is
-       |repeatable. A roomy-driver companion (16g) separates memory-bound
-       |from algorithmic scaling.
+       |A roomy-driver companion (16g) separates memory-bound from
+       |algorithmic scaling.
+       |
+       |×100 bounds are RATCHETED per query (round-10 verdict #6 — the old
+       |flat 120 would not have caught a 2× regression anywhere): max of the
+       |two committed same-HEAD artifacts (4g and 16g — the bound holds in
+       |both memory regimes) × 1.5 headroom, floored at 6.0; same one-way
+       |discipline as the ×10 ratchet. Queries without ×100 history fall
+       |back to the blanket `1.2 × copies`.
+       |
+       |`excluded_by_design` (round-10 verdict #8) records the entries the
+       |×100 artifact deliberately omits — the d02 brute-force foil
+       |(superlinear by construction; d08 is the production path) and the
+       |single-micro-batch streaming entry (gated at ×10) — so a missing
+       |query is documented, never mysterious.
        |
        |## SCALE_ADVERSARIAL.json — the mutual-duplication stress
        |
@@ -742,14 +801,13 @@ object ScaleSmoke {
     // where byte-identical plans intermittently timed 8-19×.
     val ladderClass = Set("q22_kernel_full", "q21_rule_match",
       "q47_rule_match_auto", "q40_rule_match_shuffle")
-    // the streaming entry gates at ×10 only: its harness stages ONE file
-    // so the whole drain is a single micro-batch (the oracle contract),
-    // and a ×100 run would push 10M rows through one batch — not a
-    // realistic streaming regime and a 4 GiB state-store OOM hazard; the
-    // state-scaling claim is already executed at ×10
+    // past ×10, the by-design exclusions apply ([[ExcludedPast10x]]: the
+    // declared d02 brute-force foil, the single-micro-batch streaming
+    // entry) — recorded in the artifact so their absence is documented,
+    // not mysterious
     val gateSet0 = GateQueries
       .filter(n => onlySubset.forall(_.contains(n)))
-      .filterNot(n => Copies > 10 && n == "q48_sessionize_append_sink")
+      .filterNot(n => Copies > 10 && ExcludedPast10x.contains(n))
     val gateSet = sys.env.get("SPARK_GRAFT_SCALE_ORDER") match {
       case Some("ladder_last") =>
         val (lad, rest) = gateSet0.partition(ladderClass)
@@ -794,8 +852,14 @@ object ScaleSmoke {
         streamingFloors :+= (s"${name}_floor" -> f)
         f
       }.getOrElse(0.0)
-      def cal(m: () => (Double, Long)): () => (Double, Long) = () => {
+      // un-floored observations per side (ADVICE r10: the artifact must
+      // carry the raw drain times, or a floor-swallowed base — ratio
+      // denominator clamped to 0.001 — reads as an inexplicable blowup);
+      // index 0 = base, 1 = scale
+      val rawMin = Array(Double.MaxValue, Double.MaxValue)
+      def cal(side: Int)(m: () => (Double, Long)): () => (Double, Long) = () => {
         val (t, s) = m()
+        if (floor > 0 && t < rawMin(side)) rawMin(side) = t
         (math.max(t - floor, 0.001), s)
       }
       // untimed warm run first: the first execution of a query absorbs its
@@ -820,8 +884,8 @@ object ScaleSmoke {
           minOf = math.max(if (streamingProbes.contains(name)) 3 else 1,
             sys.env.getOrElse("SPARK_GRAFT_SCALE_MINOF",
               if (Copies > 10) "3" else "1").toInt))(
-          cal(() => timedQ(name)(runNoop(fn(spark, base)))),
-          cal(() => timedQ(name)(runNoop(fn(spark, dir)))))
+          cal(0)(() => timedQ(name)(runNoop(fn(spark, base)))),
+          cal(1)(() => timedQ(name)(runNoop(fn(spark, dir)))))
       val (t1, t10, steal, tries) =
         try attempt()
         catch {
@@ -847,8 +911,21 @@ object ScaleSmoke {
       val pv =
         if (plan.isEmpty) Nil
         else planViolations(name, plan).map(v => s"$name: $v")
+      // publish the raw (un-floored) per-side minima for streaming
+      // entries, and detect the floor-swallowed-base case explicitly
+      // (ADVICE r10): when floor ≥ raw base the 0.001 clamp would explode
+      // the ratio into a false violation — the ratio is undefined there,
+      // so gate on the absolute scale-side data time instead.
+      val clamped = floor > 0 && t1 > 0 && t1 <= 0.0015
+      if (floor > 0 && rawMin(0) < Double.MaxValue) {
+        streamingFloors :+= (s"${name}_t_base_raw" -> rawMin(0))
+        streamingFloors :+= (s"${name}_t_scale_raw" -> rawMin(1))
+        if (clamped) streamingFloors :+= (s"${name}_floor_ge_base" -> 1.0)
+      }
       val ratio = if (t1 > 0) t10 / t1 else -1.0
-      if (t1 > 0) violations ++= ratioViolation(name, ratio)
+      if (t1 > 0 && !clamped) violations ++= ratioViolation(name, ratio)
+      if (clamped && t10 > 10.0)
+        violations :+= f"$name: floor ≥ base drain (ratio undefined) and scale-side data time $t10%.1f s > 10 s absolute bound"
       violations ++= pv
       (name, t1, t10, ratio, steal, tries)
     }
@@ -977,6 +1054,11 @@ object ScaleSmoke {
         s""""lsh_occupancy":${fmt(occRows)},""" +
         s""""band_occupancy":${fmt(bandOccRows)},""" +
         s""""streaming_floor":${fmt(streamingFloors)},""" +
+        (if (Copies > 10)
+          s""""excluded_by_design":${ExcludedPast10x.toSeq.sorted
+            .map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }
+            .mkString("{", ",", "}")},"""
+        else "") +
         s""""violations":${violationsJson(violations)}}"""
     println(json)
     // SPARK_GRAFT_SCALE_OUT names companion artifacts (e.g. the

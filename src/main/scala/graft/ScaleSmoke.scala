@@ -469,6 +469,12 @@ object ScaleSmoke {
        |  directory's corpus-scaled parameters (`Dedup.bandParamsFor`,
        |  `Dedup.blockBitsFor`). Same 3× flatness contract as
        |  `lsh_occupancy`.
+       |- `ivf_recall` — `s0{5,6}_recall_{base,scale}`: sampled
+       |  ground-truth recall@k of the refined-cell IVF join and its
+       |  multi-probe variant on both sides (the declared s10–s12 gauges
+       |  only run where `cellRefineBits` = 0, so this is the only
+       |  measurement of cell refinement's recall cost at scale). The
+       |  scaled corpus must keep ≥ half the base recall.
        |- `streaming_floor` — the machinery floor (epsilon-probe drain
        |  seconds, min of 2) subtracted from BOTH sides of each streaming
        |  gate entry (q48), so its ratio reflects data-dependent work rather
@@ -1030,6 +1036,29 @@ object ScaleSmoke {
       Nil
     }
 
+    // IVF recall at scale (ADVICE r10): sampled ground-truth recall of the
+    // refined-cell IVF join (s05) and its multi-probe variant (s06) on
+    // both sides — the s10–s12 declared gauges only execute where
+    // cellRefineBits = 0, so this is the only place the at-scale recall
+    // cost of cell refinement is measured. The scaled corpus must keep at
+    // least HALF the base recall (refinement narrows candidate sets by
+    // design; a collapse — e.g. probes refining into empty sub-buckets —
+    // reads ~0 and trips).
+    val ivfRecallRows: Seq[(String, Double)] = if (
+      onlySubset.exists(s => !s.contains("s09_ivfpq_adc"))) Nil else try {
+      val (b05, b06) = graft.operators.Similarity.ivfSampleRecall(spark, base)
+      val (s05, s06) = graft.operators.Similarity.ivfSampleRecall(spark, dir)
+      if (s05 < 0.5 * b05)
+        violations :+= f"s05 sampled recall collapsed at x$Copies: $s05%.3f < half of base $b05%.3f"
+      if (s06 < 0.5 * b06)
+        violations :+= f"s06 sampled recall collapsed at x$Copies: $s06%.3f < half of base $b06%.3f"
+      Seq("s05_recall_base" -> b05, "s05_recall_scale" -> s05,
+        "s06_recall_base" -> b06, "s06_recall_scale" -> s06)
+    } catch { case e: Throwable =>
+      violations :+= s"ivf-recall check: ${e.getClass.getSimpleName}: ${e.getMessage}"
+      Nil
+    }
+
     // pinned-RDD leak guard: localCheckpoint blocks are unevictable, so an
     // iterative operator that forgets to release superseded rounds (the
     // d07 bug this gate originally caught as an intermittent broadcast
@@ -1053,6 +1082,7 @@ object ScaleSmoke {
         s""""write_path":${fmt(writeRows)},""" +
         s""""lsh_occupancy":${fmt(occRows)},""" +
         s""""band_occupancy":${fmt(bandOccRows)},""" +
+        s""""ivf_recall":${fmt(ivfRecallRows)},""" +
         s""""streaming_floor":${fmt(streamingFloors)},""" +
         (if (Copies > 10)
           s""""excluded_by_design":${ExcludedPast10x.toSeq.sorted

@@ -313,6 +313,23 @@ object Similarity {
       math.max(0, math.ceil(math.log(
         math.max(1.0, n.toDouble / (8.0 * TargetCell))) / math.log(2.0) - 1e-9).toInt)
     })
+  /** Probe-side REFINEMENT multi-probe (round-11, from the gate's new
+    * `ivf_recall` gauge): restricting a probe to its own refinement
+    * sub-bucket costs recall the hyperplane way — a true neighbor lands
+    * across a refinement plane with probability θ/π per bit, so at ×10
+    * (bits=3) sampled recall read 0.21→0.08. The standard remedy is the
+    * s04 pattern applied to the refinement bits: each probe row expands to
+    * its own refined cell PLUS the `bits` one-bit-flip sub-buckets — all
+    * inside the SAME label cell, so the IVF semantics (search your
+    * cell(s)) are unchanged and the index side stays single-bucket.
+    * Candidate work per probe ≈ (bits+1)/2^bits of the label cell — still
+    * shrinking as the corpus grows. Identity at bits = 0: every oracle
+    * fixture keeps its pinned plan and result. */
+  private def refineMultiProbe(df: DataFrame, bits: Int): DataFrame =
+    if (bits == 0) df
+    else df.withColumn("cellr", explode(array(
+      col("cellr") +: (0 until bits).map(j => col("cellr").bitwiseXOR(lit(1L << j))): _*)))
+
   private[operators] def refinedCellCol(cell: Column, v: Column, bits: Int): Column =
     if (bits == 0) cell
     else (0 until bits).map { i =>
@@ -359,7 +376,7 @@ object Similarity {
     val assigned = e.select(col("vec_id"), col("embedding"), col("nrm"),
       (-array_max(scoredCells).getField("negCell")).as("cell"))
       .withColumn("cellr", refinedCellCol(col("cell"), col("embedding"), bits))
-    val p = assigned.filter(col("vec_id") % ProbeMod === 0)
+    val p = refineMultiProbe(assigned.filter(col("vec_id") % ProbeMod === 0), bits)
     val cos = dotCol(col("p.embedding"), col("e.embedding")) / (col("p.nrm") * col("e.nrm"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(p.as("p"))
@@ -432,10 +449,12 @@ object Similarity {
     // ascending struct sort ends with the best (cos DESC, label ASC) cells —
     // the last NProbe entries are exactly the oracle's rn <= NProbe
     val topCells = slice(array_sort(scoredCells), -NProbe, NProbe)
-    val p = e.filter(col("vec_id") % ProbeMod === 0)
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        explode(transform(topCells, x => -x.getField("negCell"))).as("cell"))
-      .withColumn("cellr", refinedCellCol(col("cell"), col("embedding"), bits))
+    val p = refineMultiProbe(
+      e.filter(col("vec_id") % ProbeMod === 0)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          explode(transform(topCells, x => -x.getField("negCell"))).as("cell"))
+        .withColumn("cellr", refinedCellCol(col("cell"), col("embedding"), bits)),
+      bits)
     val cos = dotCol(col("p.embedding"), col("e.embedding")) / (col("p.nrm") * col("e.nrm"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
     broadcast(p.as("p"))
@@ -501,6 +520,46 @@ object Similarity {
   }
 
   val s07AnnRecall = recallDef("s07_ann_recall", s02AnnLsh)
+
+  /** SAMPLED recall@[[TopK]] of the IVF family at an arbitrary corpus size
+    * (ADVICE r10: the s10–s12 gauges only ever execute where
+    * `cellRefineBits` = 0, so the recall cost of the refined-cell join at
+    * ×10/×100 — bits 3/6, multi-probe restricted to the probe's own
+    * refinement sub-bucket — was never measured; occupancy/time gates
+    * could pass while at-scale recall silently collapsed). Ground truth is
+    * the exact brute-force top-k for ~`targetProbes` sampled probes (the
+    * s07 design: the measurement prices O(sample × corpus), the path
+    * under test keeps its bucket equi-join); returns mean recall of
+    * (s05 single-cell, s06 multi-probe). The scale gate records both per
+    * side and asserts the scaled corpus keeps ≥ half the base recall. */
+  private[graft] def ivfSampleRecall(
+      s: SparkSession, d: String, targetProbes: Int = 20): (Double, Double) = {
+    val n = Tables.embeddings(s, d).count()
+    val every = math.max(1L, (n / ProbeMod) / targetProbes) * ProbeMod
+    val e = vecs(s, d)
+    val p = e.filter(col("vec_id") % every === 0)
+    val cos = dotCol(col("p.embedding"), col("e.embedding")) / (col("p.nrm") * col("e.nrm"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    val exact = broadcast(p.as("p"))
+      .join(e.as("e"), col("p.vec_id") =!= col("e.vec_id"))
+      .select(col("p.vec_id").as("probe_id"), col("e.vec_id").as("neighbor_id"),
+        cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("neighbor_id"))
+      .cache() // ground truth feeds both family joins
+    def recallOf(ann: DataFrame): Double = {
+      val r = exact
+        .join(ann.filter(col("probe_id") % every === 0)
+            .select(col("probe_id"), col("neighbor_id"), lit(1L).as("__hit")),
+          Seq("probe_id", "neighbor_id"), "left")
+        .agg(avg(coalesce(col("__hit"), lit(0L)).cast("double")))
+        .head()
+      if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+    }
+    try (recallOf(s05IvfSearch.fn(s, d)), recallOf(s06IvfMultiProbe.fn(s, d)))
+    finally exact.unpersist(blocking = false)
+  }
 
   // ---------- s08: k-means, two unrolled Lloyd rounds ----------
 
@@ -819,7 +878,8 @@ object Similarity {
       col("vec_id"), col("cell"), col("cellr"), col("res"),
       concat(bests.map(_.getField("cvec")): _*).as("rres")) ++
       bests.zipWithIndex.map { case (b, m) => b.getField("cid").as(s"c$m") }: _*)
-    val p = rf.filter(col("vec_id") % ProbeMod === 0)
+    val p = refineMultiProbe(
+      rf.filter(col("vec_id") % ProbeMod === 0), cellRefineBits(s, d))
     val adc = sqdCol(col("p.res"), col("e.rres"))
     val w = Window.partitionBy("probe_id").orderBy(col("adc"), col("neighbor_id"))
     broadcast(p.as("p"))

@@ -157,7 +157,11 @@ object ScaleSmoke {
     // ratchet records the larger quiet run. The state-scaling claim it
     // protects: sessionization state grows with USERS (linear here) and
     // per-user work stays flat.
-    "q48_sessionize_append_sink" -> 3.31)
+    "q48_sessionize_append_sink" -> 3.31,
+    // round-11 addition: first two quiet isolated runs of the refined-cell
+    // SemDeDup pair join read 2.28 / 2.40 — record the larger (the q48
+    // convention for sub-second-base entries)
+    "d13_semantic_dedup" -> 2.402)
 
   /** Ratcheted ×100 ratio bounds (round-10 verdict #6): until now the ×100
     * demonstration ran under the flat blanket `1.2 × copies` = 120, which

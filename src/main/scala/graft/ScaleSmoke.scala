@@ -183,9 +183,18 @@ object ScaleSmoke {
     "q29_moving_agg" -> 7.442, "q40_rule_match_shuffle" -> 11.745,
     "q43_funnel" -> 7.332, "q47_rule_match_auto" -> 6.845,
     "q49_scd2_history" -> 11.33, "s02_ann_lsh" -> 6.179,
-    "s09_ivfpq_adc" -> 4.601, "t13_tfidf_topk" -> 12.46,
+    // s09 re-derived for the round-11 refinement-multi-probe shape (a
+    // DELIBERATE recall fix, not a regression: probes now search
+    // (bits+1)/2^bits of their label cell instead of 1/2^bits, which at
+    // ×100 bits=6 is 7× the candidate work and bought sampled recall
+    // 0.05→0.11/0.17; the old 4.601 was recorded against the
+    // single-sub-bucket shape the ivf_recall gauge rejected)
+    "s09_ivfpq_adc" -> 11.971, "t13_tfidf_topk" -> 12.46,
     "t15_lm_score" -> 21.46, "t16_pack_sequences" -> 6.14,
-    "e1_write_month" -> 2.066)
+    "e1_write_month" -> 2.066,
+    // round-11 first quiet ×100 runs of the corpus-scaled band/cell shapes
+    "d03_dedup_minhash" -> 15.256, "d09_dedup_minhash_stoplist" -> 8.88,
+    "d13_semantic_dedup" -> 9.058)
 
   /** Gate entries excluded from the ×100 demonstration BY DESIGN, with the
     * reason recorded in the artifact (round-10 verdict #8 — an artifact

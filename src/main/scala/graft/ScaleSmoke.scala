@@ -96,7 +96,14 @@ object ScaleSmoke {
     // machinery-calibrated: the fixed AvailableNow drain floor (epsilon
     // 2-row probe, min of 2) is subtracted from both sides, so the ratio
     // reflects data-dependent work, not checkpoint/commit latency.
-    "q48_sessionize_append_sink")
+    "q48_sessionize_append_sink",
+    // round-11 additions: d14's window-hash dedup is the newest
+    // shuffle-heavy dedup shape (its key space must GROW with the corpus
+    // — a bounded hash space would convoy groups the way fixed LSH planes
+    // did); q53's full-outer MERGE is the one key-partitioned mutation
+    // shape in the catalog (feed size scales with the snapshot here, so
+    // the join must stay ~linear)
+    "d14_span_dedup", "q53_merge_apply")
 
   /** Scale factor of the generated dataset. Default ×10; set
     * SPARK_GRAFT_SCALE_COPIES=100 for the heavyweight ×100 demonstration

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CoreQueries, KernelQueries, QueryDef}
+import graft.queries.{CoreQueries, KernelQueries, MaintenanceQueries, QueryDef}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,7 @@ object SparkEntry {
 
   /** Every declared query, assembled from the per-family modules. */
   def defs: Seq[QueryDef] =
-    CoreQueries.all ++ KernelQueries.all ++
+    CoreQueries.all ++ KernelQueries.all ++ MaintenanceQueries.all ++
       graft.operators.TextAnalysis.all ++ graft.operators.Dedup.all ++
       graft.operators.Similarity.all ++ graft.operators.Multimodal.all ++
       graft.operators.CorpusPipeline.all ++ graft.operators.Temporal.all ++

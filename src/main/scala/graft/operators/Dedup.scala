@@ -1116,8 +1116,146 @@ object Dedup {
         coalesce(col("__dr"), lit(0L)).as("is_dropped"))
   }
 
+  // ---------- d14: duplicated-span detection (substring-level dedup) ----------
+
+  private val SpanW = 8 // tokens per span window
+  private val SpanB = 131L // window-hash combine base
+
+  /** Rolling w-token window hashes from a per-token hash array: each
+    * window is fold((acc·B + hᵢ) mod M) over its w token hashes — overlap
+    * between consecutive windows re-uses the SAME per-token hashes, so a
+    * doc costs O(tokens·w) multiply-adds, never O(tokens·w) re-hashes of
+    * the underlying characters. */
+  private[operators] def spanWindows(hs: Column): Column = {
+    val n = size(hs)
+    val wins = transform(sequence(lit(1), n - (SpanW - 1)), i =>
+      (0 until SpanW).foldLeft(lit(0L): Column) { (acc, k) =>
+        (acc * SpanB + element_at(hs, (i + k).cast("int"))) % HashMod
+      })
+    // sequence(1, 0) in Spark DESCENDS to [1, 0] instead of emitting an
+    // empty array (step sign is inferred) — guard short docs explicitly.
+    when(n >= SpanW, array_distinct(wins)).otherwise(expr("array()").cast("array<bigint>"))
+  }
+
+  private def spanWindowsSql(toksE: String): String = {
+    val fold = (0 until SpanW).foldLeft("CAST(0 AS BIGINT)") { (acc, k) =>
+      s"(($acc) * $SpanB + hh[i + $k]) % $HashMod"
+    }
+    s"list_distinct(list_transform(generate_series(1, len(hh) - ${SpanW - 1}), i -> $fold))"
+  }
+
+  /** d14 — duplicated-SPAN detection (the substring-granularity dedup of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", word-window form): every w-token rolling window is hashed,
+    * and a window appearing in ≥2 distinct docs marks BOTH docs' copies as
+    * duplicated text — catching copied paragraphs inside otherwise-unique
+    * documents, which doc-level d01–d04 structurally cannot see.
+    *
+    * 100 TB shape: per-doc window building is map-only (token hashes
+    * computed once, windows are w multiply-adds each); the only shuffles
+    * are the (doc, window)-distinct, the window-frequency count, and the
+    * frequency join — all keyed by the 60-bit window hash, whose key space
+    * GROWS with the corpus, so per-key group sizes stay flat (boilerplate
+    * spans are the exception and surface as hot keys for AQE; a production
+    * run stop-lists df ≫ 2 spans exactly like d08's shingle cutoff).
+    * Collisions at M = 1e9+7 are birthday-bounded (~4 per 3M windows) and
+    * deterministic — both engines hash identically, so the oracle still
+    * matches bit-for-bit; a 100 TB run would move to a 128-bit hash. */
+  val d14SpanDedup = QueryDef(
+    "d14_span_dedup",
+    s"""WITH c AS (${corpusSql.replace("\n", " ")}),
+       |th AS (SELECT doc_id,
+       |         list_transform(${tokensSql("t")}, tk -> ${polyHashSql("tk")}) AS hh
+       |       FROM c),
+       |w AS (SELECT doc_id, unnest(${spanWindowsSql("hh")}) AS wh FROM th),
+       |df AS (SELECT wh, count(*) AS df FROM w GROUP BY wh)
+       |SELECT w.doc_id, count(*) AS n_spans,
+       |  ${Stable.sqlSumBig("CASE WHEN df.df >= 2 THEN 1 ELSE 0 END")} AS n_shared,
+       |  ${Stable.sqlR4("CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS shared_frac
+       |FROM w JOIN df ON w.wh = df.wh
+       |GROUP BY w.doc_id""".stripMargin) { (s, d) =>
+    val th = corpus(s, d).select(col("doc_id"),
+      transform(tokens(col("t")), tk => polyHash(tk)).as("hh"))
+    val w = th.select(col("doc_id"), explode(spanWindows(col("hh"))).as("wh"))
+    val df = w.groupBy("wh").agg(count(lit(1)).as("df"))
+    val sharedN = sum(when(col("df") >= 2, 1L).otherwise(0L))
+    w.join(df, Seq("wh"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sharedN.as("n_shared"),
+        Stable.r4(sharedN.cast("double") / count(lit(1))).as("shared_frac"))
+  }
+
+  // ---------- d15: fuzzy entity resolution (q-gram blocking + edit-distance verify) ----------
+
+  private val FuzzyPrefixLen = 64
+  private val FuzzyGramLen = 8
+  private val FuzzyGramStride = 4
+  private val FuzzyMaxGramDf = 50L
+  private val FuzzyMaxDist = 28
+
+  /** d15 — fuzzy-match join (entity-resolution shape): candidate pairs
+    * come from a character-q-gram inverted index over each doc's
+    * normalized 64-char prefix, hot q-grams are dropped by document
+    * frequency (the d08 stop-list discipline — boilerplate prefixes would
+    * otherwise quadratic-blow the gram join), and the survivors are
+    * verified with EXACT Levenshtein distance — the approximate-blocking /
+    * exact-verify split every production record-linkage pipeline uses.
+    *
+    * 100 TB shape: the index join shuffles on the gram hash (key space
+    * grows with the corpus; df cutoff bounds every posting list at
+    * $FuzzyMaxGramDf, so candidate mass is O(docs·grams-per-doc·df)),
+    * the Levenshtein verify runs only on candidates, and its O(64²) DP
+    * cost is per-pair constant. No all-pairs anywhere. */
+  val d15FuzzyJoin = QueryDef(
+    "d15_fuzzy_join", {
+      val gramFold = polyHashSql(s"substring(p, i, $FuzzyGramLen)")
+      s"""WITH c AS (${corpusSql.replace("\n", " ")}),
+         |pfx AS (SELECT doc_id, substring(t, 1, $FuzzyPrefixLen) AS p FROM c),
+         |ex AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    generate_series(1, length(p) - ${FuzzyGramLen - 1}, $FuzzyGramStride),
+         |    i -> $gramFold))) AS g
+         |  FROM pfx),
+         |keep AS (SELECT g FROM (SELECT g, count(*) AS df FROM ex GROUP BY g)
+         |         WHERE df <= $FuzzyMaxGramDf),
+         |kept AS (SELECT ex.doc_id, ex.g FROM ex JOIN keep ON ex.g = keep.g),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS dist
+         |FROM cand
+         |JOIN pfx pa ON pa.doc_id = id_a
+         |JOIN pfx pb ON pb.doc_id = id_b
+         |WHERE levenshtein(pa.p, pb.p) <= $FuzzyMaxDist""".stripMargin
+    }) { (s, d) =>
+    val pfx = corpus(s, d)
+      .select(col("doc_id"), col("t").substr(1, FuzzyPrefixLen).as("p"))
+    val grams = transform(
+      sequence(lit(1), length(col("p")) - (FuzzyGramLen - 1), lit(FuzzyGramStride)),
+      i => polyHash(col("p").substr(i, lit(FuzzyGramLen))))
+    val ex = pfx.select(col("doc_id"),
+      explode(when(length(col("p")) >= FuzzyGramLen, array_distinct(grams))
+        .otherwise(expr("array()").cast("array<bigint>"))).as("g"))
+    val keep = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= FuzzyMaxGramDf).select("g")
+    val kept = ex.join(keep, Seq("g"))
+    val cand = kept.as("a")
+      .join(kept.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val dist = levenshtein(col("pa.p"), col("pb.p"))
+    cand
+      .join(pfx.as("pa"), col("pa.doc_id") === col("id_a"))
+      .join(pfx.as("pb"), col("pb.doc_id") === col("id_b"))
+      .filter(dist <= FuzzyMaxDist)
+      .select(col("id_a"), col("id_b"), dist.cast("long").as("dist"))
+  }
+
   lazy val all: Seq[QueryDef] =
     Seq(d01Exact, d02NgramJaccard, d03MinHashLsh, d04SimHash, d05EmbeddingNearDup,
       d06EmbeddingLsh, d07DedupKeeper, d08NgramStopList, d09MinHashStopList,
-      d10SimHashStopList, d11IncrementalDedup, d12KeeperStarDeep, d13SemanticDedup)
+      d10SimHashStopList, d11IncrementalDedup, d12KeeperStarDeep, d13SemanticDedup,
+      d14SpanDedup, d15FuzzyJoin)
 }

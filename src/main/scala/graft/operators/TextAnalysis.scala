@@ -908,10 +908,115 @@ object TextAnalysis {
         when(logit > 0, 1L).otherwise(0L).as("keep"))
   }
 
+  // ---------- t22: weighted blocklist safety filter ----------
+
+  /** Term → severity weight. Literal on both engines; a production list
+    * is a broadcast lookup table, identical plan shape. */
+  private[operators] val blocklist: Seq[(String, Double)] =
+    Seq("slow" -> 2.0, "dup" -> 3.0, "drop" -> 1.0, "leak" -> 4.0)
+  private val BlockThreshold = 0.04
+
+  /** t22 — weighted-blocklist safety filter (the C4 "bad words" gate with
+    * per-term severities): badness = Σ weight(token) / n_tokens, flag docs
+    * over a threshold. The weighted sum folds the token array ONCE per row
+    * (a single `aggregate` pass — not one filter pass per term, the t21
+    * defect class), so cost is O(tokens·|list|) compares with the list in
+    * registers. The numerator is Σ of exact small products and n_tokens an
+    * int, so the division is the only float op — engine-stable under r4.
+    * 100 TB: map-only, zero shuffle, codegen'd. */
+  val t22Blocklist = QueryDef(
+    "t22_blocklist", {
+      val toks = tokensSql("text")
+      // CAST: bare 2.0 literals make DuckDB infer DECIMAL(2,1) for the
+      // whole CASE and the fold overflows at 10.0 — force DOUBLE.
+      val caseSql = blocklist
+        .map { case (w, wt) => s"WHEN tk = '$w' THEN CAST($wt AS DOUBLE)" }
+        .mkString("CASE ", " ", " ELSE CAST(0.0 AS DOUBLE) END")
+      val badSum = s"list_reduce(list_prepend(0.0, list_transform($toks, tk -> $caseSql)), (bx, by) -> bx + by)"
+      val hits = s"len(list_filter($toks, tk -> tk IN (${blocklist.map(b => s"'${b._1}'").mkString(", ")})))"
+      s"""SELECT doc_id,
+         |  CAST($hits AS BIGINT) AS n_hits,
+         |  ${Stable.sqlR4(s"$badSum / len($toks)")} AS badness,
+         |  ($badSum / len($toks) > $BlockThreshold) AS flagged
+         |FROM documents WHERE len($toks) > 0""".stripMargin
+    }) { (s, d) =>
+    val toks = col("toks")
+    val termW = (tk: org.apache.spark.sql.Column) =>
+      blocklist.foldLeft(when(lit(false), 0.0)) { case (acc, (w, wt)) =>
+        acc.when(tk === w, wt)
+      }.otherwise(0.0)
+    val badSum = aggregate(toks, lit(0.0), (acc, tk) => acc + termW(tk))
+    val badness = badSum / size(toks)
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(toks) > 0)
+      .select(
+        col("doc_id"),
+        size(filter(toks, tk => tk.isin(blocklist.map(_._1): _*))).cast("long").as("n_hits"),
+        Stable.r4(badness).as("badness"),
+        (badness > BlockThreshold).as("flagged"))
+  }
+
+  // ---------- t23: DSIR-style hashed-n-gram importance weights ----------
+
+  private val DsirBuckets = 64L
+
+  /** t23 — data-selection importance weights in the DSIR shape (Xie et
+    * al. 2023, "Data Selection for Language Models via Importance
+    * Resampling"): hash every token into a small bucket space, estimate
+    * the target-domain distribution (here: the `lang = 'en'` slice) and
+    * the raw-corpus distribution over buckets, and score each document by
+    * the sum of its tokens' target/raw likelihood ratios. The ratio is
+    * QUANTIZED TO INTEGERS — `((cnt_t+1)·10⁴) div (cnt_r+1)` instead of
+    * `log((p_t+ε)/(p_r+ε))` — the t13 discipline: both engines' `ln`
+    * differ in ulps, integer ratios keep the same monotone ordering and
+    * hash bit-for-bit.
+    *
+    * 100 TB shape: the bucket histograms are two global aggregates over
+    * the exploded tokens collapsing to |buckets| rows (map-side partials
+    * do almost all the work), the weights table is broadcast back (64
+    * rows — AQE broadcasts it unprompted), and the per-doc score is one
+    * more (doc, bucket)-keyed aggregate. Nothing scales with corpus size
+    * except the explodes. */
+  val t23DsirWeights = QueryDef(
+    "t23_dsir_weights", {
+      val toks = tokensSql("text")
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, ${polyHashSql("tk")} % $DsirBuckets AS b
+         |  FROM (SELECT doc_id, lang, unnest($toks) AS tk FROM documents)),
+         |raw AS (SELECT b, count(*) AS cr FROM tok GROUP BY b),
+         |tgt AS (SELECT b, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY b),
+         |w AS (SELECT raw.b, ((coalesce(tgt.ct, 0) + 1) * 10000) // (raw.cr + 1) AS wt
+         |      FROM raw LEFT JOIN tgt ON raw.b = tgt.b)
+         |SELECT tok.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_tokens,
+         |       ${Stable.sqlSumBig("w.wt")} AS dsir_score,
+         |       ${Stable.sqlR4("CAST(sum(w.wt) AS DOUBLE) / count(*)")} AS dsir_per_token
+         |FROM tok JOIN w ON tok.b = w.b
+         |GROUP BY tok.doc_id""".stripMargin
+    }) { (s, d) =>
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tk"))
+      .select(col("doc_id"), col("lang"),
+        pmod(polyHash(col("tk")), lit(DsirBuckets)).as("b"))
+      .cache() // read 3× (raw histogram, target histogram, scoring join)
+    val raw = tok.groupBy("b").agg(count(lit(1)).as("cr"))
+    val tgt = tok.filter(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ct"))
+    val w = raw.join(tgt, Seq("b"), "left")
+      .select(col("b"),
+        expr(s"((coalesce(ct, 0) + 1) * 10000) DIV (cr + 1)").as("wt"))
+    tok.join(broadcast(w), Seq("b"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum("wt").as("dsir_score"),
+        Stable.r4(sum("wt").cast("double") / count(lit(1))).as("dsir_per_token"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01TokenCount, t02Quality, t03LangId, t04Fingerprint, t05BpeTokens,
       t06Mixture, t07Decontamination, t08ShardPlan, t09Repetition,
       t10MixtureSample, t11PiiScrub, t12StratifiedSample, t13TfIdf, t14Chunking,
       t15LmScore, t16PackSequences, t17SplitLeakage, t18Bm25, t19PaddingWaste,
-      t20Novelty, t21QualityClassifier)
+      t20Novelty, t21QualityClassifier, t22Blocklist, t23DsirWeights)
 }

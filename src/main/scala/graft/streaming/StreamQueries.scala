@@ -457,6 +457,70 @@ object StreamQueries {
           .coalesce(1).write.mode("overwrite").parquet(p)
       }))
 
+  /** The drain behind q55: stream-STATIC equi-join (the streaming
+    * enrichment shape — a batch dimension joined into a stream without
+    * any stream-side state) into a complete-mode aggregation. The static
+    * side is marked broadcast: each micro-batch hash-joins against the
+    * driver-shipped dim, no shuffle of the stream at the join, exactly
+    * how a 1000-executor cluster enriches an event firehose against a
+    * dimension table. */
+  private def drainStaticEnrich(s: SparkSession, d: String, stagedPath: String): DataFrame = {
+    val ckpt = runDir("graft_q55_run")
+    val schema = s.read.parquet(stagedPath).schema
+    val stream = s.readStream.schema(schema).parquet(stagedPath)
+    val dim = broadcast(
+      Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment")))
+    val n = token.incrementAndGet()
+    val table = s"graft_q55_out_$n"
+    s.catalog.dropTempView(s"graft_q55_out_${n - 1}")
+    val q = stream
+      .join(dim, stream("user_id") === dim("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(table)
+      .option("checkpointLocation", s"$ckpt/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try require(q.awaitTermination(600000), "q55: streaming drain did not finish within 600s")
+    finally dropDir(ckpt)
+    s.table(table)
+      .select(col("c_mktsegment"), col("event_type"),
+        col("n_events"), Stable.r4(col("sum_value")).as("sum_value"))
+  }
+
+  /** q55 — stream-static enrichment join, drained and read back: the
+    * events stream joined against the static customer dimension
+    * (broadcast — no stream-side shuffle, no watermark state; the static
+    * side is re-planned per micro-batch, which is the entire point of the
+    * stream-static contract) and aggregated per (segment, event type).
+    * The oracle is the identical batch join+aggregate — proving the
+    * enrichment path loses and duplicates nothing. */
+  val q55StreamStaticJoin = QueryDef(
+    "q55_stream_static_join",
+    s"""SELECT c.c_mktsegment, e.event_type,
+       |  count(*) AS n_events,
+       |  ${Stable.sqlR4("sum(e.value)")} AS sum_value
+       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+       |GROUP BY c.c_mktsegment, e.event_type""".stripMargin) { (s, d) =>
+    drainStaticEnrich(s, d, ensureStagedEvents(s, d))
+  }
+
+  /** Bench-only machinery calibration for q55: the identical
+    * stream-static drain over a staged 1-row events source (user 0 exists
+    * in every customer fixture, so the joined sink is non-empty). */
+  val q55MachineryProbe: (SparkSession, String) => DataFrame =
+    (s, d) => drainStaticEnrich(s, d,
+      ensureStaged(s"$d#enrich-probe", p => {
+        import s.implicits._
+        Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0L, "view", 1.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(p)
+      }))
+
   val all: Seq[QueryDef] = Seq(q44WindowedStreaming, q46WindowedAppendSink,
-    q48SessionizeAppendSink, q50IntervalJoinStream, q51DedupStream)
+    q48SessionizeAppendSink, q50IntervalJoinStream, q51DedupStream,
+    q55StreamStaticJoin)
 }

@@ -236,4 +236,74 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(out == Set((1L, "a"), (2L, "b")))
   }
+
+  test("d14 spanWindows: n-w+1 windows, rolling overlap, and the short-doc empty guard") {
+    import spark.implicits._
+    // token-hash arrays directly (the spanWindows contract is over hashes)
+    val rows = Seq(
+      (1L, (1L to 10L).toSeq), // 10 tokens → 3 windows
+      (2L, (3L to 10L).toSeq), // suffix of doc 1 → its single window = doc 1's LAST window
+      (3L, (1L to 7L).toSeq), // 7 < w: Spark's sequence(1,0) descends — must be EMPTY, not [1,0]
+      (4L, Seq.empty[Long]))
+    val out = rows.toDF("doc_id", "hh")
+      .select(col("doc_id"), Dedup.spanWindows(col("hh")).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out(1L).length == 3, s"expected n-w+1 windows: ${out(1L)}")
+    assert(out(2L).length == 1)
+    assert(out(2L).head == out(1L).last, "identical 8-token span must hash identically")
+    assert(out(1L).distinct.length == 3, "distinct spans must not collide on this fixture")
+    assert(out(3L).isEmpty, "doc shorter than the window must emit NO windows")
+    assert(out(4L).isEmpty)
+  }
+
+  test("d14 on a crafted corpus: a copied paragraph marks both docs, unique text stays clean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d14_fix").toString
+    // corpus() doubles each doc with a 14-char-prefix-cut twin, so every
+    // span past the cut is shared doc↔twin; the assert targets the
+    // CROSS-document copy (1 vs 2), which shares exactly the pasted block's
+    // windows and nothing else
+    val para = "one two three four five six seven eight nine ten eleven twelve"
+    Seq(
+      (1L, s"$para unique tail alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"$para other ending iota kappa lambda mu nu xi omicron pi"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val m = Dedup.d14SpanDedup.fn(spark, dir)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // the pasted 12-token block yields 5 shared 8-token windows between
+      // docs 1 and 2; both must report ≥ those 5 (twins add more)
+      assert(m(1L)._2 >= 5, s"doc 1 under-reports shared spans: ${m(1L)}")
+      assert(m(2L)._2 >= 5, s"doc 2 under-reports shared spans: ${m(2L)}")
+      // neither doc is fully duplicated cross-corpus at the BASE ids: some
+      // spans bridging paragraph→unique-tail exist in only one doc+twin...
+      // but twins share those too. The sharp assert: windows counts match
+      // n_tokens - 7 per doc (22 tokens → 15 windows, all distinct here)
+      assert(m(1L)._1 == 15L, s"doc 1 span count: ${m(1L)}")
+    } finally graft.operators.Reconcile.deleteRecursively(dir)
+  }
+
+  test("d15 fuzzy join: near-identical prefixes pair up, distant prefixes stay apart") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d15_fix").toString
+    // docs 1/2: same 64-char prefix except one token swap (edit distance 4);
+    // doc 3: unrelated vocabulary — must never appear in any pair with 1/2
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (3L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo nnn mmm lll kkk"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val pairs = Dedup.d15FuzzyJoin.fn(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(pairs.contains((1L, 2L)), s"near-identical prefixes missed: ${pairs.keySet}")
+      assert(pairs((1L, 2L)) <= 4, s"swap distance too large: ${pairs((1L, 2L))}")
+      val with3 = pairs.keySet.filter(p =>
+        (p._1 % 100000 == 3) || (p._2 % 100000 == 3))
+      assert(with3.forall(p => p._1 % 100000 == 3 && p._2 % 100000 == 3),
+        s"unrelated doc 3 paired outside its own twin: $with3")
+    } finally graft.operators.Reconcile.deleteRecursively(dir)
+  }
 }

@@ -169,4 +169,47 @@ class TextAnalysisSpec extends SparkSpec {
         s"decision must split the corpus: $real")
     } finally graft.operators.Reconcile.deleteRecursively(dir)
   }
+
+  test("t22: weighted blocklist hits sum per-term severities; clean doc passes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t22_fix").toString
+    Seq(
+      (1L, "dup dup slow clean words here pad pad pad pad"), // 2×3.0 + 2.0 = 8 over 10 toks
+      (2L, "entirely clean words with no flagged terms at all"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val m = TextAnalysis.t22Blocklist.fn(spark, dir)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+      assert(m(1L) == ((3L, 0.8, true)), s"weighted hits wrong: ${m(1L)}")
+      assert(m(2L) == ((0L, 0.0, false)), s"clean doc flagged: ${m(2L)}")
+    } finally graft.operators.Reconcile.deleteRecursively(dir)
+  }
+
+  test("t23 DSIR: an all-target corpus gives every doc the identity ratio (10000/token)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t23_fix").toString
+    // every doc is lang='en' ⇒ target count = raw count in EVERY bucket ⇒
+    // wt = ((c+1)*10000)//(c+1) = 10000 exactly, independent of hashing
+    Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "delta epsilon zeta eta theta", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val rows = TextAnalysis.t23DsirWeights.fn(spark, dir)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+      assert(rows(1L) == ((3L, 30000L, 10000.0)), s"identity ratio broken: ${rows(1L)}")
+      assert(rows(2L) == ((5L, 50000L, 10000.0)), s"identity ratio broken: ${rows(2L)}")
+      // real corpus: en docs must outscore the average non-en doc per token
+      // (the weights are TRAINED on the en slice — that's the operator's point)
+      val real = TextAnalysis.t23DsirWeights.fn(spark, sf)
+        .join(graft.tables.Tables.documents(spark, sf), "doc_id")
+        .groupBy(col("lang") === "en")
+        .agg(org.apache.spark.sql.functions.avg("dsir_per_token").as("apt"))
+        .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      assert(real(true) > real(false),
+        s"en slice must score above non-en on en-trained weights: $real")
+    } finally graft.operators.Reconcile.deleteRecursively(dir)
+  }
 }

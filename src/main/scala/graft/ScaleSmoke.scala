@@ -168,7 +168,12 @@ object ScaleSmoke {
     // round-11 addition: first two quiet isolated runs of the refined-cell
     // SemDeDup pair join read 2.28 / 2.40 — record the larger (the q48
     // convention for sub-second-base entries)
-    "d13_semantic_dedup" -> 2.402)
+    "d13_semantic_dedup" -> 2.402,
+    // round-11 batch 2: first two quiet gate runs (each query's own
+    // steal/foreign ≤ 26/10 ticks in both) — d14 2.18/2.70, q53
+    // 1.33/1.40; record the larger
+    "d14_span_dedup" -> 2.699,
+    "q53_merge_apply" -> 1.398)
 
   /** Ratcheted ×100 ratio bounds (round-10 verdict #6): until now the ×100
     * demonstration ran under the flat blanket `1.2 × copies` = 120, which

@@ -1253,9 +1253,116 @@ object Dedup {
       .select(col("id_a"), col("id_b"), dist.cast("long").as("dist"))
   }
 
+  // ---------- d16: incremental NEAR-dup dedup (new batch vs history) ----------
+
+  /** d16 — incremental near-duplicate dedup: the daily-ingest twin of d11
+    * (which is exact-hash only) — each INCOMING document is checked for
+    * near-duplicates against the HISTORICAL corpus via MinHash band keys,
+    * with exact-Jaccard verification and a deterministic best-match pick
+    * (highest rounded Jaccard, ties to the lowest history id). History =
+    * the base documents; incoming = the deterministically mutated twins
+    * (j≈0.8 against their origins — real positives, reproducible), so
+    * every incoming row reports `n_matches`, its best match, and the
+    * verified similarity, dup or not.
+    *
+    * 100 TB shape: the history side's shingles/signatures/bands are
+    * computed once and in production PERSISTED as the dedup index — the
+    * daily cost is the incoming batch's signature build plus a band
+    * equi-join of batch-bands against the index (delta × ≤bucket-size
+    * work, never history × history), then Jaccard verification of the
+    * candidates only. Band parameters corpus-scale via [[bandParamsFor]]
+    * exactly like d03 — at the oracle fixtures they ARE (4, 4). */
+  val d16IncrementalNearDup = QueryDef(
+    "d16_incremental_neardup", {
+      val nBands = NumHashes / BandSize
+      def bandsOf(src: String) = (0 until nBands)
+        .map(k => s"SELECT doc_id, $k AS band_k, ${bandSql(k)} AS band FROM ${src}sig")
+        .mkString("\nUNION ALL\n")
+      val jac = "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / " +
+        "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"
+      s"""WITH hist AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+         |inc AS (SELECT doc_id + 100000 AS doc_id, substring(lower(trim(text)), 15) AS t FROM documents),
+         |hsh AS (SELECT doc_id, ${shinglesSql(tokensSql("t"))} AS sh FROM hist),
+         |ish AS (SELECT doc_id, ${shinglesSql(tokensSql("t"))} AS sh FROM inc),
+         |hhash AS (SELECT doc_id, list_transform(sh, sg -> ${polyHashSql("sg")}) AS hh FROM hsh),
+         |ihash AS (SELECT doc_id, list_transform(sh, sg -> ${polyHashSql("sg")}) AS hh FROM ish),
+         |hsig AS (SELECT doc_id, ${minhashSqlCols.mkString(",\n  ")} FROM hhash),
+         |isig AS (SELECT doc_id, ${minhashSqlCols.mkString(",\n  ")} FROM ihash),
+         |hbands AS (
+         |${bandsOf("h")}),
+         |ibands AS (
+         |${bandsOf("i")}),
+         |cand AS (
+         |  SELECT DISTINCT i.doc_id AS in_id, h.doc_id AS hist_id
+         |  FROM ibands i JOIN hbands h ON i.band_k = h.band_k AND i.band = h.band),
+         |ver AS (
+         |  SELECT in_id, hist_id, ${Stable.sqlR4(jac)} AS jaccard
+         |  FROM cand
+         |  JOIN ish sa ON sa.doc_id = in_id
+         |  JOIN hsh sb ON sb.doc_id = hist_id
+         |  WHERE $jac >= $JaccardThreshold),
+         |best AS (
+         |  SELECT in_id, hist_id, jaccard,
+         |         count(*) OVER (PARTITION BY in_id) AS nm,
+         |         row_number() OVER (PARTITION BY in_id
+         |                            ORDER BY jaccard DESC, hist_id) AS rn
+         |  FROM ver)
+         |SELECT i.doc_id AS in_id,
+         |       CAST(coalesce(b.nm, 0) AS BIGINT) AS n_matches,
+         |       b.hist_id AS best_hist,
+         |       b.jaccard AS best_jaccard
+         |FROM inc i LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+         |  ON i.doc_id = b.in_id""".stripMargin
+    }) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val hist = docs.select(col("doc_id"), lower(trim(col("text"))).as("t"))
+    val inc = docs.select((col("doc_id") + 100000).as("doc_id"),
+      lower(trim(col("text"))).substr(lit(15), length(lower(trim(col("text"))))).as("t"))
+    val bp = bandParamsFor(corpusDocsFor(s, d))
+    def pipelineOf(src: DataFrame): (DataFrame, DataFrame) = {
+      // shingles cached: referenced by the signature build AND the verify
+      val sh = src.select(col("doc_id"), shingles(col("t")).as("sh")).cache()
+      val sig = sh
+        .select(col("doc_id"), transform(col("sh"), sg => polyHash(sg)).as("hh"))
+        .select(col("doc_id"),
+          graft.functions.VectorFunctions.minHashSig(col("hh"), bp.numHashes).as("sig"))
+        .cache()
+      val bands = (0 until bp.nBands).map { k =>
+        sig.select(col("doc_id"), bandKeyCol(col("sig"), k, bp.bandSize).as("band"))
+      }.reduce(_ unionAll _)
+      (sh, bands)
+    }
+    val (hsh, hbands) = pipelineOf(hist)
+    val (ish, ibands) = pipelineOf(inc)
+    val cand = ibands.as("i")
+      .join(hbands.as("h"), col("i.band") === col("h.band"))
+      .select(col("i.doc_id").as("in_id"), col("h.doc_id").as("hist_id"))
+      .distinct()
+    val interSize = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double")
+    val j = interSize / (size(col("sa.sh")) + size(col("sb.sh")) - interSize)
+    val ver = cand
+      .join(ish.as("sa"), col("sa.doc_id") === col("in_id"))
+      .join(hsh.as("sb"), col("sb.doc_id") === col("hist_id"))
+      .filter(j >= JaccardThreshold)
+      .select(col("in_id"), col("hist_id"), Stable.r4(j).as("jaccard"))
+    val wAll = Window.partitionBy("in_id")
+    val wRank = Window.partitionBy("in_id").orderBy(col("jaccard").desc, col("hist_id"))
+    val best = ver
+      .withColumn("nm", count(lit(1)).over(wAll))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 1)
+    inc.select(col("doc_id").as("in_id"))
+      .join(best, Seq("in_id"), "left")
+      .select(col("in_id"),
+        coalesce(col("nm"), lit(0L)).as("n_matches"),
+        col("hist_id").as("best_hist"),
+        col("jaccard").as("best_jaccard"))
+  }
+
   lazy val all: Seq[QueryDef] =
     Seq(d01Exact, d02NgramJaccard, d03MinHashLsh, d04SimHash, d05EmbeddingNearDup,
       d06EmbeddingLsh, d07DedupKeeper, d08NgramStopList, d09MinHashStopList,
       d10SimHashStopList, d11IncrementalDedup, d12KeeperStarDeep, d13SemanticDedup,
-      d14SpanDedup, d15FuzzyJoin)
+      d14SpanDedup, d15FuzzyJoin, d16IncrementalNearDup)
 }

@@ -69,7 +69,8 @@ class PlanSpec extends SparkSpec {
     Seq(Dedup.d02NgramJaccard, Dedup.d03MinHashLsh, Dedup.d04SimHash,
       Dedup.d06EmbeddingLsh, Dedup.d08NgramStopList,
       Dedup.d09MinHashStopList, Dedup.d10SimHashStopList,
-      Dedup.d13SemanticDedup).foreach { q =>
+      Dedup.d13SemanticDedup, Dedup.d14SpanDedup, Dedup.d15FuzzyJoin,
+      Dedup.d16IncrementalNearDup).foreach { q =>
       val plan = planOf(q.fn(spark, sf))
       assert(!plan.contains("CartesianProduct"), s"${q.name} has a cartesian join")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"${q.name} has a nested-loop join")

@@ -284,6 +284,37 @@ class DedupSpec extends SparkSpec {
     } finally graft.operators.Reconcile.deleteRecursively(dir)
   }
 
+  test("d16 incremental near-dup: twins match their origin, degenerate batch rows report 0") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d16_fix").toString
+    Seq(
+      // long doc: its prefix-cut twin keeps ~90% of shingles → must match ITS origin
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi " +
+        "omicron pi rho sigma tau upsilon phi chi psi omega aleph beth gimel daleth"),
+      // disjoint-vocab long doc: twin matches origin 2, never origin 1
+      (2L, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce trece " +
+        "catorce quince dieciseis diecisiete dieciocho diecinueve veinte treinta " +
+        "cuarenta cincuenta sesenta setenta ochenta noventa cien"),
+      // tiny doc: the 14-char cut leaves its twin without a full 3-shingle → no match
+      (3L, "aa bb cc dd"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val m = Dedup.d16IncrementalNearDup.fn(spark, dir)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))))
+        .toMap
+      assert(m.keySet == Set(100001L, 100002L, 100003L), s"one row per incoming doc: $m")
+      assert(m(100001L)._1 >= 1 && m(100001L)._2 == 1L,
+        s"twin of 1 must best-match history doc 1: ${m(100001L)}")
+      assert(m(100002L)._1 >= 1 && m(100002L)._2 == 2L,
+        s"twin of 2 must best-match history doc 2: ${m(100002L)}")
+      assert(m(100003L) == ((0L, -1L)),
+        s"degenerate twin must report no matches: ${m(100003L)}")
+    } finally graft.operators.Reconcile.deleteRecursively(dir)
+  }
+
   test("d15 fuzzy join: near-identical prefixes pair up, distant prefixes stay apart") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_d15_fix").toString

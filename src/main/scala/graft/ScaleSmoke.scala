@@ -103,7 +103,12 @@ object ScaleSmoke {
     // did); q53's full-outer MERGE is the one key-partitioned mutation
     // shape in the catalog (feed size scales with the snapshot here, so
     // the join must stay ~linear)
-    "d14_span_dedup", "q53_merge_apply")
+    "d14_span_dedup", "q53_merge_apply",
+    // round-11 batch 3: d16's incremental shape must stay DELTA-sized at
+    // scale — the batch-bands ⋈ history-index join grows with the batch,
+    // not history², and the corpus-scaled bands keep bucket occupancy
+    // flat (the same claim d03's gate entry holds for the symmetric case)
+    "d16_incremental_neardup")
 
   /** Scale factor of the generated dataset. Default ×10; set
     * SPARK_GRAFT_SCALE_COPIES=100 for the heavyweight ×100 demonstration

@@ -296,7 +296,7 @@ object Dedup {
   private def simhashCol: Column =
     graft.functions.VectorFunctions.simHash28(col("th"))
 
-  private def simhashSql: String = {
+  private[operators] def simhashSql: String = {
     val bitSums = (0 until SimBits).map { i =>
       s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(th, " +
         s"h -> CASE WHEN (h >> $i) & 1 = 1 THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)), (acc, x) -> acc + x)"

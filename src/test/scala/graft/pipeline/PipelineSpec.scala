@@ -123,4 +123,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).sameElements(Array(3.0, (97 + 98 + 99) / 3.0, 97.0, 99.0)))
     assert(out(2L).sameElements(Array(0.0, 0.0, 0.0, 0.0)))
   }
+
+  test("m04 binary near-dup: prefix-cut twins pair with their origin, disjoint payloads stay apart") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_m04_fix").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi " +
+        "omicron pi rho sigma tau upsilon phi chi psi omega aleph beth gimel daleth " +
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi " +
+        "omicron pi rho sigma tau upsilon phi chi psi omega aleph beth gimel daleth"),
+      (2L, "uno dos tres cuatro cinco seis siete ocho nueve diez once doce trece " +
+        "catorce quince dieciseis diecisiete dieciocho diecinueve veinte treinta " +
+        "cuarenta cincuenta sesenta setenta ochenta noventa cien mil millon " +
+        "uno dos tres cuatro cinco seis siete ocho nueve diez once doce trece"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val pairs = graft.operators.Multimodal.m04BinaryNearDup.fn(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 100001L)), s"twin of 1 must pair with its origin: $pairs")
+      assert(pairs.contains((2L, 100002L)), s"twin of 2 must pair with its origin: $pairs")
+      val cross = pairs.filter { case (a, b) => a % 100000 != b % 100000 }
+      assert(cross.isEmpty, s"byte-disjoint payloads must not pair: $cross")
+    } finally graft.operators.Reconcile.deleteRecursively(dir)
+  }
 }

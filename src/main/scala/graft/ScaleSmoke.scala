@@ -178,7 +178,12 @@ object ScaleSmoke {
     // steal/foreign ≤ 26/10 ticks in both) — d14 2.18/2.70, q53
     // 1.33/1.40; record the larger
     "d14_span_dedup" -> 2.699,
-    "q53_merge_apply" -> 1.398)
+    "q53_merge_apply" -> 1.398,
+    // round-11 batch 3: d16's first two gate runs read 5.35 (steal/foreign
+    // 101/109 — mildly warm) and 3.61 (34/38 — quiet); record the larger
+    // (the q48 convention). Its cost class is d03's: the same corpus-scaled
+    // signature build runs over history + batch.
+    "d16_incremental_neardup" -> 5.353)
 
   /** Ratcheted ×100 ratio bounds (round-10 verdict #6): until now the ×100
     * demonstration ran under the flat blanket `1.2 × copies` = 120, which
@@ -242,6 +247,21 @@ object ScaleSmoke {
     if (ratio > bound) Some(f"$name: superlinear scaling $ratio%.1f× (>$bound%.2f)")
     else None
   }
+
+  /** Two-statistic rule for machinery-calibrated streaming entries: the
+    * floor-subtracted denominator is ~0.3-0.6 s at sf0.1, so a host
+    * foreign-load burst landing on the base drain flips the floored ratio
+    * several-fold (observed same-HEAD: floored 6.6 from a 0.23 s
+    * denominator inside an 11,695-foreign-tick window while the raw
+    * per-side minima read 1.59 — vs quiet raw history 1.25/1.28). A
+    * GENUINE state-store regression inflates the scale side's data time
+    * and therefore BOTH statistics, so a floored-ratio violation is
+    * downgraded to a recorded `<q>_ratio_suspect` marker unless the raw
+    * ratio also exceeds this bound (quiet history 1.28 × 1.5 headroom,
+    * rounded up — one-way, same discipline as the ratchet maps). */
+  val StreamingRawRatioBound = 2.0
+  def streamingViolationWaived(rawRatio: Double): Boolean =
+    rawRatio > 0 && rawRatio <= StreamingRawRatioBound
 
   /** Bounded retry-on-violation for one gate query (the ScaleSmoke twin of
     * Bench's steal-reactive retry, round-7 verdict item #1): while the
@@ -825,7 +845,12 @@ object ScaleSmoke {
     catch { case e: Throwable => System.err.println(s"[scale] warmup failed: $e") }
 
     var violations = Vector.empty[String]
-    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_SCALE_RETRIES", "2").toInt
+    // 3 (was 2): an observed host foreign-load burst spanned ~2 minutes
+    // (11,695 ticks through q48's window, 679 through d14's) and outlived
+    // two escalating-backoff retries (30+60 s); a third retry (+90 s)
+    // clears episodes of that length. Retries fire only on violation, so
+    // quiet runs pay nothing.
+    val maxRetries = sys.env.getOrElse("SPARK_GRAFT_SCALE_RETRIES", "3").toInt
     // SPARK_GRAFT_SCALE_ONLY=a,b isolates a subset in a FRESH JVM (local
     // iteration on one query's scaling, or separating a real regression
     // from cumulative-heap contagion of the 18-query sequence). Partial
@@ -959,7 +984,20 @@ object ScaleSmoke {
         if (clamped) streamingFloors :+= (s"${name}_floor_ge_base" -> 1.0)
       }
       val ratio = if (t1 > 0) t10 / t1 else -1.0
-      if (t1 > 0 && !clamped) violations ++= ratioViolation(name, ratio)
+      val rawRatio =
+        if (floor > 0 && rawMin(0) > 0 && rawMin(0) < Double.MaxValue) rawMin(1) / rawMin(0)
+        else -1.0
+      if (t1 > 0 && !clamped) ratioViolation(name, ratio) match {
+        case Some(v) if floor > 0 && streamingViolationWaived(rawRatio) =>
+          // two-statistic rule (see streamingViolationWaived): the floored
+          // ratio blew past its bound but the raw per-side minima stayed in
+          // their quiet envelope — record the suspect reading, don't fail
+          System.err.println(s"[scale] $name: floored-ratio violation waived " +
+            f"(raw ratio $rawRatio%.2f ≤ $StreamingRawRatioBound) — $v")
+          streamingFloors :+= (s"${name}_ratio_suspect" -> ratio)
+        case Some(v) => violations :+= v
+        case None => ()
+      }
       if (clamped && t10 > 10.0)
         violations :+= f"$name: floor ≥ base drain (ratio undefined) and scale-side data time $t10%.1f s > 10 s absolute bound"
       violations ++= pv

@@ -35,6 +35,23 @@ class ScaleSmokeSpec extends SparkSpec {
     // unknown queries (no history) fall back to the blanket linear bound
     assert(ScaleSmoke.ratioViolation("not_a_gate_query", 11.9).isEmpty)
     assert(ScaleSmoke.ratioViolation("not_a_gate_query", 12.1).isDefined)
+    // round-11 entry: d16 ratcheted from its first two gate runs
+    // (5.35 / 3.61 → bound 8.03)
+    assert(ScaleSmoke.ratioViolation("d16_incremental_neardup", 7.9).isEmpty)
+    assert(ScaleSmoke.ratioViolation("d16_incremental_neardup", 8.1).isDefined)
+  }
+
+  test("streaming two-statistic rule: a floored-ratio burst is waived, a real regression is not") {
+    // the observed contamination shape: floored ratio 6.6 off a 0.23 s
+    // denominator while the raw per-side minima read 1.59 (quiet raw
+    // history 1.25/1.28) — waived, recorded as <q>_ratio_suspect
+    assert(ScaleSmoke.streamingViolationWaived(1.59),
+      "quiet-raw contamination must be waived")
+    // a genuine state-store blowup inflates the raw ratio too — not waived
+    assert(!ScaleSmoke.streamingViolationWaived(2.5),
+      "a raw-ratio regression must NOT be waived")
+    // no raw observation (floor machinery absent) — never waived
+    assert(!ScaleSmoke.streamingViolationWaived(-1.0))
   }
 
   test("gate retry absorbs a transient burst but cannot mask a real regression") {

@@ -247,7 +247,8 @@ object Bench {
       "q48_sessionize_append_sink" -> graft.streaming.StreamQueries.q48MachineryProbe,
       "q50_interval_join_stream" -> graft.streaming.StreamQueries.q50MachineryProbe,
       "q51_dedup_stream" -> graft.streaming.StreamQueries.q51MachineryProbe,
-      "q55_stream_static_join" -> graft.streaming.StreamQueries.q55MachineryProbe)
+      "q55_stream_static_join" -> graft.streaming.StreamQueries.q55MachineryProbe,
+      "q57_neardup_stream_gate" -> graft.streaming.StreamQueries.q57MachineryProbe)
     val machineryCal: Map[String, Double] = machineryProbes.flatMap { case (n, f) =>
       if (excluded.contains(n)) None
       else {

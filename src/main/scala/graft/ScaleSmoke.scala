@@ -198,7 +198,15 @@ object ScaleSmoke {
     * (d03/d09's corpus-scaled bands, d13's refined cells — new at ×100)
     * enter after their first quiet ×100 run. */
   private val RecordedRatio100: Map[String, Double] = Map(
-    "c01_corpus_clean" -> 8.415, "c03_pipeline_to_shards" -> 5.485,
+    // c01 re-derived for the corpus-scaled-bands shape (the s09
+    // re-derivation precedent — a DELIBERATE recall/occupancy fix, not a
+    // regression): its cost is d07's MinHash machinery, whose ×100
+    // signature build grew when bands became corpus-scaled; the old 8.415
+    // predates that shape. Evidence: isolated fresh-JVM quiet probe at
+    // HEAD reads 12.511 (base 4.39 / scale 54.9 — scale-side ≈ d07's own
+    // 55.7; the extra ratio vs d07's 9.83 is a FASTER base read, not
+    // extra scale-side work).
+    "c01_corpus_clean" -> 12.511, "c03_pipeline_to_shards" -> 5.485,
     "d07_dedup_keeper" -> 8.521, "d08_dedup_stoplist" -> 11.308,
     "d12_keeper_star_deep" -> 3.573, "q15_sessionize" -> 7.705,
     "q21_rule_match" -> 9.007, "q22_kernel_full" -> 8.382,

@@ -1255,6 +1255,43 @@ object Dedup {
 
   // ---------- d16: incremental NEAR-dup dedup (new batch vs history) ----------
 
+  /** One side of the incremental near-dup machinery: normalized text →
+    * distinct shingles (cached — referenced by both the signature build
+    * and the Jaccard verify) → MinHash signature → one (doc_id, band) row
+    * per band. `src` must carry (doc_id, t). Shared by d16 (batch) and
+    * q57 (each streaming micro-batch against the persisted history side). */
+  private[graft] def nearDupPipeline(src: DataFrame, bp: BandParams): (DataFrame, DataFrame) = {
+    val sh = src.select(col("doc_id"), shingles(col("t")).as("sh")).cache()
+    val sig = sh
+      .select(col("doc_id"), transform(col("sh"), sg => polyHash(sg)).as("hh"))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.minHashSig(col("hh"), bp.numHashes).as("sig"))
+      .cache()
+    val bands = (0 until bp.nBands).map { k =>
+      sig.select(col("doc_id"), bandKeyCol(col("sig"), k, bp.bandSize).as("band"))
+    }.reduce(_ unionAll _)
+    (sh, bands)
+  }
+
+  /** Band equi-join candidates + exact-Jaccard verification: every
+    * (incoming, history) pair sharing a band, kept iff verified ≥
+    * [[JaccardThreshold]]. Returns (in_id, hist_id, jaccard r4). */
+  private[graft] def nearDupMatches(
+      histSh: DataFrame, histBands: DataFrame,
+      incSh: DataFrame, incBands: DataFrame): DataFrame = {
+    val cand = incBands.as("i")
+      .join(histBands.as("h"), col("i.band") === col("h.band"))
+      .select(col("i.doc_id").as("in_id"), col("h.doc_id").as("hist_id"))
+      .distinct()
+    val interSize = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double")
+    val j = interSize / (size(col("sa.sh")) + size(col("sb.sh")) - interSize)
+    cand
+      .join(incSh.as("sa"), col("sa.doc_id") === col("in_id"))
+      .join(histSh.as("sb"), col("sb.doc_id") === col("hist_id"))
+      .filter(j >= JaccardThreshold)
+      .select(col("in_id"), col("hist_id"), Stable.r4(j).as("jaccard"))
+  }
+
   /** d16 — incremental near-duplicate dedup: the daily-ingest twin of d11
     * (which is exact-hash only) — each INCOMING document is checked for
     * near-duplicates against the HISTORICAL corpus via MinHash band keys,
@@ -1272,35 +1309,43 @@ object Dedup {
     * work, never history × history), then Jaccard verification of the
     * candidates only. Band parameters corpus-scale via [[bandParamsFor]]
     * exactly like d03 — at the oracle fixtures they ARE (4, 4). */
+  /** The d16/q57-shared oracle CTE chain, from the raw table through the
+    * verified (in_id, hist_id, jaccard) match set `ver` (also exposes
+    * `hist` and `inc`). d16 appends its best-match pick; q57's survivor
+    * projection anti-joins `ver` away. */
+  private[graft] val nearDupVerCtes: String = {
+    val nBands = NumHashes / BandSize
+    def bandsOf(src: String) = (0 until nBands)
+      .map(k => s"SELECT doc_id, $k AS band_k, ${bandSql(k)} AS band FROM ${src}sig")
+      .mkString("\nUNION ALL\n")
+    val jac = "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / " +
+      "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"
+    s"""hist AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
+       |inc AS (SELECT doc_id + 100000 AS doc_id, substring(lower(trim(text)), 15) AS t FROM documents),
+       |hsh AS (SELECT doc_id, ${shinglesSql(tokensSql("t"))} AS sh FROM hist),
+       |ish AS (SELECT doc_id, ${shinglesSql(tokensSql("t"))} AS sh FROM inc),
+       |hhash AS (SELECT doc_id, list_transform(sh, sg -> ${polyHashSql("sg")}) AS hh FROM hsh),
+       |ihash AS (SELECT doc_id, list_transform(sh, sg -> ${polyHashSql("sg")}) AS hh FROM ish),
+       |hsig AS (SELECT doc_id, ${minhashSqlCols.mkString(",\n  ")} FROM hhash),
+       |isig AS (SELECT doc_id, ${minhashSqlCols.mkString(",\n  ")} FROM ihash),
+       |hbands AS (
+       |${bandsOf("h")}),
+       |ibands AS (
+       |${bandsOf("i")}),
+       |cand AS (
+       |  SELECT DISTINCT i.doc_id AS in_id, h.doc_id AS hist_id
+       |  FROM ibands i JOIN hbands h ON i.band_k = h.band_k AND i.band = h.band),
+       |ver AS (
+       |  SELECT in_id, hist_id, ${Stable.sqlR4(jac)} AS jaccard
+       |  FROM cand
+       |  JOIN ish sa ON sa.doc_id = in_id
+       |  JOIN hsh sb ON sb.doc_id = hist_id
+       |  WHERE $jac >= $JaccardThreshold)""".stripMargin
+  }
+
   val d16IncrementalNearDup = QueryDef(
     "d16_incremental_neardup", {
-      val nBands = NumHashes / BandSize
-      def bandsOf(src: String) = (0 until nBands)
-        .map(k => s"SELECT doc_id, $k AS band_k, ${bandSql(k)} AS band FROM ${src}sig")
-        .mkString("\nUNION ALL\n")
-      val jac = "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / " +
-        "(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"
-      s"""WITH hist AS (SELECT doc_id, lower(trim(text)) AS t FROM documents),
-         |inc AS (SELECT doc_id + 100000 AS doc_id, substring(lower(trim(text)), 15) AS t FROM documents),
-         |hsh AS (SELECT doc_id, ${shinglesSql(tokensSql("t"))} AS sh FROM hist),
-         |ish AS (SELECT doc_id, ${shinglesSql(tokensSql("t"))} AS sh FROM inc),
-         |hhash AS (SELECT doc_id, list_transform(sh, sg -> ${polyHashSql("sg")}) AS hh FROM hsh),
-         |ihash AS (SELECT doc_id, list_transform(sh, sg -> ${polyHashSql("sg")}) AS hh FROM ish),
-         |hsig AS (SELECT doc_id, ${minhashSqlCols.mkString(",\n  ")} FROM hhash),
-         |isig AS (SELECT doc_id, ${minhashSqlCols.mkString(",\n  ")} FROM ihash),
-         |hbands AS (
-         |${bandsOf("h")}),
-         |ibands AS (
-         |${bandsOf("i")}),
-         |cand AS (
-         |  SELECT DISTINCT i.doc_id AS in_id, h.doc_id AS hist_id
-         |  FROM ibands i JOIN hbands h ON i.band_k = h.band_k AND i.band = h.band),
-         |ver AS (
-         |  SELECT in_id, hist_id, ${Stable.sqlR4(jac)} AS jaccard
-         |  FROM cand
-         |  JOIN ish sa ON sa.doc_id = in_id
-         |  JOIN hsh sb ON sb.doc_id = hist_id
-         |  WHERE $jac >= $JaccardThreshold),
+      s"""WITH $nearDupVerCtes,
          |best AS (
          |  SELECT in_id, hist_id, jaccard,
          |         count(*) OVER (PARTITION BY in_id) AS nm,
@@ -1320,32 +1365,9 @@ object Dedup {
     val inc = docs.select((col("doc_id") + 100000).as("doc_id"),
       lower(trim(col("text"))).substr(lit(15), length(lower(trim(col("text"))))).as("t"))
     val bp = bandParamsFor(corpusDocsFor(s, d))
-    def pipelineOf(src: DataFrame): (DataFrame, DataFrame) = {
-      // shingles cached: referenced by the signature build AND the verify
-      val sh = src.select(col("doc_id"), shingles(col("t")).as("sh")).cache()
-      val sig = sh
-        .select(col("doc_id"), transform(col("sh"), sg => polyHash(sg)).as("hh"))
-        .select(col("doc_id"),
-          graft.functions.VectorFunctions.minHashSig(col("hh"), bp.numHashes).as("sig"))
-        .cache()
-      val bands = (0 until bp.nBands).map { k =>
-        sig.select(col("doc_id"), bandKeyCol(col("sig"), k, bp.bandSize).as("band"))
-      }.reduce(_ unionAll _)
-      (sh, bands)
-    }
-    val (hsh, hbands) = pipelineOf(hist)
-    val (ish, ibands) = pipelineOf(inc)
-    val cand = ibands.as("i")
-      .join(hbands.as("h"), col("i.band") === col("h.band"))
-      .select(col("i.doc_id").as("in_id"), col("h.doc_id").as("hist_id"))
-      .distinct()
-    val interSize = size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double")
-    val j = interSize / (size(col("sa.sh")) + size(col("sb.sh")) - interSize)
-    val ver = cand
-      .join(ish.as("sa"), col("sa.doc_id") === col("in_id"))
-      .join(hsh.as("sb"), col("sb.doc_id") === col("hist_id"))
-      .filter(j >= JaccardThreshold)
-      .select(col("in_id"), col("hist_id"), Stable.r4(j).as("jaccard"))
+    val (hsh, hbands) = nearDupPipeline(hist, bp)
+    val (ish, ibands) = nearDupPipeline(inc, bp)
+    val ver = nearDupMatches(hsh, hbands, ish, ibands)
     val wAll = Window.partitionBy("in_id")
     val wRank = Window.partitionBy("in_id").orderBy(col("jaccard").desc, col("hist_id"))
     val best = ver

@@ -520,7 +520,98 @@ object StreamQueries {
           .coalesce(1).write.mode("overwrite").parquet(p)
       }))
 
+  /** Staged incoming batch for q57: d16's deterministic twins (id+100000,
+    * first 14 chars cut, pre-normalized to `t`) with a synthesized arrival
+    * time. One file, one micro-batch. */
+  private def ensureStagedTwins(s: SparkSession, d: String): String =
+    ensureStaged(s"$d#twins", p => {
+      val t0 = lower(trim(col("text")))
+      Tables.documents(s, d)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          t0.substr(lit(15), length(t0)).as("t"),
+          timestamp_seconds(lit(1704067200L) + col("doc_id")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(p)
+    })
+
+  /** The drain behind q57 (and its probe): each micro-batch runs the d16
+    * machinery against the PERSISTED history index — batch shingles +
+    * signatures (map-only), a batch-bands ⋈ index band equi-join, exact
+    * Jaccard verify, then a left-anti of the batch against its verified
+    * matches; survivors append to the sink. The history side is built once
+    * per drain (in production it IS the stored dedup index — no
+    * per-micro-batch cost), and there is NO stream state at all: the
+    * "state" is the static index, so nothing grows with stream length. */
+  private def drainNearDupGate(
+      s: SparkSession, stagedPath: String,
+      hist: DataFrame, bp: graft.operators.Dedup.BandParams): DataFrame = {
+    import graft.operators.Dedup
+    val run = runDir("graft_q57_run")
+    requireSingleBatchStaging(stagedPath, "q57")
+    val (hsh, hbands) = Dedup.nearDupPipeline(hist, bp)
+    val schema = s.read.parquet(stagedPath).schema
+    val stream = s.readStream.schema(schema).parquet(stagedPath)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val inc = batch.select(col("doc_id"), col("t"))
+        val (ish, ibands) = Dedup.nearDupPipeline(inc, bp)
+        val matches = Dedup.nearDupMatches(hsh, hbands, ish, ibands)
+        inc.select(col("doc_id").as("in_id"))
+          .join(matches.select("in_id").distinct(), Seq("in_id"), "left_anti")
+          .write.mode("append").parquet(s"$run/out")
+      }
+      .option("checkpointLocation", s"$run/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(600000), "q57: streaming drain did not finish within 600s")
+    try graft.operators.Reconcile.deleteRecursively(s"$run/ckpt")
+    catch { case _: Exception => () }
+    s.read.parquet(s"$run/out")
+  }
+
+  /** q57 — streaming NEAR-dup gate at the door, oracle-checked: the
+    * streaming twin of d16 (as q51 is of d01) — each arriving micro-batch
+    * is checked for near-duplicates against the historical corpus's
+    * MinHash band index and only the documents with NO verified match
+    * survive into the sink. The survivor SET is batch-deterministic (a
+    * doc's membership depends only on itself vs history, never on
+    * arrival order), so the oracle is d16's match CTEs with the verified
+    * in_ids anti-joined away. 100 TB: the index side is computed once and
+    * persisted; per-batch cost is the batch's signature build plus a
+    * delta-sized band equi-join — and unlike q48/q51 there is zero
+    * watermark state, so stream length never grows anything. */
+  val q57NearDupStreamGate = QueryDef(
+    "q57_neardup_stream_gate",
+    s"""WITH ${graft.operators.Dedup.nearDupVerCtes}
+       |SELECT i.doc_id AS in_id
+       |FROM inc i LEFT JOIN (SELECT DISTINCT in_id FROM ver) v
+       |  ON i.doc_id = v.in_id
+       |WHERE v.in_id IS NULL""".stripMargin) { (s, d) =>
+    import graft.operators.Dedup
+    val hist = Tables.documents(s, d)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+    drainNearDupGate(s, ensureStagedTwins(s, d), hist,
+      Dedup.bandParamsFor(Dedup.corpusDocsFor(s, d)))
+  }
+
+  /** Bench-only machinery calibration for q57: the identical gate drain
+    * over a staged 1-row batch against a 1-row disjoint-vocab history
+    * (fixture band parameters) — the survivor sink is non-empty. */
+  val q57MachineryProbe: (SparkSession, String) => DataFrame =
+    (s, d) => {
+      import s.implicits._
+      val hist = Seq((1L, "zulu yankee xray whiskey victor uniform tango sierra"))
+        .toDF("doc_id", "t")
+      drainNearDupGate(s,
+        ensureStaged(s"$d#twins-probe", p => {
+          Seq((100001L, "alpha bravo charlie delta echo foxtrot golf hotel",
+            java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+            .toDF("doc_id", "t", "ts")
+            .coalesce(1).write.mode("overwrite").parquet(p)
+        }),
+        hist, graft.operators.Dedup.bandParamsFor(1L))
+    }
+
   val all: Seq[QueryDef] = Seq(q44WindowedStreaming, q46WindowedAppendSink,
     q48SessionizeAppendSink, q50IntervalJoinStream, q51DedupStream,
-    q55StreamStaticJoin)
+    q55StreamStaticJoin, q57NearDupStreamGate)
 }

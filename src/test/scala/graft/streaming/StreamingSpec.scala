@@ -333,6 +333,25 @@ class StreamingSpec extends SparkSpec {
       "streamed dedup set diverged from the batch distinct-hash set")
   }
 
+  test("q57 (the DECLARED streaming near-dup gate) equals the batch survivor set") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val got = StreamQueries.q57NearDupStreamGate.fn(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    // batch truth: d16's incoming rows with no verified history match
+    val want = graft.operators.Dedup.d16IncrementalNearDup.fn(spark, sf)
+      .filter(col("n_matches") === 0).select(col("in_id"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.nonEmpty, "every twin matched history — the gate is vacuous here")
+    assert(got.size == got.distinct.size, "a survivor was emitted twice")
+    assert(got.sorted == want.sorted,
+      "streamed near-dup survivor set diverged from the batch (d16) survivor set")
+    // and the machinery probe's disjoint-vocab 1-row batch survives
+    val probe = StreamQueries.q57MachineryProbe(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probe == Seq(100001L), s"probe survivor set: $probe")
+  }
+
   test("streamingKernel per-batch output equals the batch kernel") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

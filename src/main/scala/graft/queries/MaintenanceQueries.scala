@@ -21,9 +21,15 @@ object MaintenanceQueries {
 
   /** Synthetic-but-deterministic change feed derived from the snapshot
     * itself: deletes (key % 13 = 0), updates (else key % 7 = 0, price
-    * uplift + status rewrite), and inserts (key % 11 = 0, re-keyed past
-    * the live key space). Derived, not random, so the oracle can rebuild
-    * the identical feed. */
+    * uplift + status rewrite), and inserts (else key % 11 = 0, re-keyed
+    * past the live key space). The op CASE and the re-key share ONE
+    * precedence (13 > 7 > 11): a key in an overlap class (e.g. 143 =
+    * 11·13, 77 = 7·11) keeps its ORIGINAL key, so its D actually deletes
+    * the snapshot row and its U rewrites it in place — re-keying every
+    * key%11 row regardless of op would orphan those changes (the round-11
+    * ADVICE defect: surviving "kept" rows a declared D should have
+    * removed, plus phantom "updated" rows at keys that never existed).
+    * Derived, not random, so the oracle can rebuild the identical feed. */
   private val InsertOffset = 1000000000000L
 
   /** q53 — CDC MERGE application (the declarative form of the reference's
@@ -39,7 +45,9 @@ object MaintenanceQueries {
   val q53MergeApply = QueryDef(
     "q53_merge_apply",
     s"""WITH changes AS (
-       |  SELECT CASE WHEN o_orderkey % 11 = 0 THEN o_orderkey + $InsertOffset
+       |  SELECT CASE WHEN o_orderkey % 11 = 0 AND o_orderkey % 13 <> 0
+       |                   AND o_orderkey % 7 <> 0
+       |              THEN o_orderkey + $InsertOffset
        |              ELSE o_orderkey END AS ck,
        |         CASE WHEN o_orderkey % 13 = 0 THEN 'D'
        |              WHEN o_orderkey % 7 = 0 THEN 'U'
@@ -69,7 +77,8 @@ object MaintenanceQueries {
     val changes = snap
       .filter(k % 13 === 0 || k % 7 === 0 || k % 11 === 0)
       .select(
-        when(k % 11 === 0, k + InsertOffset).otherwise(k).as("o_orderkey"),
+        when(k % 11 === 0 && k % 13 =!= 0 && k % 7 =!= 0, k + InsertOffset)
+          .otherwise(k).as("o_orderkey"),
         when(k % 13 === 0, "D").when(k % 7 === 0, "U").when(k % 11 === 0, "I").as("op"),
         when(k % 7 === 0 && k % 13 =!= 0, col("o_totalprice") * 1.05)
           .otherwise(col("o_totalprice")).as("new_total"),

@@ -40,6 +40,28 @@ class MaintenanceSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("q53 MERGE overlap classes: op precedence (13 > 7 > 11) and the re-key agree") {
+    // round-11 ADVICE: re-keying EVERY key%11 row orphaned the D/U ops of
+    // overlap keys — 143 (11·13) survived as 'kept' with its delete never
+    // applied, and 77 (7·11) emitted a phantom 'updated' row at key+1e12
+    // while the real row stayed 'kept'. The re-key now fires only for
+    // actual inserts, so the overlap keys mutate in place.
+    val d = ordersFixture(Seq(
+      (77L, "O", 100.0), // 7·11 → op U wins: updated IN PLACE, no phantom
+      (143L, "O", 100.0), // 11·13 → op D wins: deleted, no survivor
+      (91L, "O", 100.0), // 7·13 → op D wins (no re-key ever applied here)
+      (1001L, "O", 100.0))) // 7·11·13 → op D wins
+    val out = MaintenanceQueries.q53MergeApply.fn(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2), r.getString(3))))
+      .toMap
+    assert(out(77L) == (("X", 105.0, "updated")), s"77 must update in place: $out")
+    assert(!out.contains(77L + 1000000000000L), "phantom insert for 7·11 overlap key")
+    assert(!out.contains(143L), "11·13 overlap key's delete did not apply")
+    assert(!out.contains(143L + 1000000000000L), "phantom row for 11·13 overlap key")
+    assert(!out.contains(91L) && !out.contains(1001L), "D-class overlap keys survived")
+    assert(out.size == 1)
+  }
+
   private def eventsFixture(rows: Seq[(Long, Long, Long, Double)]): String = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_maint_ev").toString

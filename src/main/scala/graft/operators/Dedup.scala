@@ -1262,12 +1262,26 @@ object Dedup {
 
   // ---------- d16: incremental NEAR-dup dedup (new batch vs history) ----------
 
+  /** One side of the incremental near-dup machinery: shingles + band rows
+    * plus the handles of its two cached frames, so DRAIN-style callers
+    * (q57 — a long-running loop inside ONE measurement, which the
+    * harness-level clearCache between measurements never reaches) can
+    * release them the moment the side's output is durably written. d16
+    * returns a lazy plan that still references the caches, so it leaves
+    * release to the harness convention (Bench/ScaleSmoke clearCache +
+    * unpersist-all before every measurement). */
+  private[graft] final case class NearDupSide(
+      sh: DataFrame, bands: DataFrame, cached: Seq[DataFrame]) {
+    def release(): Unit = cached.foreach(df =>
+      try df.unpersist(blocking = false) catch { case _: Exception => () })
+  }
+
   /** One side of the incremental near-dup machinery: normalized text →
     * distinct shingles (cached — referenced by both the signature build
     * and the Jaccard verify) → MinHash signature → one (doc_id, band) row
     * per band. `src` must carry (doc_id, t). Shared by d16 (batch) and
     * q57 (each streaming micro-batch against the persisted history side). */
-  private[graft] def nearDupPipeline(src: DataFrame, bp: BandParams): (DataFrame, DataFrame) = {
+  private[graft] def nearDupPipeline(src: DataFrame, bp: BandParams): NearDupSide = {
     val sh = src.select(col("doc_id"), shingles(col("t")).as("sh")).cache()
     val sig = sh
       .select(col("doc_id"), transform(col("sh"), sg => polyHash(sg)).as("hh"))
@@ -1277,7 +1291,7 @@ object Dedup {
     val bands = (0 until bp.nBands).map { k =>
       sig.select(col("doc_id"), bandKeyCol(col("sig"), k, bp.bandSize).as("band"))
     }.reduce(_ unionAll _)
-    (sh, bands)
+    NearDupSide(sh, bands, Seq(sh, sig))
   }
 
   /** Band equi-join candidates + exact-Jaccard verification: every
@@ -1372,9 +1386,9 @@ object Dedup {
     val inc = docs.select((col("doc_id") + 100000).as("doc_id"),
       lower(trim(col("text"))).substr(lit(15), length(lower(trim(col("text"))))).as("t"))
     val bp = bandParamsFor(corpusDocsFor(s, d))
-    val (hsh, hbands) = nearDupPipeline(hist, bp)
-    val (ish, ibands) = nearDupPipeline(inc, bp)
-    val ver = nearDupMatches(hsh, hbands, ish, ibands)
+    val h = nearDupPipeline(hist, bp)
+    val i = nearDupPipeline(inc, bp)
+    val ver = nearDupMatches(h.sh, h.bands, i.sh, i.bands)
     val wAll = Window.partitionBy("in_id")
     val wRank = Window.partitionBy("in_id").orderBy(col("jaccard").desc, col("hist_id"))
     val best = ver

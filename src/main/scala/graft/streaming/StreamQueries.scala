@@ -547,22 +547,30 @@ object StreamQueries {
     import graft.operators.Dedup
     val run = runDir("graft_q57_run")
     requireSingleBatchStaging(stagedPath, "q57")
-    val (hsh, hbands) = Dedup.nearDupPipeline(hist, bp)
+    val h = Dedup.nearDupPipeline(hist, bp)
     val schema = s.read.parquet(stagedPath).schema
     val stream = s.readStream.schema(schema).parquet(stagedPath)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val inc = batch.select(col("doc_id"), col("t"))
-        val (ish, ibands) = Dedup.nearDupPipeline(inc, bp)
-        val matches = Dedup.nearDupMatches(hsh, hbands, ish, ibands)
-        inc.select(col("doc_id").as("in_id"))
+        val i = Dedup.nearDupPipeline(inc, bp)
+        val matches = Dedup.nearDupMatches(h.sh, h.bands, i.sh, i.bands)
+        try inc.select(col("doc_id").as("in_id"))
           .join(matches.select("in_id").distinct(), Seq("in_id"), "left_anti")
           .write.mode("append").parquet(s"$run/out")
+        // the batch's survivors are durably in the sink — its two cached
+        // frames are dead weight for the rest of the drain (and the
+        // harness-level clearCache between measurements can't reach
+        // inside one): release per batch, or a long drain accumulates a
+        // block-manager pair per micro-batch under the 4 GiB gate heap
+        finally i.release()
       }
       .option("checkpointLocation", s"$run/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
-    require(q.awaitTermination(600000), "q57: streaming drain did not finish within 600s")
+    try require(q.awaitTermination(600000), "q57: streaming drain did not finish within 600s")
+    // same for the drain-scoped history side once the drain is over
+    finally h.release()
     try graft.operators.Reconcile.deleteRecursively(s"$run/ckpt")
     catch { case _: Exception => () }
     s.read.parquet(s"$run/out")

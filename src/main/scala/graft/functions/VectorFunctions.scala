@@ -171,15 +171,22 @@ object VectorFunctions {
 
   /** [[SimHash28]] widened for corpus-scaled block partitioning (round-10
     * verdict #2's fixed-parameter class, applied to SimHash): `bits` ≤ 56
-    * sign-bits, where bits 0..27 read the raw polynomial hash exactly like
-    * SimHash28 (so bits=28 is BIT-IDENTICAL to it — the oracle fixtures
-    * never see a wider signature) and bits 28..55 read a SplitMix64 remix
-    * of the hash (the raw hash is mod 1e9+7: only its low 28 bits are
-    * uniform, so wider signatures need fresh uniform bits — same mixing
-    * discipline as Similarity.planeSign). */
-  case class SimHashWide(child: Expression, bits: Int)
+    * sign-bits per WORD. Word 0: bits 0..27 read the raw polynomial hash
+    * exactly like SimHash28 (so bits=28, word=0 is BIT-IDENTICAL to it —
+    * the oracle fixtures never see a wider signature) and bits 28..55
+    * read a SplitMix64 remix of the hash (the raw hash is mod 1e9+7: only
+    * its low 28 bits are uniform, so wider signatures need fresh uniform
+    * bits — same mixing discipline as Similarity.planeSign). Word 1
+    * (round-11 verdict #1 — lifts the 56-bit signature ceiling that
+    * capped `Dedup.blockBitsFor` at 13): all `bits` sign sources come
+    * from a SECOND independent SplitMix stream (a different additive
+    * gamma through the same finalizer), giving a virtual signature of up
+    * to 112 sign-bits across two longs — wide enough for 4 blocks × 28
+    * bits, which un-caps the block scaling to ~10¹⁰ docs. */
+  case class SimHashWide(child: Expression, bits: Int, word: Int = 0)
       extends UnaryExpression with GraftExpectsInputTypes {
     require(bits >= 1 && bits <= 56, s"SimHashWide bits out of range: $bits")
+    require(word == 0 || word == 1, s"SimHashWide word out of range: $word")
     override def graftInputTypes: Seq[DataType] = Seq(ArrayType(LongType))
     override def dataType: DataType = LongType
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -191,26 +198,43 @@ object VectorFunctions {
         val m = ctx.freshName("m")
         val b = ctx.freshName("b")
         val sim = ctx.freshName("sim")
-        val mixBits = math.max(0, bits - 28)
-        val mix =
-          if (mixBits == 0) ""
-          else s"""
-             |long $m = $h + 0x9E3779B97F4A7C15L;
-             |$m = ($m ^ ($m >>> 30)) * 0xBF58476D1CE4E5B9L;
-             |$m = ($m ^ ($m >>> 27)) * 0x94D049BB133111EBL;
-             |$m ^= ($m >>> 31);
-             |for (int $b = 0; $b < $mixBits; $b++) {
-             |  if ((($m >> $b) & 1L) == 1L) $counts[28 + $b]++; else $counts[28 + $b]--;
-             |}""".stripMargin
+        val perHash =
+          if (word == 1)
+            // second stream: every bit from a fresh SplitMix mix with a
+            // distinct additive gamma, so word-1 signs are independent of
+            // word 0's (raw low bits AND its 0x9E37... remix)
+            s"""
+               |long $m = $h + 0xD1B54A32D192ED03L;
+               |$m = ($m ^ ($m >>> 30)) * 0xBF58476D1CE4E5B9L;
+               |$m = ($m ^ ($m >>> 27)) * 0x94D049BB133111EBL;
+               |$m ^= ($m >>> 31);
+               |for (int $b = 0; $b < $bits; $b++) {
+               |  if ((($m >> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+               |}""".stripMargin
+          else {
+            val mixBits = math.max(0, bits - 28)
+            val mix =
+              if (mixBits == 0) ""
+              else s"""
+                 |long $m = $h + 0x9E3779B97F4A7C15L;
+                 |$m = ($m ^ ($m >>> 30)) * 0xBF58476D1CE4E5B9L;
+                 |$m = ($m ^ ($m >>> 27)) * 0x94D049BB133111EBL;
+                 |$m ^= ($m >>> 31);
+                 |for (int $b = 0; $b < $mixBits; $b++) {
+                 |  if ((($m >> $b) & 1L) == 1L) $counts[28 + $b]++; else $counts[28 + $b]--;
+                 |}""".stripMargin
+            s"""
+               |for (int $b = 0; $b < ${math.min(bits, 28)}; $b++) {
+               |  if ((($h >> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
+               |}
+               |$mix""".stripMargin
+          }
         s"""
            |int[] $counts = new int[$bits];
            |int $n = $arr.numElements();
            |for (int $i = 0; $i < $n; $i++) {
            |  long $h = $arr.getLong($i);
-           |  for (int $b = 0; $b < ${math.min(bits, 28)}; $b++) {
-           |    if ((($h >> $b) & 1L) == 1L) $counts[$b]++; else $counts[$b]--;
-           |  }
-           |  $mix
+           |  $perHash
            |}
            |long $sim = 0L;
            |for (int $b = 0; $b < $bits; $b++) {
@@ -226,21 +250,33 @@ object VectorFunctions {
       val n = arr.numElements()
       while (i < n) {
         val h = arr.getLong(i)
-        var b = 0
-        val lo = math.min(bits, 28)
-        while (b < lo) {
-          if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
-          b += 1
-        }
-        if (bits > 28) {
-          var m = h + 0x9E3779B97F4A7C15L
+        if (word == 1) {
+          var m = h + 0xD1B54A32D192ED03L
           m = (m ^ (m >>> 30)) * 0xBF58476D1CE4E5B9L
           m = (m ^ (m >>> 27)) * 0x94D049BB133111EBL
           m ^= (m >>> 31)
-          var b2 = 0
-          while (b2 < bits - 28) {
-            if (((m >> b2) & 1L) == 1L) counts(28 + b2) += 1 else counts(28 + b2) -= 1
-            b2 += 1
+          var b = 0
+          while (b < bits) {
+            if (((m >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        } else {
+          var b = 0
+          val lo = math.min(bits, 28)
+          while (b < lo) {
+            if (((h >> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+          if (bits > 28) {
+            var m = h + 0x9E3779B97F4A7C15L
+            m = (m ^ (m >>> 30)) * 0xBF58476D1CE4E5B9L
+            m = (m ^ (m >>> 27)) * 0x94D049BB133111EBL
+            m ^= (m >>> 31)
+            var b2 = 0
+            while (b2 < bits - 28) {
+              if (((m >> b2) & 1L) == 1L) counts(28 + b2) += 1 else counts(28 + b2) -= 1
+              b2 += 1
+            }
           }
         }
         i += 1
@@ -369,6 +405,8 @@ object VectorFunctions {
   def polyHashFast(c: Column): Column = column(PolyHash(expression(c)))
   def simHash28(c: Column): Column = column(SimHash28(expression(c)))
   def simHashWide(c: Column, bits: Int): Column = column(SimHashWide(expression(c), bits))
+  def simHashWide(c: Column, bits: Int, word: Int): Column =
+    column(SimHashWide(expression(c), bits, word))
   def minHashSig(c: Column, n: Int): Column = column(MinHashSig(expression(c), n))
   def wordShingles(c: Column, w: Int): Column = column(WordShingles(expression(c), w))
   def creditsPivot(t: Column, a: Column): Column =

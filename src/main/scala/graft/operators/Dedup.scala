@@ -267,26 +267,101 @@ object Dedup {
   private val BlockBits = 7
   private val MaxHamming = 2
 
+  /** Empirical per-bit agreement probability of two RANDOM docs' simhash
+    * bits. The naive model says 1/2, but simhash bits correlate with the
+    * token distribution (common-token sign sums dominate), so agreement
+    * runs higher — measured from the committed r11 `band_occupancy`
+    * gauge: block candidates/doc grew 175 → 225 → 284 across base → ×10 →
+    * ×100 UNDER +log2(scale) bits/decade, i.e. 4·n·p^b with
+    * 10·p^3.32 ≈ 1.27 ⇒ p ≈ 0.54. Scaling block width by
+    * log_{1/p}(corpus growth) instead of log₂ pins expected
+    * block-candidates/doc ~FLAT (10·0.54^3.73 ≈ 1.00). */
+  private val BlockBitAgreement = 0.54
+
   /** Corpus-scaled SimHash block width (the fourth member of the
     * fixed-parameter class): two RANDOM docs agree on a b-bit block with
-    * probability ≈2^−b (empirically higher — simhash bits correlate with
-    * the token distribution — but the scaling is still geometric in b), so
-    * expected random block-candidates per doc ≈ 4·n/2^b grow LINEARLY with
-    * the corpus under fixed b=7. One extra bit per corpus doubling pins
-    * them flat: b = 7 + ceil(log2(n/fixture)), capped at 13 (4 blocks × 13
-    * = 52 ≤ 56 sign-bits available from the raw hash + its SplitMix remix
-    * — [[graft.functions.VectorFunctions.SimHashWide]]). Block COUNT stays
-    * 4: the pigeonhole guarantee (hamming ≤ 3 shares a block; we keep ≤ 2)
-    * is per-signature and unchanged; a wider signature at the same hamming
+    * probability ≈[[BlockBitAgreement]]^b, so expected random
+    * block-candidates per doc ≈ 4·n·p^b grow LINEARLY with the corpus
+    * under fixed b=7. Adding log_{1/p}(growth) bits pins them flat:
+    * b = 7 + ceil(log(n/fixture)/log(1/p)) — ~1.12 bits per corpus
+    * doubling (the round-11 formula used exactly 1.0, which left the
+    * measured ×1.27/decade residual the gauge recorded). Capped at 28: 4
+    * blocks × 28 = 112 sign-bits across TWO signature words
+    * ([[graft.functions.VectorFunctions.SimHashWide]] word 0 + word 1 —
+    * round-11 verdict #1 lifted the old single-word 56-bit ceiling whose
+    * cap of 13 went linear past ~1M docs); the new cap binds only past
+    * fixture·(1/p)^21 ≈ 6×10⁹ docs. Block COUNT stays 4: the pigeonhole
+    * guarantee (hamming ≤ 3 shares a block; d04 keeps ≤ 2) is
+    * per-signature and unchanged; a wider signature at the same hamming
     * cutoff is a proportionally stricter match — the same
     * precision-over-recall trade the LSH families make at scale. At every
-    * oracle fixture this IS 7 (28-bit signature, bit-identical to
-    * SimHash28). ×10 gate corpus (100k) ⇒ 10 (40 bits); ×100 (1M) ⇒ 13
-    * (52 bits). */
+    * oracle fixture this IS 7 (28-bit single-word signature, bit-identical
+    * to SimHash28). ×10 gate corpus (100k) ⇒ 10 (40 bits); ×100 (1M) ⇒ 14
+    * (56 bits — still one word; the second word activates past ~2.3M). */
   private[graft] def blockBitsFor(n: Long): Int =
     if (n <= FixtureDocs) BlockBits
-    else math.min(13, BlockBits + math.ceil(
-      math.log(n.toDouble / FixtureDocs) / math.log(2.0) - 1e-9).toInt)
+    else math.min(28, BlockBits + math.ceil(
+      math.log(n.toDouble / FixtureDocs) / math.log(1.0 / BlockBitAgreement) - 1e-9).toInt)
+
+  /** Signature + block rows for a bb-bit-block pigeonhole join over a
+    * (doc_id, th: array<bigint>) source: ONE signature word of 4·bb bits
+    * while that fits the 56 usable sign-bits (bb ≤ 14 — every fixture and
+    * both gate scales; bit-identical to the round-11 layout), TWO words of
+    * 2·bb bits each past it (blocks 0-1 from word 0, 2-3 from word 1 —
+    * the round-11 verdict-#1 ceiling lift; reachable past ~2.3M docs,
+    * pinned by DedupSpec's forced-wide brute-force cross-check). The
+    * single-word branch emits `simhash2 = 0`, so the downstream hamming
+    * `bit_count(w0⊕w0') + bit_count(w1⊕w1')` degenerates to exactly the
+    * old single-word distance. Output: (doc_id, simhash, simhash2,
+    * blk_k, blk). `cache` wraps the signature subtree (referenced by all
+    * 4 block branches × both join sides). */
+  private[operators] def simhashBlocks(
+      src: DataFrame, bb: Int, cache: Boolean = true): DataFrame = {
+    require(bb >= 1 && bb <= 28, s"simhashBlocks bits out of range: $bb")
+    import graft.functions.VectorFunctions.simHashWide
+    val sig0 =
+      if (NumBlocks * bb <= 56)
+        src.select(col("doc_id"),
+          simHashWide(col("th"), NumBlocks * bb).as("simhash"),
+          lit(0L).as("simhash2"))
+      else
+        src.select(col("doc_id"),
+          simHashWide(col("th"), 2 * bb, 0).as("simhash"),
+          simHashWide(col("th"), 2 * bb, 1).as("simhash2"))
+    val sig = if (cache) sig0.cache() else sig0
+    def blkCol(k: Int): Column = {
+      val (w, off) =
+        if (NumBlocks * bb <= 56) (col("simhash"), k * bb)
+        else if (k < 2) (col("simhash"), k * bb)
+        else (col("simhash2"), (k - 2) * bb)
+      shiftright(w, off).bitwiseAND(lit((1L << bb) - 1))
+    }
+    (0 until NumBlocks).map { k =>
+      sig.select(col("doc_id"), col("simhash"), col("simhash2"),
+        lit(k).as("blk_k"), blkCol(k).as("blk"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** The pigeonhole candidate join + hamming verify over [[simhashBlocks]]
+    * rows: candidates = pairs sharing (blk_k, blk), distance = popcount
+    * over BOTH signature words (word 2 is constant 0 in the single-word
+    * layout). Shared by d04 / d10 / m04. */
+  private[operators] def simhashBlockPairs(
+      src: DataFrame, bb: Int, maxHamming: Int): DataFrame = {
+    val blocks = simhashBlocks(src, bb)
+    val cand = blocks.as("a")
+      .join(blocks.as("b"),
+        col("a.blk_k") === col("b.blk_k") && col("a.blk") === col("b.blk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"),
+        col("a.simhash2").as("sim2_a"), col("b.simhash2").as("sim2_b"))
+      .distinct()
+    val hamming = bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) +
+      bit_count(col("sim2_a").bitwiseXOR(col("sim2_b")))
+    cand.filter(hamming <= maxHamming)
+      .select(col("id_a"), col("id_b"), hamming.cast("long").as("hamming"))
+  }
 
   /** bit_i(simhash) = sign of Σ_shingles (bit_i(hash(shingle)) ? +1 : -1),
     * over a materialized shingle-hash array (col "th" — 28× cheaper than
@@ -328,29 +403,10 @@ object Dedup {
          |WHERE bit_count(xor(sim_a, sim_b)) <= $MaxHamming""".stripMargin
     }) { (s, d) =>
     val bb = blockBitsFor(corpusDocsFor(s, d))
-    // cache: the signature subtree is referenced 8× (4 union branches ×
-    // both join sides) and would be recomputed for each otherwise
-    val sig = shingled(s, d)
-      .select(col("doc_id"), transform(col("sh"), sg => polyHash(sg)).as("th"))
-      .select(col("doc_id"),
-        graft.functions.VectorFunctions.simHashWide(col("th"), NumBlocks * bb)
-          .as("simhash"))
-      .cache()
-    val blocks = (0 until NumBlocks).map { k =>
-      sig.select(col("doc_id"), col("simhash"), lit(k).as("blk_k"),
-        shiftright(col("simhash"), k * bb)
-          .bitwiseAND(lit((1L << bb) - 1)).as("blk"))
-    }.reduce(_ unionAll _)
-    val cand = blocks.as("a")
-      .join(blocks.as("b"),
-        col("a.blk_k") === col("b.blk_k") && col("a.blk") === col("b.blk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-      .distinct()
-    val hamming = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
-    cand.filter(hamming <= MaxHamming)
-      .select(col("id_a"), col("id_b"), hamming.cast("long").as("hamming"))
+    simhashBlockPairs(
+      shingled(s, d)
+        .select(col("doc_id"), transform(col("sh"), sg => polyHash(sg)).as("th")),
+      bb, MaxHamming)
   }
 
   // ---------- d05: embedding cosine near-dup (brute-force baseline) ----------
@@ -557,26 +613,9 @@ object Dedup {
          |WHERE bit_count(xor(sim_a, sim_b)) <= $MaxHamming""".stripMargin
     }) { (s, d) =>
     val bb = blockBitsFor(corpusDocsFor(s, d))
-    val sig = stopListedHashSets(s, d, MaxShingleDf)
-      .select(col("doc_id"),
-        graft.functions.VectorFunctions.simHashWide(col("hh"), NumBlocks * bb)
-          .as("simhash"))
-      .cache() // 4 block branches × 2 join sides = 8 refs
-    val blocks = (0 until NumBlocks).map { k =>
-      sig.select(col("doc_id"), col("simhash"), lit(k).as("blk_k"),
-        shiftright(col("simhash"), k * bb)
-          .bitwiseAND(lit((1L << bb) - 1)).as("blk"))
-    }.reduce(_ unionAll _)
-    val cand = blocks.as("a")
-      .join(blocks.as("b"),
-        col("a.blk_k") === col("b.blk_k") && col("a.blk") === col("b.blk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-      .distinct()
-    val hamming = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
-    cand.filter(hamming <= MaxHamming)
-      .select(col("id_a"), col("id_b"), hamming.cast("long").as("hamming"))
+    simhashBlockPairs(
+      stopListedHashSets(s, d, MaxShingleDf).select(col("doc_id"), col("hh").as("th")),
+      bb, MaxHamming)
   }
 
   /** d11 — INCREMENTAL ingest dedup: drop incoming documents whose exact
@@ -960,15 +999,10 @@ object Dedup {
     * (corpus-scaled) block width — the SimHash gauge twin. */
   private[graft] def blockCandidatesPerDoc(s: SparkSession, d: String): Double = {
     val bb = blockBitsFor(corpusDocsFor(s, d))
-    val sig = shingled(s, d)
-      .select(col("doc_id"), transform(col("sh"), sg => polyHash(sg)).as("th"))
-      .select(graft.functions.VectorFunctions.simHashWide(col("th"), NumBlocks * bb)
-        .as("simhash"))
-    val blocks = (0 until NumBlocks).map { k =>
-      sig.select(lit(k).as("blk_k"),
-        shiftright(col("simhash"), k * bb)
-          .bitwiseAND(lit((1L << bb) - 1)).as("blk"))
-    }.reduce(_ unionAll _)
+    val blocks = simhashBlocks(
+      shingled(s, d)
+        .select(col("doc_id"), transform(col("sh"), sg => polyHash(sg)).as("th")),
+      bb, cache = false)
     val agg = blocks.groupBy("blk_k", "blk").agg(count(lit(1)).as("n"))
       .agg(sum((col("n") * (col("n") - lit(1)) / lit(2)).cast("long")).as("pairs"))
       .collect()(0)

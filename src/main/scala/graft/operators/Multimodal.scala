@@ -214,28 +214,9 @@ object Multimodal {
         TextOps.polyHash(col("hx").substr((i * 2 - 1).cast("int"), lit(GramBytes * 2)))))
       .otherwise(expr("array()").cast("array<bigint>"))
     val bb = Dedup.blockBitsFor(Dedup.corpusDocsFor(s, d))
-    // cache: the signature subtree feeds all 4 block branches × both join
-    // sides (d04's convention)
-    val sig = c.select(col("doc_id"), th.as("th"))
-      .select(col("doc_id"),
-        graft.functions.VectorFunctions.simHashWide(col("th"), PHashBlocks * bb)
-          .as("simhash"))
-      .cache()
-    val blocks = (0 until PHashBlocks).map { k =>
-      sig.select(col("doc_id"), col("simhash"), lit(k).as("blk_k"),
-        shiftright(col("simhash"), k * bb)
-          .bitwiseAND(lit((1L << bb) - 1)).as("blk"))
-    }.reduce(_ unionAll _)
-    val cand = blocks.as("a")
-      .join(blocks.as("b"),
-        col("a.blk_k") === col("b.blk_k") && col("a.blk") === col("b.blk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-      .distinct()
-    val hamming = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
-    cand.filter(hamming <= PHashMaxHamming)
-      .select(col("id_a"), col("id_b"), hamming.cast("long").as("hamming"))
+    // the shared d04 machinery: signature (corpus-scaled width, two words
+    // past 56 bits), 4-block pigeonhole join, hamming verify
+    Dedup.simhashBlockPairs(c.select(col("doc_id"), th.as("th")), bb, PHashMaxHamming)
   }
 
   val all: Seq[QueryDef] = Seq(m01BinaryMeta, m02FrameSample, m03Featurize,

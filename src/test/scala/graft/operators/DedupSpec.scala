@@ -184,13 +184,20 @@ class DedupSpec extends SparkSpec {
       assert(Dedup.bandParamsFor(n) == Dedup.BandParams(4, 4), s"n=$n")
       assert(Dedup.blockBitsFor(n) == 7, s"n=$n")
     }
-    // ×10 gate corpus (100k incl. twins): r=6, b=7; 10-bit blocks
+    // ×10 gate corpus (100k incl. twins): r=6, b=7; 10-bit blocks (the
+    // p=0.54 growth rate agrees with the old log2 rate here)
     assert(Dedup.bandParamsFor(100000L) == Dedup.BandParams(6, 7))
     assert(Dedup.blockBitsFor(100000L) == 10)
-    // ×100 (1M): r=8, b=12; block bits hit the 13-bit cap (4×13 = 52 ≤ 56)
+    // ×100 (1M): r=8, b=12; 14-bit blocks — one more than the round-11
+    // log2 rate gave (13), from the measured p=0.54 bit agreement; 4×14 =
+    // 56 still fits ONE signature word
     assert(Dedup.bandParamsFor(1000000L) == Dedup.BandParams(8, 12))
-    assert(Dedup.blockBitsFor(1000000L) == 13)
-    assert(Dedup.blockBitsFor(1000000000L) == 13)
+    assert(Dedup.blockBitsFor(1000000L) == 14)
+    // past ~2.3M docs the width crosses 14 bits and the TWO-WORD signature
+    // layout activates; the 28-bit cap (112 virtual sign-bits) binds only
+    // past ~7e9 docs — the round-11 13-bit cap went linear at ~1M
+    assert(Dedup.blockBitsFor(1000000000L) == 25)
+    assert(Dedup.blockBitsFor(100000000000L) == 28)
     // monotone: a bigger corpus never gets LOOSER banding
     val rs = Seq(2e4, 5e4, 1e5, 5e5, 1e6, 1e7).map(n => Dedup.bandParamsFor(n.toLong).bandSize)
     assert(rs == rs.sorted)
@@ -222,6 +229,57 @@ class DedupSpec extends SparkSpec {
     // bit must differ between signatures (a constant high half would make
     // wider blocks vacuous)
     assert(out.map(_.getLong(2) >>> 28).distinct.length > 1)
+  }
+
+  test("SimHashWide word 1: independent of word 0, non-degenerate, width-bounded") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(60)(Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong().abs % 1000000007L))
+    val out = rows.toDF("th").select(
+      VectorFunctions.simHashWide(col("th"), 32, 0).as("w0"),
+      VectorFunctions.simHashWide(col("th"), 32, 1).as("w1")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    out.foreach { case (_, w1) => assert(w1 >>> 32 == 0L) }
+    // word 1 must not just replay word 0 (a copied stream would make the
+    // two-word layout's blocks 2-3 redundant with 0-1)
+    assert(out.count { case (w0, w1) => w0 == w1 } < out.length / 4)
+    assert(out.map(_._2).distinct.length > 1)
+  }
+
+  test("simhashBlockPairs two-word layout (bb>14) = brute-force hamming filter") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    // 30 base docs of 24 random token hashes; 10 near-twins sharing all
+    // but 2 elements with their origin (high signature agreement) — the
+    // forced bb=16 (4×16 = 64 > 56 sign-bits) exercises the two-word
+    // path that no fixture or gate corpus reaches (it activates past
+    // ~2.3M docs). Pigeonhole: hamming ≤ 3 over the 64-bit virtual
+    // signature guarantees a shared block, so the operator's output must
+    // EQUAL the brute-force all-pairs filter, not just contain it.
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 30).map { i =>
+      (i.toLong, Seq.fill(24)(rnd.nextLong().abs % 1000000007L))
+    }
+    val twins = base.take(10).map { case (id, th) =>
+      (id + 1000L, th.dropRight(2) ++ Seq.fill(2)(rnd.nextLong().abs % 1000000007L))
+    }
+    val src = (base ++ twins).toDF("doc_id", "th")
+    val bb = 16
+    val got = Dedup.simhashBlockPairs(src, bb, 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // brute force via the same signature expressions (both words)
+    val sigs = src.select(col("doc_id"),
+      VectorFunctions.simHashWide(col("th"), 2 * bb, 0).as("w0"),
+      VectorFunctions.simHashWide(col("th"), 2 * bb, 1).as("w1")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = (for {
+      (ia, w0a, w1a) <- sigs; (ib, w0b, w1b) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(w0a ^ w0b) + java.lang.Long.bitCount(w1a ^ w1b)
+      if h <= 3
+    } yield ((ia, ib), h.toLong)).toMap
+    assert(want.nonEmpty, "fixture produced no near-dup pairs — vacuous")
+    assert(got == want)
   }
 
   test("incrementalDedupBloom: empty history keeps every incoming row") {

@@ -108,7 +108,13 @@ object ScaleSmoke {
     // scale — the batch-bands ⋈ history-index join grows with the batch,
     // not history², and the corpus-scaled bands keep bucket occupancy
     // flat (the same claim d03's gate entry holds for the symmetric case)
-    "d16_incremental_neardup")
+    "d16_incremental_neardup",
+    // round-12 (round-11 verdict #2): d15 was the #2 bench query with
+    // ZERO committed scale evidence — its FuzzyMaxGramDf posting-list cap
+    // bounds candidate mass in principle, and this entry (plus the
+    // fuzzy_occupancy gauge) makes that a measured claim. Cost class:
+    // gram-index equi-join + candidate-bounded exact Levenshtein.
+    "d15_fuzzy_join")
 
   /** Scale factor of the generated dataset. Default ×10; set
     * SPARK_GRAFT_SCALE_COPIES=100 for the heavyweight ×100 demonstration
@@ -1123,6 +1129,24 @@ object ScaleSmoke {
       Nil
     }
 
+    // d15 gram-index candidate-mass boundedness (round-11 verdict #2):
+    // pair mass per doc under the FuzzyMaxGramDf posting-list cap must
+    // stay ~flat base→scale (3× headroom, the band-occupancy contract) —
+    // the cap bounds every posting list, so growth here means the cutoff
+    // stopped binding and the Levenshtein verify's candidate set is no
+    // longer delta-sized.
+    val fuzzyOccRows: Seq[(String, Double)] = if (
+      onlySubset.exists(s => !s.contains("d15_fuzzy_join"))) Nil else try {
+      val fb = graft.operators.Dedup.fuzzyCandidatesPerDoc(spark, base)
+      val fs = graft.operators.Dedup.fuzzyCandidatesPerDoc(spark, dir)
+      if (fs > 3.0 * math.max(fb, 1.0))
+        violations :+= f"d15 fuzzy candidates/doc grew to $fs%.1f at x$Copies (base $fb%.1f, bound 3x) — posting-list cap stopped binding"
+      Seq("d15_fuzzy_cand_per_doc_base" -> fb, "d15_fuzzy_cand_per_doc_scale" -> fs)
+    } catch { case e: Throwable =>
+      violations :+= s"fuzzy-occupancy check: ${e.getClass.getSimpleName}: ${e.getMessage}"
+      Nil
+    }
+
     // IVF recall at scale (ADVICE r10): sampled ground-truth recall of the
     // refined-cell IVF join (s05) and its multi-probe variant (s06) on
     // both sides — the s10–s12 declared gauges only execute where
@@ -1169,6 +1193,7 @@ object ScaleSmoke {
         s""""write_path":${fmt(writeRows)},""" +
         s""""lsh_occupancy":${fmt(occRows)},""" +
         s""""band_occupancy":${fmt(bandOccRows)},""" +
+        s""""fuzzy_occupancy":${fmt(fuzzyOccRows)},""" +
         s""""ivf_recall":${fmt(ivfRecallRows)},""" +
         s""""streaming_floor":${fmt(streamingFloors)},""" +
         (if (Copies > 10)

@@ -1229,6 +1229,37 @@ object Dedup {
   private val FuzzyMaxGramDf = 50L
   private val FuzzyMaxDist = 28
 
+  /** One (doc_id, g) row per distinct prefix q-gram — the d15 inverted
+    * index's posting rows, shared by the query (which caches it) and the
+    * occupancy gauge below. `pfx` must carry (doc_id, p). */
+  private def fuzzyGramRows(pfx: DataFrame): DataFrame = {
+    val grams = transform(
+      sequence(lit(1), length(col("p")) - (FuzzyGramLen - 1), lit(FuzzyGramStride)),
+      i => polyHash(col("p").substr(i, lit(FuzzyGramLen))))
+    pfx.select(col("doc_id"),
+      explode(when(length(col("p")) >= FuzzyGramLen, array_distinct(grams))
+        .otherwise(expr("array()").cast("array<bigint>"))).as("g"))
+  }
+
+  /** Candidate-pair mass per doc of d15's gram index under the
+    * [[FuzzyMaxGramDf]] posting-list cap: Σ_kept-grams df·(df−1)/2 over
+    * corpus docs — the `bandCandidatesPerDoc` pattern (round-11 verdict
+    * #2: the #2 bench query must carry a gauge, not a docstring claim).
+    * The cap bounds every posting list, so the per-doc mass is ≤
+    * grams-per-doc·(cap−1)/2 ≈ 14·24.5 regardless of corpus size — a
+    * growing reading means the cutoff stopped binding. */
+  private[graft] def fuzzyCandidatesPerDoc(s: SparkSession, d: String): Double = {
+    val pfx = corpus(s, d)
+      .select(col("doc_id"), col("t").substr(1, FuzzyPrefixLen).as("p"))
+    val agg = fuzzyGramRows(pfx)
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= FuzzyMaxGramDf)
+      .agg(sum((col("df") * (col("df") - lit(1)) / 2).cast("long")).as("pairs"))
+      .collect()(0)
+    val mass = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+    mass.toDouble / math.max(1L, corpusDocsFor(s, d))
+  }
+
   /** d15 — fuzzy-match join (entity-resolution shape): candidate pairs
     * come from a character-q-gram inverted index over each doc's
     * normalized 64-char prefix, hot q-grams are dropped by document
@@ -1266,19 +1297,13 @@ object Dedup {
     }) { (s, d) =>
     val pfx = corpus(s, d)
       .select(col("doc_id"), col("t").substr(1, FuzzyPrefixLen).as("p"))
-    val grams = transform(
-      sequence(lit(1), length(col("p")) - (FuzzyGramLen - 1), lit(FuzzyGramStride)),
-      i => polyHash(col("p").substr(i, lit(FuzzyGramLen))))
     // cached: the gram explode feeds BOTH the df-cutoff aggregate and the
     // inverted-index join (and the join reads it twice, a/b) — d02's sh
     // convention. The win is modest (10.2 → 9.8 s at sf0.1): the
     // Levenshtein verify over the candidate set dominates d15's cost,
     // which is the intended shape — exact verification IS the expensive
     // honest step, and it is already candidate-bounded.
-    val ex = pfx.select(col("doc_id"),
-      explode(when(length(col("p")) >= FuzzyGramLen, array_distinct(grams))
-        .otherwise(expr("array()").cast("array<bigint>"))).as("g"))
-      .cache()
+    val ex = fuzzyGramRows(pfx).cache()
     val keep = ex.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= FuzzyMaxGramDf).select("g")
     val kept = ex.join(keep, Seq("g"))

@@ -844,6 +844,18 @@ object ScaleSmoke {
       // prove nothing: naive candidate mass per doc grows ~×Copies
       if (naive < naiveBase * Copies.toLong * Copies.toLong / 2)
         v :+= s"adversarial: naive candidate mass $naive did not explode (base $naiveBase) — fixture lost its duplication"
+      // d14's window index under the same boilerplate regime (round-11
+      // verdict #6): every boilerplate window's df ≥ copies, so the naive
+      // pair mass explodes quadratically in copies while the stop-listed
+      // mass must stay within the base corpus's per-doc shape (twin pairs
+      // share ~n_tokens−7 windows each, so the budget is O(windows per
+      // doc) — the d08 128×docs convention at span granularity).
+      val (spanNaiveBase, spanStoppedBase, _) = Dedup.spanPairMassStats(spark, base)
+      val (spanNaive, spanStopped, spanDocs) = Dedup.spanPairMassStats(spark, adv)
+      if (spanStopped > 256L * spanDocs)
+        v :+= s"adversarial: d14 stop-listed span pair mass $spanStopped > 256×docs ($spanDocs)"
+      if (spanNaive < spanNaiveBase * Copies.toLong * Copies.toLong / 2)
+        v :+= s"adversarial: d14 naive span pair mass $spanNaive did not explode (base $spanNaiveBase) — fixture lost its span duplication"
       val json =
         s"""{"copies":$Copies,"base":"$base","mode":"adversarial",""" +
           s""""docs_base":$docsBase,"docs":$docs,""" +
@@ -852,6 +864,8 @@ object ScaleSmoke {
           s""""d03_band_candidate_pairs":$bandNaive,"d09_band_candidate_pairs":$bandStopped,""" +
           s""""d08_sec":$tD08,"d08_base_pairs":$d08BaseN,""" +
           s""""d08_signal_missing":$signalMissing,"d08_signal_extra":$signalExtra,""" +
+          s""""d14_span_pair_mass_naive_base":$spanNaiveBase,"d14_span_pair_mass_naive":$spanNaive,""" +
+          s""""d14_span_pair_mass_stoplist_base":$spanStoppedBase,"d14_span_pair_mass_stoplist":$spanStopped,""" +
           s""""violations":${violationsJson(v)}}"""
       println(json)
       try java.nio.file.Files.writeString(

@@ -938,6 +938,28 @@ object Dedup {
     * number [[MaxShingleDf]]'s cutoff bounds — the ScaleSmoke adversarial
     * gate records both and asserts the stop-listed path stays linear in
     * the doc count. Returns (naivePairs, stopListedPairs, corpusDocs). */
+  /** Naive vs stop-listed span-window pair mass (Σ_wh df·(df−1)/2) — the
+    * [[candidatePairStats]] pattern at d14's span granularity (round-11
+    * verdict #6): the mass any pair-join consumer of the window index
+    * would pay, and the per-key group sizes' second moment for the
+    * frequency join itself. "Stopped" applies [[SpanMaxDf]]
+    * unconditionally so the adversarial artifact measures the cutoff even
+    * on corpora small enough that [[spanDfCutoffFor]] gates it off.
+    * Returns (naive, stopped, corpusDocs). */
+  private[graft] def spanPairMassStats(s: SparkSession, d: String): (Long, Long, Long) = {
+    val th = corpus(s, d).select(col("doc_id"),
+      transform(tokens(col("t")), tk => polyHash(tk)).as("hh"))
+    val dfreq = th
+      .select(col("doc_id"), explode(spanWindows(col("hh"))).as("wh"))
+      .groupBy("wh").agg(count(lit(1)).as("df"))
+    val pairs = (col("df") * (col("df") - lit(1)) / lit(2)).cast("long")
+    val r = dfreq.agg(
+      sum(pairs).as("naive"),
+      sum(when(col("df") <= SpanMaxDf, pairs).otherwise(lit(0L))).as("stopped"))
+      .collect()(0)
+    (r.getLong(0), r.getLong(1), corpusDocsFor(s, d))
+  }
+
   private[graft] def candidatePairStats(s: SparkSession, d: String): (Long, Long, Long) = {
     val dfreq = shingled(s, d)
       .select(col("doc_id"),
@@ -1154,6 +1176,23 @@ object Dedup {
 
   private val SpanW = 8 // tokens per span window
   private val SpanB = 131L // window-hash combine base
+  /** Active boilerplate cutoff for span windows: a window appearing in
+    * more than this many docs is boilerplate (headers, licence blocks),
+    * not a duplication PAIR signal — d08's MaxShingleDf=9 discipline at
+    * span granularity. Real copied-paragraph positives have df=2..few. */
+  private val SpanMaxDf = 8L
+
+  /** Corpus-gated activation for [[SpanMaxDf]] (round-11 verdict #6 — the
+    * docstring promised d08's cutoff for df ≫ 2 spans; now it executes):
+    * inert at every oracle fixture (≤ [[FixtureDocs]] corpus rows, so the
+    * pinned DuckDB SQL stays valid), active past it. The mutual-duplicate
+    * boilerplate regime that motivated d08 gives every boilerplate window
+    * df ≥ copies — without the cutoff its pair mass (Σ df·(df−1)/2, the
+    * cost any pair-join consumer of this index pays) grows quadratically
+    * in the copy count; with it the hot keys vanish from BOTH the shared
+    * count and the span total (inner join on the filtered df table). */
+  private[graft] def spanDfCutoffFor(n: Long): Long =
+    if (n <= FixtureDocs) Long.MaxValue else SpanMaxDf
 
   /** Rolling w-token window hashes from a per-token hash array: each
     * window is fold((acc·B + hᵢ) mod M) over its w token hashes — overlap
@@ -1189,9 +1228,12 @@ object Dedup {
     * computed once, windows are w multiply-adds each); the only shuffles
     * are the (doc, window)-distinct, the window-frequency count, and the
     * frequency join — all keyed by the 60-bit window hash, whose key space
-    * GROWS with the corpus, so per-key group sizes stay flat (boilerplate
-    * spans are the exception and surface as hot keys for AQE; a production
-    * run stop-lists df ≫ 2 spans exactly like d08's shingle cutoff).
+    * GROWS with the corpus, so per-key group sizes stay flat. Boilerplate
+    * spans are the exception: past fixture scale, windows with df >
+    * [[SpanMaxDf]] are stop-listed out of the analysis entirely (d08's
+    * shingle cutoff at span granularity, [[spanDfCutoffFor]] — inert at
+    * every oracle fixture; the adversarial artifact records the pair
+    * mass it removes).
     * Collisions at M = 1e9+7 are birthday-bounded (~4 per 3M windows) and
     * deterministic — both engines hash identically, so the oracle still
     * matches bit-for-bit; a 100 TB run would move to a 128-bit hash. */
@@ -1211,7 +1253,9 @@ object Dedup {
     val th = corpus(s, d).select(col("doc_id"),
       transform(tokens(col("t")), tk => polyHash(tk)).as("hh"))
     val w = th.select(col("doc_id"), explode(spanWindows(col("hh"))).as("wh"))
-    val df = w.groupBy("wh").agg(count(lit(1)).as("df"))
+    val cutoff = spanDfCutoffFor(corpusDocsFor(s, d))
+    val df0 = w.groupBy("wh").agg(count(lit(1)).as("df"))
+    val df = if (cutoff == Long.MaxValue) df0 else df0.filter(col("df") <= cutoff)
     val sharedN = sum(when(col("df") >= 2, 1L).otherwise(0L))
     w.join(df, Seq("wh"))
       .groupBy("doc_id")

@@ -295,6 +295,30 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((1L, "a"), (2L, "b")))
   }
 
+  test("d14 span stop-list: boilerplate windows out, pair signal kept, fixture-inert") {
+    import spark.implicits._
+    // cutoff gating (round-11 verdict #6): inert at fixture corpora so
+    // the pinned oracle holds, active past them
+    assert(Dedup.spanDfCutoffFor(16384L) == Long.MaxValue)
+    assert(Dedup.spanDfCutoffFor(16385L) == 8L)
+    // 12 docs sharing one 8-token boilerplate block (df = 12 + 12 twins =
+    // 24 > SpanMaxDf → stop-listed) + 2 docs sharing a genuine copied
+    // span (df = 2 + 2 twins = 4 ≤ 8 → kept). Prefix token is exactly 14
+    // chars so each twin (first-14-chars cut) keeps the block verbatim.
+    val boiler = (1 to 12).map(i => (i.toLong, f"p$i%02dxxxxxxxxxxx b1 b2 b3 b4 b5 b6 b7 b8"))
+    val pair = Seq((13L, "q13yyyyyyyyyyy c1 c2 c3 c4 c5 c6 c7 c8"),
+      (14L, "q14yyyyyyyyyyy c1 c2 c3 c4 c5 c6 c7 c8"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_span").toString
+    (boiler ++ pair).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val (naive, stopped, docs) = Dedup.spanPairMassStats(spark, dir)
+    assert(docs == 28L)
+    // boilerplate window: C(24,2) = 276; copied span: C(4,2) = 6;
+    // per-doc unique windows: df = 1 → 0 mass
+    assert(naive == 282L, s"naive=$naive")
+    assert(stopped == 6L, s"stopped=$stopped")
+  }
+
   test("d14 spanWindows: n-w+1 windows, rolling overlap, and the short-doc empty guard") {
     import spark.implicits._
     // token-hash arrays directly (the spanWindows contract is over hashes)

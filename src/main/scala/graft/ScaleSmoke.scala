@@ -109,6 +109,12 @@ object ScaleSmoke {
     // not history², and the corpus-scaled bands keep bucket occupancy
     // flat (the same claim d03's gate entry holds for the symmetric case)
     "d16_incremental_neardup",
+    // round-12 (round-11 verdict #5): d16 against the PERSISTED bucketed
+    // history index — the daily-ingest shape whose measured cost must be
+    // batch-side only (the untimed warm run builds the index once per
+    // JVM/scale; the timed runs read it). Expect t well under d16's on
+    // the same corpus — that delta IS the executed persisted-index claim.
+    "d17_neardup_indexed",
     // round-12 (round-11 verdict #2): d15 was the #2 bench query with
     // ZERO committed scale evidence — its FuzzyMaxGramDf posting-list cap
     // bounds candidate mass in principle, and this entry (plus the

@@ -1397,6 +1397,48 @@ object Dedup {
     NearDupSide(sh, bands, Seq(sh, sig))
   }
 
+  /** Build-once PERSISTED history index for the incremental near-dup
+    * family (round-11 verdict #5 — the 100 TB story said the index IS
+    * stored, but every d16/q57 run rebuilt history shingles + signatures
+    * inline): the history side's band rows land in a bucketed table keyed
+    * by `band` (the candidate join's key — the history side of that join
+    * pays NO exchange on re-read) and its shingle sets in one keyed by
+    * `doc_id` (the Jaccard verify's key), both via
+    * [[graft.pipeline.Bucketing.writeBucketed]]. Idempotent per
+    * (directory, band params): the catalog check makes every run after
+    * the first — and every micro-batch of a q57 drain — pay batch-side
+    * cost only. The stored rows are EXACTLY [[nearDupPipeline]]'s output,
+    * so d17/q57 results match d16's oracle verbatim. */
+  private[graft] def nearDupStoredIndex(
+      s: SparkSession, d: String, bp: BandParams): NearDupSide = {
+    val key = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_") +
+      s"_r${bp.bandSize}b${bp.nBands}"
+    val bandsT = s"graft_ndidx_bands_$key"
+    val shT = s"graft_ndidx_sh_$key"
+    if (!s.catalog.tableExists(bandsT) || !s.catalog.tableExists(shT)) {
+      // the in-memory catalog dies with the JVM but the warehouse files
+      // don't — a fresh JVM's CREATE fails on the stale location, so
+      // clear both (a production metastore would make the catalog check
+      // sufficient; rebuilding keeps this self-healing instead)
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      Seq(bandsT, shT).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        try Reconcile.deleteRecursively(s"$wh/$t")
+        catch { case _: Exception => () }
+      }
+      val hist = Tables.documents(s, d)
+        .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      val side = nearDupPipeline(hist, bp)
+      graft.pipeline.Bucketing.writeBucketed(side.bands, bandsT, Seq("band"), 32)
+      graft.pipeline.Bucketing.writeBucketed(side.sh, shT, Seq("doc_id"), 32)
+      side.release()
+    }
+    NearDupSide(
+      graft.pipeline.Bucketing.readBucketed(s, shT),
+      graft.pipeline.Bucketing.readBucketed(s, bandsT),
+      Nil)
+  }
+
   /** Band equi-join candidates + exact-Jaccard verification: every
     * (incoming, history) pair sharing a band, kept iff verified ≥
     * [[JaccardThreshold]]. Returns (in_id, hist_id, jaccard r4). */
@@ -1482,14 +1524,23 @@ object Dedup {
          |       b.jaccard AS best_jaccard
          |FROM inc i LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
          |  ON i.doc_id = b.in_id""".stripMargin
-    }) { (s, d) =>
+    }) { (s, d) => incrementalNearDupPlan(s, d, storedIndex = false) }
+
+  /** The shared d16/d17 plan: batch pipelines + candidate/verify joins +
+    * deterministic best-match pick, with the HISTORY side either built
+    * inline (d16 — self-contained, no storage dependency) or reloaded
+    * from the persisted bucketed index (d17 — the production daily-ingest
+    * shape: history cost paid once at index build, per-run cost is the
+    * batch signature build plus the delta-sized band join). */
+  private def incrementalNearDupPlan(
+      s: SparkSession, d: String, storedIndex: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
     val hist = docs.select(col("doc_id"), lower(trim(col("text"))).as("t"))
     val inc = docs.select((col("doc_id") + 100000).as("doc_id"),
       lower(trim(col("text"))).substr(lit(15), length(lower(trim(col("text"))))).as("t"))
     val bp = bandParamsFor(corpusDocsFor(s, d))
-    val h = nearDupPipeline(hist, bp)
+    val h = if (storedIndex) nearDupStoredIndex(s, d, bp) else nearDupPipeline(hist, bp)
     val i = nearDupPipeline(inc, bp)
     val ver = nearDupMatches(h.sh, h.bands, i.sh, i.bands)
     val wAll = Window.partitionBy("in_id")
@@ -1506,9 +1557,24 @@ object Dedup {
         col("jaccard").as("best_jaccard"))
   }
 
+  /** d17 — d16 against the PERSISTED history index (round-11 verdict #5):
+    * identical semantics and oracle (the stored rows ARE
+    * [[nearDupPipeline]]'s output, written once through
+    * [[graft.pipeline.Bucketing]]), but the history side READS the
+    * band-bucketed + doc_id-bucketed tables instead of recomputing
+    * shingles, signatures and band keys over the whole corpus — the shape
+    * a daily ingest actually runs at 100 TB, where history is thousands
+    * of times the batch. The band-keyed bucketing also drops the history
+    * side's exchange in the candidate join. PlanSpec pins the
+    * no-history-recompute claim; the ×10 gate times it next to d16. */
+  val d17NearDupIndexed = QueryDef(
+    "d17_neardup_indexed", d16IncrementalNearDup.oracle.get) { (s, d) =>
+    incrementalNearDupPlan(s, d, storedIndex = true)
+  }
+
   lazy val all: Seq[QueryDef] =
     Seq(d01Exact, d02NgramJaccard, d03MinHashLsh, d04SimHash, d05EmbeddingNearDup,
       d06EmbeddingLsh, d07DedupKeeper, d08NgramStopList, d09MinHashStopList,
       d10SimHashStopList, d11IncrementalDedup, d12KeeperStarDeep, d13SemanticDedup,
-      d14SpanDedup, d15FuzzyJoin, d16IncrementalNearDup)
+      d14SpanDedup, d15FuzzyJoin, d16IncrementalNearDup, d17NearDupIndexed)
 }

@@ -537,17 +537,20 @@ object StreamQueries {
     * machinery against the PERSISTED history index — batch shingles +
     * signatures (map-only), a batch-bands ⋈ index band equi-join, exact
     * Jaccard verify, then a left-anti of the batch against its verified
-    * matches; survivors append to the sink. The history side is built once
-    * per drain (in production it IS the stored dedup index — no
-    * per-micro-batch cost), and there is NO stream state at all: the
-    * "state" is the static index, so nothing grows with stream length. */
+    * matches; survivors append to the sink. The history side arrives
+    * PREBUILT: q57 reloads the stored bucketed index
+    * ([[graft.operators.Dedup.nearDupStoredIndex]] — round-11 verdict #5:
+    * the index is now actually written once and read back, so every
+    * micro-batch pays batch-side cost only), the machinery probe passes
+    * an inline 1-row side. There is NO stream state at all: the "state"
+    * is the static index, so nothing grows with stream length. */
   private def drainNearDupGate(
       s: SparkSession, stagedPath: String,
-      hist: DataFrame, bp: graft.operators.Dedup.BandParams): DataFrame = {
+      h: graft.operators.Dedup.NearDupSide,
+      bp: graft.operators.Dedup.BandParams): DataFrame = {
     import graft.operators.Dedup
     val run = runDir("graft_q57_run")
     requireSingleBatchStaging(stagedPath, "q57")
-    val h = Dedup.nearDupPipeline(hist, bp)
     val schema = s.read.parquet(stagedPath).schema
     val stream = s.readStream.schema(schema).parquet(stagedPath)
     val q = stream.writeStream
@@ -595,10 +598,9 @@ object StreamQueries {
        |  ON i.doc_id = v.in_id
        |WHERE v.in_id IS NULL""".stripMargin) { (s, d) =>
     import graft.operators.Dedup
-    val hist = Tables.documents(s, d)
-      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
-    drainNearDupGate(s, ensureStagedTwins(s, d), hist,
-      Dedup.bandParamsFor(Dedup.corpusDocsFor(s, d)))
+    val bp = Dedup.bandParamsFor(Dedup.corpusDocsFor(s, d))
+    drainNearDupGate(s, ensureStagedTwins(s, d),
+      Dedup.nearDupStoredIndex(s, d, bp), bp)
   }
 
   /** Bench-only machinery calibration for q57: the identical gate drain
@@ -607,6 +609,7 @@ object StreamQueries {
   val q57MachineryProbe: (SparkSession, String) => DataFrame =
     (s, d) => {
       import s.implicits._
+      val bp = graft.operators.Dedup.bandParamsFor(1L)
       val hist = Seq((1L, "zulu yankee xray whiskey victor uniform tango sierra"))
         .toDF("doc_id", "t")
       drainNearDupGate(s,
@@ -616,7 +619,7 @@ object StreamQueries {
             .toDF("doc_id", "t", "ts")
             .coalesce(1).write.mode("overwrite").parquet(p)
         }),
-        hist, graft.operators.Dedup.bandParamsFor(1L))
+        graft.operators.Dedup.nearDupPipeline(hist, bp), bp)
     }
 
   val all: Seq[QueryDef] = Seq(q44WindowedStreaming, q46WindowedAppendSink,

@@ -78,6 +78,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d17 reads the persisted history index — no history recompute in the plan") {
+    import graft.operators.Dedup
+    // first call builds the bucketed index tables (idempotent per dir+bp)
+    val d17 = Dedup.d17NearDupIndexed.fn(spark, sf)
+    val plan = planOf(d17)
+    // the history side must be the STORED bucketed tables...
+    assert(plan.contains("graft_ndidx_bands"), "band index table not scanned")
+    assert(plan.contains("graft_ndidx_sh"), "shingle index table not scanned")
+    // ...and history shingle/signature recompute must be GONE: d16's plan
+    // reads documents.parquet for history AND batch, d17's only for the
+    // batch side. Count the raw-source scans in each.
+    def docScans(p: String): Int =
+      "documents\\.parquet".r.findAllIn(p).length
+    val d16Plan = planOf(Dedup.d16IncrementalNearDup.fn(spark, sf))
+    assert(docScans(plan) > 0, "batch side must still read the raw table")
+    assert(docScans(plan) < docScans(d16Plan),
+      s"d17 scans documents.parquet ${docScans(plan)}x vs d16 ${docScans(d16Plan)}x — history not offloaded")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("s05 IVF assignment is a pure projection — no shuffle below the candidate join") {
     import graft.operators.Similarity
     val plan = planOf(Similarity.s05IvfSearch.fn(spark, sf))

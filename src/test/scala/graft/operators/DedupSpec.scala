@@ -397,6 +397,15 @@ class DedupSpec extends SparkSpec {
     } finally graft.operators.Reconcile.deleteRecursively(dir)
   }
 
+  test("d17 stored-index variant returns exactly d16's rows") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(q: graft.queries.QueryDef) =
+      q.fn(spark, sf).collect().map(_.toSeq).toSet
+    // the persisted index holds nearDupPipeline's output verbatim, so the
+    // indexed plan must be result-indistinguishable from the inline one
+    assert(rows(Dedup.d17NearDupIndexed) == rows(Dedup.d16IncrementalNearDup))
+  }
+
   test("d15 fuzzy join: near-identical prefixes pair up, distant prefixes stay apart") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_d15_fix").toString

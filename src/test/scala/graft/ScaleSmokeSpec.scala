@@ -52,6 +52,28 @@ class ScaleSmokeSpec extends SparkSpec {
       "a raw-ratio regression must NOT be waived")
     // no raw observation (floor machinery absent) — never waived
     assert(!ScaleSmoke.streamingViolationWaived(-1.0))
+    // ADVICE r11 #3: the waiver also demands the floored scale-side data
+    // time stay inside its absolute envelope — a several-fold data-time
+    // regression can keep the raw ratio under 2.0 indefinitely in the
+    // floor-dominated regime, and must NOT ride the waiver
+    assert(ScaleSmoke.streamingWaiverAllows(1.59, 1.2))
+    assert(!ScaleSmoke.streamingWaiverAllows(1.59, 6.0),
+      "a floored scale-side regression must NOT be waived")
+  }
+
+  test("x100 absolute scale-side bounds: real growth fails, base-side spread downgrades") {
+    // ADVICE r11 #2, the MinHash family: the scale side is the stable
+    // statistic, so (a) exceeding the recorded absolute bound is a
+    // violation even when a deflated base keeps the ratio green...
+    assert(ScaleSmoke.absScale100Violation("d07_dedup_keeper", 120.0, 100).nonEmpty)
+    assert(ScaleSmoke.absScale100Violation("d07_dedup_keeper", 60.0, 100).isEmpty)
+    // ...(b) a RATIO violation with the scale side inside the envelope is
+    // a base-side artifact and downgrades to a recorded suspect...
+    assert(ScaleSmoke.absScale100Downgrades("d03_dedup_minhash", 25.0, 100))
+    assert(!ScaleSmoke.absScale100Downgrades("d03_dedup_minhash", 40.0, 100))
+    // ...(c) neither applies outside x100 or to unrecorded queries
+    assert(ScaleSmoke.absScale100Violation("d07_dedup_keeper", 120.0, 10).isEmpty)
+    assert(!ScaleSmoke.absScale100Downgrades("q22_kernel_full", 1.0, 100))
   }
 
   test("gate retry absorbs a transient burst but cannot mask a real regression") {

@@ -195,7 +195,17 @@ object ScaleSmoke {
     // 101/109 — mildly warm) and 3.61 (34/38 — quiet); record the larger
     // (the q48 convention). Its cost class is d03's: the same corpus-scaled
     // signature build runs over history + batch.
-    "d16_incremental_neardup" -> 5.353)
+    "d16_incremental_neardup" -> 5.353,
+    // round-12 newcomers, ratcheted from their first quiet gate run
+    // (steal/foreign 35/86 and 10/0): d15's posting-list cap keeps its
+    // scale side nearly flat (13.4 s over a 9.0 s base — the Levenshtein
+    // verify is candidate-bounded, and fuzzy_occupancy reads 151 → 80);
+    // d17's ratio is HIGHER than d15's because its base is tiny (1.06 s —
+    // the batch-side-only shape), not because scale work grew: its scale
+    // side (3.73 s) runs 33% under d16's (5.55 s), the removed history
+    // rebuild.
+    "d15_fuzzy_join" -> 1.485,
+    "d17_neardup_indexed" -> 3.522)
 
   /** Ratcheted ×100 ratio bounds (round-10 verdict #6): until now the ×100
     * demonstration ran under the flat blanket `1.2 × copies` = 120, which

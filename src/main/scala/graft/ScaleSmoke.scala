@@ -257,7 +257,18 @@ object ScaleSmoke {
     "d13_semantic_dedup" -> 9.058,
     // d16's first two quiet ×100 runs: 19.28 / 19.06 (scale side 18.3 /
     // 19.4 s — the history+batch signature build is d03's cost class ×2)
-    "d16_incremental_neardup" -> 19.283)
+    "d16_incremental_neardup" -> 19.283,
+    // round-12 newcomer ratchets (round-11 verdict #3), max of the two
+    // same-HEAD committed artifacts (4g/16g). d14's pair (34.5/30.4)
+    // carries ×100 gate-JVM context — its isolated fresh-JVM probe the
+    // same hour read scale 30.4 s / ratio 17.97, byte-consistent with
+    // r11's quiet 31.6 s (ROUND12_NOTES.md) — so the recorded value
+    // bounds the CONTEXTUAL reading the artifact actually produces, and
+    // the absolute-scale evidence lives in the notes.
+    "d14_span_dedup" -> 34.541,
+    "q53_merge_apply" -> 8.378, // r11's 4g reading still the max observed
+    "d15_fuzzy_join" -> 19.527,
+    "d17_neardup_indexed" -> 12.871)
 
   /** Gate entries excluded from the ×100 demonstration BY DESIGN, with the
     * reason recorded in the artifact (round-10 verdict #8 — an artifact

@@ -120,7 +120,14 @@ object ScaleSmoke {
     // bounds candidate mass in principle, and this entry (plus the
     // fuzzy_occupancy gauge) makes that a measured claim. Cost class:
     // gram-index equi-join + candidate-bounded exact Levenshtein.
-    "d15_fuzzy_join")
+    "d15_fuzzy_join",
+    // round-13 (round-12 verdict #7): BPE pair-merge training — the one
+    // iterative vocab-scale shape in the catalog: one corpus shuffle to
+    // the word-frequency histogram, then 8 rounds of vocab-sized pair
+    // aggs each ending in a 1-row driver fetch. The gate claim: per-round
+    // cost rides the VOCAB (which the disjoint-copy data grows ×Copies),
+    // and the 8-round loop adds no super-linear lineage/driver cost.
+    "t24_bpe_train")
 
   /** Scale factor of the generated dataset. Default ×10; set
     * SPARK_GRAFT_SCALE_COPIES=100 for the heavyweight ×100 demonstration
@@ -258,14 +265,18 @@ object ScaleSmoke {
     // d16's first two quiet ×100 runs: 19.28 / 19.06 (scale side 18.3 /
     // 19.4 s — the history+batch signature build is d03's cost class ×2)
     "d16_incremental_neardup" -> 19.283,
-    // round-12 newcomer ratchets (round-11 verdict #3), max of the two
-    // same-HEAD committed artifacts (4g/16g). d14's pair (34.5/30.4)
-    // carries ×100 gate-JVM context — its isolated fresh-JVM probe the
-    // same hour read scale 30.4 s / ratio 17.97, byte-consistent with
-    // r11's quiet 31.6 s (ROUND12_NOTES.md) — so the recorded value
-    // bounds the CONTEXTUAL reading the artifact actually produces, and
-    // the absolute-scale evidence lives in the notes.
-    "d14_span_dedup" -> 34.541,
+    // round-13 re-derivation (round-12 verdict #1): the r12 value (34.541)
+    // was the max of an artifact pair whose d14 windows carried logged
+    // foreign bursts (c01/d09 at 6k/9.5k ticks — scale side read
+    // 70.3/62.6 s) while the same-HEAD same-hour ISOLATED fresh-JVM probe
+    // read scale 30.4 s / ratio 17.97, byte-consistent with r11's quiet
+    // 31.6 s. Ratchet protocol, formalized: when a query's artifact-pair
+    // windows are contamination-logged (nonzero foreign_ticks warnings),
+    // the ratchet derives from the quiet isolated probe, not the noisy
+    // artifact max — the gate's own downgrade machinery absorbs the
+    // contextual spread at run time; the bound must encode the quiet
+    // number or a real ~2.9× regression passes silently.
+    "d14_span_dedup" -> 17.97,
     "q53_merge_apply" -> 8.378, // r11's 4g reading still the max observed
     "d15_fuzzy_join" -> 19.527,
     "d17_neardup_indexed" -> 12.871)
@@ -367,11 +378,33 @@ object ScaleSmoke {
       }
     else None
 
+  /** Quiet ×100 BASE-side envelopes (seconds) for the same family — the
+    * MINIMUM committed quiet base reading per query across the two
+    * same-HEAD ×100 artifacts (4g/16g, both min-of-3). The downgrade's
+    * premise is "the ratio blew up because the base DEFLATED", so the
+    * premise must be checked, not assumed (ADVICE r12: without this, a
+    * genuine ≤1.5× scale-side regression rode the downgrade forever,
+    * loosening the tight ratio ratchet to an effective 1.5× bound):
+    * t_base below this envelope IS a deflated base; t_base at or above it
+    * means the ratio violation came from the scale side and stays fatal.
+    * One-way like every recorded bound. */
+  private val QuietBase100Sec: Map[String, Double] = Map(
+    "d03_dedup_minhash" -> 1.192, // 4g 1.192 / 16g 1.327
+    "d07_dedup_keeper" -> 4.240, // 4.240 / 7.349
+    "c01_corpus_clean" -> 4.236, // 5.609 / 4.236
+    "d09_dedup_minhash_stoplist" -> 1.953, // 3.137 / 1.953
+    "d16_incremental_neardup" -> 1.068) // 1.068 / 1.069
+
   /** True when a ×100 RATIO violation for `name` should downgrade to a
-    * recorded suspect because the scale side is inside its absolute
-    * envelope (base-side page-cache spread, not a scale regression). */
-  def absScale100Downgrades(name: String, tScale: Double, copies: Int): Boolean =
-    copies == 100 && AbsoluteScale100Sec.get(name).exists(tScale <= _)
+    * recorded suspect: the scale side is inside its absolute envelope AND
+    * the base side is genuinely deflated (below its quiet minimum) —
+    * base-side page-cache spread, not a scale regression. Both statistics
+    * are required (ADVICE r12): a ratio violation with a NORMAL base and
+    * an in-envelope scale side is a real ≤1.5× scale regression and fails. */
+  def absScale100Downgrades(
+      name: String, tScale: Double, tBase: Double, copies: Int): Boolean =
+    copies == 100 && AbsoluteScale100Sec.get(name).exists(tScale <= _) &&
+      QuietBase100Sec.get(name).exists(tBase < _)
 
   /** Bounded retry-on-violation for one gate query (the ScaleSmoke twin of
     * Bench's steal-reactive retry, round-7 verdict item #1): while the
@@ -609,6 +642,15 @@ object ScaleSmoke {
        |  overwrite) at base and ×$Copies: `e1_write_month_{t_base,t_scale,
        |  ratio,rerun_diff_rows}`; a second identical write must diff 0 rows
        |  (idempotency at scale).
+       |- `index_build` — `d17_index_build_{base,scale}_sec` and
+       |  `d17_index_build_ratio`: d17's one-time persisted-index build,
+       |  forced from scratch per side and timed as its OWN gated entry
+       |  (round-12 verdict #2 — the warm-run approach hid build
+       |  regressions). The build writes the history band/shingle tables
+       |  as bucketed EXTERNAL tables with a spec file (schema DDL +
+       |  source fingerprint), so a fresh JVM RE-REGISTERS over the
+       |  existing files instead of rebuilding — build-once across
+       |  processes, not per process.
        |- `foreign_ticks` — CPU ticks burned by OTHER processes on the box
        |  during each query's measurements (host busy minus this process's
        |  own utime+stime; the steal counter only sees the hypervisor).
@@ -692,9 +734,23 @@ object ScaleSmoke {
        |1.5× while the scale sides are stable, so (a) `t_scale` above the
        |recorded absolute bound (worst committed quiet reading × 1.5) is a
        |violation even when a deflated base keeps the ratio green, and (b)
-       |a RATIO violation with `t_scale` inside the bound downgrades to a
-       |recorded `<q>_ratio_suspect` marker — base-side spread, not a scale
-       |regression — so the ratio ratchets stay tight.
+       |a RATIO violation downgrades to a recorded suspect ONLY when two
+       |statistics agree it is base-side spread (ADVICE r12): `t_scale`
+       |inside its absolute bound AND `t_base` BELOW its recorded quiet
+       |minimum (a deflated base — the downgrade's premise, now checked
+       |rather than assumed). Downgraded batch queries are published under
+       |the artifact's own `ratio_suspects` key (streaming waivers keep
+       |their `<q>_ratio_suspect` markers inside `streaming_floor`).
+       |
+       |Ratchet derivation protocol (round-12 verdict #1): a newcomer's
+       |ratchet is the max of the two same-HEAD committed artifacts —
+       |UNLESS the query's artifact windows are contamination-logged
+       |(foreign-tick warnings in the run log), in which case the ratchet
+       |derives from a quiet ISOLATED fresh-JVM probe
+       |(`SPARK_GRAFT_SCALE_ONLY=<q>`) instead: the bound must encode the
+       |quiet number (d14's contaminated pair read 70/63 s where the
+       |isolated probe read 30.4 s — a ratchet from the noisy max would
+       |pass a real ~2.9× regression).
        |
        |`excluded_by_design` (round-10 verdict #8) records the entries the
        |×100 artifact deliberately omits — the d02 brute-force foil
@@ -1031,6 +1087,15 @@ object ScaleSmoke {
     val streamingProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
       "q48_sessionize_append_sink" -> graft.streaming.StreamQueries.q48MachineryProbe)
     var streamingFloors = Vector.empty[(String, Double)]
+    // non-streaming ratio violations downgraded by the ×100 two-statistic
+    // rule (deflated base + in-envelope scale side) — published under
+    // their own artifact key, `ratio_suspects`, so artifact readers that
+    // parse sections by meaning don't find batch queries filed under
+    // `streaming_floor` (ADVICE r12)
+    var ratioSuspects = Vector.empty[(String, Double)]
+    // d17's forced from-scratch index build per side (its own gated
+    // timing entry — round-12 verdict #2), published as `index_build`
+    var indexBuildRows = Vector.empty[(String, Double)]
     // foreign-load accounting per gate query (ladder investigation): CPU
     // burned by OTHER processes during this query's measurements. A
     // foreign-hot measurement is contaminated — the convoy it induces in
@@ -1074,14 +1139,37 @@ object ScaleSmoke {
         if (floor > 0 && t < rawMin(side)) rawMin(side) = t
         (math.max(t - floor, 0.001), s)
       }
+      // d17's one-time index build is a GATED TIMING ENTRY of its own
+      // (round-12 verdict #2 — warming it untimed made a build regression
+      // invisible): force a from-scratch build per side, record both
+      // times and gate their ratio like any other entry. The d17 timed
+      // runs below then measure the read-back shape against the fresh
+      // index, exactly as before.
+      if (name == "d17_neardup_indexed") {
+        try {
+          val (mb, sb) = graft.operators.Dedup.ensureNearDupIndex(spark, base, force = true)
+          val (ms, ss) = graft.operators.Dedup.ensureNearDupIndex(spark, dir, force = true)
+          if (mb != "built" || ms != "built")
+            violations :+= s"d17_index_build: forced build did not build (base=$mb, scale=$ms)"
+          else {
+            val br = ss / math.max(sb, 0.001)
+            System.err.println(f"[scale] d17 index build: base $sb%.2fs scale $ss%.2fs ratio $br%.2f")
+            indexBuildRows ++= Seq("d17_index_build_base_sec" -> sb,
+              "d17_index_build_scale_sec" -> ss, "d17_index_build_ratio" -> br)
+            violations ++= ratioViolation("d17_index_build", br)
+          }
+        } catch { case e: Throwable =>
+          violations :+= s"d17_index_build: ${e.getClass.getSimpleName}: ${e.getMessage}"
+        }
+      }
       // untimed warm run first: the first execution of a query absorbs its
       // codegen + scan init, which would inflate t_base and understate the
       // ratio (observed: q22 cold 16s vs warm 8s at sf0.1)
       try runNoop(fn(spark, base))
       catch { case e: Throwable => System.err.println(s"[scale] warm $name: $e") }
-      // d17 builds its persisted index once per (JVM, dir) — warm the
-      // SCALE side too, or its first timed scale run times the index
-      // build instead of the read-back shape the entry gates
+      // d17 reads the index on BOTH sides — warm the scale side too, so
+      // its first timed scale run measures the read-back shape, not scan
+      // init against the just-built index
       if (name == "d17_neardup_indexed")
         try runNoop(fn(spark, dir))
         catch { case e: Throwable => System.err.println(s"[scale] warm-scale $name: $e") }
@@ -1156,15 +1244,19 @@ object ScaleSmoke {
             f"(raw ratio $rawRatio%.2f ≤ $StreamingRawRatioBound, " +
             f"t_scale $t10%.2f ≤ $StreamingWaiverAbsScaleSec%.1f) — $v")
           streamingFloors :+= (s"${name}_ratio_suspect" -> ratio)
-        case Some(v) if absScale100Downgrades(name, t10, Copies) =>
+        case Some(v) if absScale100Downgrades(name, t10, t1, Copies) =>
           // generalized two-statistic rule for the MinHash family at ×100
-          // (ADVICE r11 #2): the ratio blew its bound but the scale side
-          // is inside its recorded absolute envelope — a base-side
-          // page-cache artifact, not a scale regression. Recorded, not
-          // fatal; absScale100Violation below still fails real growth.
+          // (ADVICE r11 #2, hardened r13 per ADVICE r12): the ratio blew
+          // its bound but the scale side is inside its recorded absolute
+          // envelope AND the base side is below its quiet minimum — a
+          // base-side page-cache artifact, not a scale regression.
+          // Recorded under `ratio_suspects` (its own artifact key — these
+          // are batch queries, not streaming-floor entries), not fatal;
+          // absScale100Violation below still fails real scale growth.
           System.err.println(s"[scale] $name: ratio violation downgraded " +
-            f"(t_scale $t10%.1f s inside the absolute x100 bound) — $v")
-          streamingFloors :+= (s"${name}_ratio_suspect" -> ratio)
+            f"(t_scale $t10%.1f s inside the absolute x100 bound, " +
+            f"t_base $t1%.2f s below its quiet envelope) — $v")
+          ratioSuspects :+= (name -> ratio)
         case Some(v) => violations :+= v
         case None => ()
       }
@@ -1343,7 +1435,10 @@ object ScaleSmoke {
         s""""t_base_sec":${fmt(rows.map(r => r._1 -> r._2))},""" +
         s""""t_scale_sec":${fmt(rows.map(r => r._1 -> r._3))},""" +
         s""""ratio":${fmt(rows.map(r => r._1 -> r._4))},""" +
-        s""""ratio_bound":${fmt(gateSet.map(n => n -> boundFor(n)) :+ ("e1_write_month" -> boundFor("e1_write_month")))},""" +
+        s""""ratio_bound":${fmt(gateSet.map(n => n -> boundFor(n)) ++
+          (if (gateSet.contains("d17_neardup_indexed"))
+            Seq("d17_index_build" -> boundFor("d17_index_build")) else Nil) :+
+          ("e1_write_month" -> boundFor("e1_write_month")))},""" +
         s""""steal_ticks":${rows.map(r => "\"" + r._1 + "\":" + r._5).mkString("{", ",", "}")},""" +
         s""""foreign_ticks":${gateSet.map(n => "\"" + n + "\":" + foreignByQuery.getOrElse(n, -1L)).mkString("{", ",", "}")},""" +
         s""""retries":${rows.map(r => "\"" + r._1 + "\":" + r._6).mkString("{", ",", "}")},""" +
@@ -1353,6 +1448,8 @@ object ScaleSmoke {
         s""""fuzzy_occupancy":${fmt(fuzzyOccRows)},""" +
         s""""ivf_recall":${fmt(ivfRecallRows)},""" +
         s""""streaming_floor":${fmt(streamingFloors)},""" +
+        s""""ratio_suspects":${fmt(ratioSuspects)},""" +
+        s""""index_build":${fmt(indexBuildRows)},""" +
         (if (Copies > 10)
           s""""excluded_by_design":${ExcludedPast10x.toSeq.sorted
             .map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }

@@ -149,7 +149,46 @@ object Dedup {
     * corpus size). */
   private[graft] def corpusDocsFor(s: SparkSession, d: String): Long =
     docsCache.computeIfAbsent(d, _ => corpus(s, d).count())
-  private[graft] def invalidateParamCaches(d: String): Unit = docsCache.remove(d)
+
+  /** Testing seam: refresh only the cached corpus count for `d`, leaving
+    * persisted index state untouched — the fingerprint-staleness spec
+    * needs a stale index on disk to prove [[nearDupStoredIndex]] detects
+    * it (the full [[invalidateParamCaches]] would delete it first). */
+  private[graft] def invalidateDocsCountOnly(d: String): Unit = docsCache.remove(d)
+
+  /** Drop every per-path parameter cache AND the persisted near-dup index
+    * state derived from `d` (ADVICE r12: the docsCache fix alone left the
+    * d17/q57 history index serving stale rows after an in-JVM corpus
+    * rebuild under the same path — the exact staleness class the hook
+    * exists for). Index invalidation covers both layers a rebuilt corpus
+    * can leak through: catalog entries created in THIS JVM (any band
+    * params — matched by key prefix) and warehouse directories left by
+    * ANY previous JVM (restart-reuse means files outlive catalogs). */
+  private[graft] def invalidateParamCaches(d: String): Unit = {
+    docsCache.remove(d)
+    val dkey = pathKey(d)
+    val prefixes = Seq(s"graft_ndidx_bands_${dkey}_", s"graft_ndidx_sh_${dkey}_")
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach { s =>
+      try {
+        s.catalog.listTables().collect().map(_.name)
+          .filter(n => prefixes.exists(n.startsWith))
+          .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+        val wh = java.nio.file.Paths.get(warehouseDir(s))
+        if (java.nio.file.Files.isDirectory(wh)) {
+          val ls = java.nio.file.Files.list(wh)
+          try {
+            val it = ls.iterator()
+            while (it.hasNext) {
+              val p = it.next()
+              if (prefixes.exists(p.getFileName.toString.startsWith))
+                try Reconcile.deleteRecursively(p.toString)
+                catch { case _: Exception => () }
+            }
+          } finally ls.close()
+        }
+      } catch { case _: Exception => () }
+    }
+  }
 
   /** Corpus-scaled LSH banding (the third member of the fixed-parameter
     * class, after s02's planes and the IVF family's cells): with FIXED
@@ -929,15 +968,6 @@ object Dedup {
       when(col("node") === col("cluster"), 1L).otherwise(0L).as("is_keeper"))
   }
 
-  /** Candidate-pair mass of the d02 inverted-index join vs d08's
-    * stop-listed variant, computed WITHOUT running either join: a shingle
-    * hash with document frequency df contributes C(df,2) candidate pairs
-    * to the index self-join, so the totals are one groupBy over the
-    * exploded index. This is the number that explodes quadratically on a
-    * mutually-duplicated corpus (every copy shares every shingle) and the
-    * number [[MaxShingleDf]]'s cutoff bounds — the ScaleSmoke adversarial
-    * gate records both and asserts the stop-listed path stays linear in
-    * the doc count. Returns (naivePairs, stopListedPairs, corpusDocs). */
   /** Naive vs stop-listed span-window pair mass (Σ_wh df·(df−1)/2) — the
     * [[candidatePairStats]] pattern at d14's span granularity (round-11
     * verdict #6): the mass any pair-join consumer of the window index
@@ -960,6 +990,15 @@ object Dedup {
     (r.getLong(0), r.getLong(1), corpusDocsFor(s, d))
   }
 
+  /** Candidate-pair mass of the d02 inverted-index join vs d08's
+    * stop-listed variant, computed WITHOUT running either join: a shingle
+    * hash with document frequency df contributes C(df,2) candidate pairs
+    * to the index self-join, so the totals are one groupBy over the
+    * exploded index. This is the number that explodes quadratically on a
+    * mutually-duplicated corpus (every copy shares every shingle) and the
+    * number [[MaxShingleDf]]'s cutoff bounds — the ScaleSmoke adversarial
+    * gate records both and asserts the stop-listed path stays linear in
+    * the doc count. Returns (naivePairs, stopListedPairs, corpusDocs). */
   private[graft] def candidatePairStats(s: SparkSession, d: String): (Long, Long, Long) = {
     val dfreq = shingled(s, d)
       .select(col("doc_id"),
@@ -1397,6 +1436,49 @@ object Dedup {
     NearDupSide(sh, bands, Seq(sh, sig))
   }
 
+  private def pathKey(d: String): String =
+    d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
+  private def warehouseDir(s: SparkSession): String =
+    s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+  private val NdidxBuckets = 32
+  private val NdidxSpecFile = "_GRAFT_NDIDX_SPEC"
+
+  /** Fingerprint of the source corpus the index was built from: sorted
+    * (name, size, mtime) of the parquet files under `d`/documents.parquet,
+    * hashed. Pure filesystem metadata — no data scan. Recorded in the
+    * index's spec file at build time and re-checked at restart-reuse time,
+    * so a corpus regenerated BETWEEN JVMs (the cross-process twin of the
+    * [[invalidateParamCaches]] staleness class) forces a rebuild instead
+    * of silently serving stale history. */
+  private def sourceFingerprint(d: String): String = {
+    val root = java.nio.file.Paths.get(d, "documents.parquet")
+    if (!java.nio.file.Files.isDirectory(root)) return "absent"
+    val ls = java.nio.file.Files.list(root)
+    val entries = try {
+      val b = Seq.newBuilder[String]
+      val it = ls.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        b += s"${p.getFileName}:${java.nio.file.Files.size(p)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}"
+      }
+      b.result().sorted
+    } finally ls.close()
+    java.lang.Long.toHexString(entries.mkString("\n").hashCode.toLong & 0xffffffffL)
+  }
+
+  /** What the last [[nearDupStoredIndex]] call did per directory, and how
+    * long a "built" call spent: "cached" (catalog hit — free),
+    * "reregistered" (fresh catalog, valid warehouse files re-declared over
+    * their location WITHOUT touching documents), or "built" (full history
+    * pipeline + bucketed write). The gate reads these to time the build as
+    * its own entry (round-12 verdict #2: an untimed warm run hid build
+    * regressions) and the restart-reuse spec pins "reregistered". */
+  private[graft] val indexBuildMode =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val indexBuildSec =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
   /** Build-once PERSISTED history index for the incremental near-dup
     * family (round-11 verdict #5 — the 100 TB story said the index IS
     * stored, but every d16/q57 run rebuilt history shingles + signatures
@@ -1404,39 +1486,94 @@ object Dedup {
     * by `band` (the candidate join's key — the history side of that join
     * pays NO exchange on re-read) and its shingle sets in one keyed by
     * `doc_id` (the Jaccard verify's key), both via
-    * [[graft.pipeline.Bucketing.writeBucketed]]. Idempotent per
-    * (directory, band params): the catalog check makes every run after
-    * the first — and every micro-batch of a q57 drain — pay batch-side
-    * cost only. The stored rows are EXACTLY [[nearDupPipeline]]'s output,
-    * so d17/q57 results match d16's oracle verbatim. */
+    * [[graft.pipeline.Bucketing.writeBucketed]] as EXTERNAL tables under
+    * the warehouse dir. Idempotent per (directory, band params) AND per
+    * process (round-12 verdict #2 — "build once" must survive a JVM
+    * restart, not convert into "build per process"): when the in-memory
+    * catalog lacks the tables but the warehouse holds a completed build —
+    * a spec file carrying each table's schema DDL + a source fingerprint
+    * that still matches `d` — the tables are RE-DECLARED over their
+    * existing files (CREATE TABLE ... CLUSTERED BY ... LOCATION: catalog
+    * metadata only, zero data touched, the bucket spec rides along), the
+    * move a production metastore makes implicit. Only a missing/stale
+    * build pays the history pipeline. The stored rows are EXACTLY
+    * [[nearDupPipeline]]'s output, so d17/q57 match d16's oracle verbatim. */
   private[graft] def nearDupStoredIndex(
       s: SparkSession, d: String, bp: BandParams): NearDupSide = {
-    val key = d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_") +
-      s"_r${bp.bandSize}b${bp.nBands}"
+    val key = pathKey(d) + s"_r${bp.bandSize}b${bp.nBands}"
     val bandsT = s"graft_ndidx_bands_$key"
     val shT = s"graft_ndidx_sh_$key"
-    if (!s.catalog.tableExists(bandsT) || !s.catalog.tableExists(shT)) {
-      // the in-memory catalog dies with the JVM but the warehouse files
-      // don't — a fresh JVM's CREATE fails on the stale location, so
-      // clear both (a production metastore would make the catalog check
-      // sufficient; rebuilding keeps this self-healing instead)
-      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      Seq(bandsT, shT).foreach { t =>
+    val wh = warehouseDir(s)
+    def loc(t: String) = s"$wh/$t"
+    def specPath(t: String) = java.nio.file.Paths.get(loc(t), NdidxSpecFile)
+    val fp = sourceFingerprint(d)
+    // (table, bucket keys) — bands bucketed on the candidate join's key,
+    // shingles on the Jaccard verify's
+    val tables = Seq(bandsT -> Seq("band"), shT -> Seq("doc_id"))
+    def reregister(): Boolean = tables.forall { case (t, keys) =>
+      s.catalog.tableExists(t) || {
+        val sp = specPath(t)
+        java.nio.file.Files.exists(sp) && {
+          val lines = java.nio.file.Files.readString(sp).split("\n", 2)
+          lines.length == 2 && lines(0) == fp && {
+            val cluster = keys.mkString(", ")
+            s.sql(s"""CREATE TABLE $t (${lines(1)}) USING parquet
+                     |CLUSTERED BY ($cluster) SORTED BY ($cluster)
+                     |INTO $NdidxBuckets BUCKETS
+                     |LOCATION '${loc(t)}'""".stripMargin)
+            true
+          }
+        }
+      }
+    }
+    if (tables.forall { case (t, _) => s.catalog.tableExists(t) }) {
+      indexBuildMode.put(d, "cached")
+    } else if (reregister()) {
+      indexBuildMode.put(d, "reregistered")
+    } else {
+      // no prior build (or a stale one): clear both layers and rebuild
+      val t0 = System.nanoTime()
+      tables.foreach { case (t, _) =>
         s.sql(s"DROP TABLE IF EXISTS $t")
-        try Reconcile.deleteRecursively(s"$wh/$t")
+        try Reconcile.deleteRecursively(loc(t))
         catch { case _: Exception => () }
       }
       val hist = Tables.documents(s, d)
         .select(col("doc_id"), lower(trim(col("text"))).as("t"))
       val side = nearDupPipeline(hist, bp)
-      graft.pipeline.Bucketing.writeBucketed(side.bands, bandsT, Seq("band"), 32)
-      graft.pipeline.Bucketing.writeBucketed(side.sh, shT, Seq("doc_id"), 32)
+      graft.pipeline.Bucketing.writeBucketed(
+        side.bands, bandsT, Seq("band"), NdidxBuckets, Some(loc(bandsT)))
+      graft.pipeline.Bucketing.writeBucketed(
+        side.sh, shT, Seq("doc_id"), NdidxBuckets, Some(loc(shT)))
+      // completion marker LAST: fingerprint + schema DDL per table — a
+      // crashed build leaves no spec file, so the next call rebuilds
+      Seq(bandsT -> side.bands, shT -> side.sh).foreach { case (t, df) =>
+        java.nio.file.Files.writeString(specPath(t), fp + "\n" + df.schema.toDDL)
+      }
       side.release()
+      indexBuildMode.put(d, "built")
+      indexBuildSec.put(d, (System.nanoTime() - t0) / 1e9)
     }
     NearDupSide(
       graft.pipeline.Bucketing.readBucketed(s, shT),
       graft.pipeline.Bucketing.readBucketed(s, bandsT),
       Nil)
+  }
+
+  /** Force-or-ensure the persisted index for `d` exists, returning what
+    * happened: ("built"|"reregistered"|"cached", build seconds — 0 unless
+    * built). With `force` the prior state is invalidated first, so the
+    * returned seconds time a FULL build — the gate's
+    * `d17_index_build` entry (round-12 verdict #2: the one-time build cost
+    * was warmed untimed, making a build regression invisible). */
+  private[graft] def ensureNearDupIndex(
+      s: SparkSession, d: String, force: Boolean = false): (String, Double) = {
+    if (force) invalidateParamCaches(d)
+    nearDupStoredIndex(s, d, bandParamsFor(corpusDocsFor(s, d)))
+    val mode = indexBuildMode.getOrDefault(d, "none")
+    (mode,
+      if (mode == "built") Option(indexBuildSec.get(d)).fold(0.0)(_.doubleValue())
+      else 0.0)
   }
 
   /** Band equi-join candidates + exact-Jaccard verification: every

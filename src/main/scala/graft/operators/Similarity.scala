@@ -319,16 +319,36 @@ object Similarity {
     * across a refinement plane with probability θ/π per bit, so at ×10
     * (bits=3) sampled recall read 0.21→0.08. The standard remedy is the
     * s04 pattern applied to the refinement bits: each probe row expands to
-    * its own refined cell PLUS the `bits` one-bit-flip sub-buckets — all
-    * inside the SAME label cell, so the IVF semantics (search your
-    * cell(s)) are unchanged and the index side stays single-bucket.
-    * Candidate work per probe ≈ (bits+1)/2^bits of the label cell — still
-    * shrinking as the corpus grows. Identity at bits = 0: every oracle
-    * fixture keeps its pinned plan and result. */
+    * its own refined cell PLUS flip sub-buckets — all inside the SAME
+    * label cell, so the IVF semantics (search your cell(s)) are unchanged
+    * and the index side stays single-bucket.
+    *
+    * The flip RADIUS scales with the measured per-bit loss (round-12
+    * verdict #3): one-bit flips hold recall at its fixture level through
+    * bits = 3 (×10 read 0.20 ≈ base 0.21) but the miss probability
+    * compounds per bit — at bits = 6 (×100) a true neighbor crosses ≥ 2
+    * planes often enough that single-flip recall halved (0.108 vs 0.21).
+    * From [[TwoBitFlipMinBits]] the probe ring therefore widens to
+    * hamming radius 2 over the refinement bits: 1 + bits + C(bits,2)
+    * sub-buckets — at bits = 6 that is 22/64 of the label cell (~3× the
+    * single-flip candidate work, still shrinking as the corpus grows).
+    * Below the threshold nothing changes, so every oracle fixture
+    * (bits = 0) and the ×10 gate shape (bits = 3) keep their pinned plans,
+    * results and ratchets; only the ×100 regime pays for the recall it
+    * was measured to need. */
+  private val TwoBitFlipMinBits = 5
   private def refineMultiProbe(df: DataFrame, bits: Int): DataFrame =
     if (bits == 0) df
-    else df.withColumn("cellr", explode(array(
-      col("cellr") +: (0 until bits).map(j => col("cellr").bitwiseXOR(lit(1L << j))): _*)))
+    else {
+      val oneBit = (0 until bits).map(j => 1L << j)
+      val flips =
+        if (bits >= TwoBitFlipMinBits)
+          oneBit ++ (for (i <- 0 until bits; j <- i + 1 until bits)
+            yield (1L << i) | (1L << j))
+        else oneBit
+      df.withColumn("cellr", explode(array(
+        col("cellr") +: flips.map(m => col("cellr").bitwiseXOR(lit(m))): _*)))
+    }
 
   private[operators] def refinedCellCol(cell: Column, v: Column, bits: Int): Column =
     if (bits == 0) cell

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.queries.{QueryDef, Stable}
 import graft.tables.Tables
@@ -1013,10 +1014,124 @@ object TextAnalysis {
         Stable.r4(sum("wt").cast("double") / count(lit(1))).as("dsir_per_token"))
   }
 
+  // ---------- t24: BPE pair-merge TRAINING (greedy merge-table learner) ----------
+
+  /** Merge rounds to learn. A MODEL hyperparameter, not a data-scaling
+    * knob (production tokenizers train 30–50k merges; the loop below is
+    * linear in rounds either way) — what must scale with the corpus is
+    * the PER-ROUND cost, and it does: see the t24 scaladoc. */
+  private val BpeMergeRounds = 8
+
+  /** Training words as (wrapped symbol sequence, corpus frequency). The
+    * word-frequency pre-aggregation is the standard BPE trick: every
+    * merge decision depends only on the DISTINCT-word histogram, so the
+    * corpus collapses to a vocab-sized table before any iteration runs.
+    * Each symbol is wrapped `<sym>`; `[a-z]+`-only words make the
+    * sentinels collision-free, and a pair merge is then the plain string
+    * replace `<l><r>` → `<lr>`, which is left-to-right non-overlapping in
+    * BOTH engines — exactly greedy BPE merge semantics (a run `aaa` under
+    * merge (a,a) yields `(aa)a`, never overlapping pairs). */
+  private def bpeWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tk"))
+      .filter(col("tk").rlike("^[a-z]+$"))
+      .groupBy("tk").agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("tk"), "(.)", "<$1>").as("seq"), col("freq"))
+
+  /** Adjacent symbol pairs of a wrapped sequence, as (l, r) structs —
+    * every adjacent position counts (standard BPE pair statistics,
+    * overlapping runs included: `aaa` contributes (a,a) twice). */
+  private def bpePairs(seq: Column): Column = {
+    val syms = split(regexp_replace(seq, "^<|>$", ""), "><")
+    zip_with(
+      slice(syms, lit(1), size(syms) - 1),
+      slice(syms, lit(2), size(syms) - 1),
+      (a, b) => struct(a.as("l"), b.as("r")))
+  }
+
+  /** t24 — BPE pair-merge TRAINING (round-12 verdict #7: t05 estimates a
+    * token budget and t16 packs sequences, but nothing TRAINED the
+    * tokenizer): learn the first [[BpeMergeRounds]] greedy merges over
+    * the corpus vocabulary. Each round counts every adjacent symbol pair
+    * weighted by word frequency, picks the most frequent (ties: lowest
+    * (l, r) — deterministic in both engines), and rewrites the vocabulary
+    * with that merge applied. Output is the learned merge table:
+    * (round, lhs, rhs, merged, pair_count). Counts are exact int64 — the
+    * t13/t15 integer-quantization discipline (ranks ARE counts here, no
+    * floating point anywhere).
+    *
+    * 100 TB shape: ONE corpus-wide shuffle builds the word-frequency
+    * table (vocab-sized — millions of rows against billions of docs, with
+    * map-side partial counts doing almost all the work); every training
+    * round is then a vocab-sized pair explode + groupBy collapsing to the
+    * distinct-pair space (map-side combine again), and the winner is a
+    * 1-row driver fetch (the s03-centroid discipline: bounded metadata,
+    * never corpus data) folded into the next round's plan as a literal
+    * replace — no per-round corpus scan, no growing lineage on the big
+    * table. The DuckDB oracle unrolls the identical 8 rounds as CTEs. */
+  val t24BpeTrain = QueryDef(
+    "t24_bpe_train", {
+      val toks = tokensSql("text")
+      val rounds = (1 to BpeMergeRounds).map { k =>
+        val prev = s"w${k - 1}"
+        s"""p$k AS (
+           |  SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS cnt FROM (
+           |    SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
+           |                 i -> [syms[i], syms[i + 1]])) AS pr
+           |    FROM (SELECT freq, string_split(regexp_replace(seq, '^<|>$$', '', 'g'), '><') AS syms
+           |          FROM $prev))
+           |  GROUP BY l, r),
+           |m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+           |w$k AS (SELECT replace($prev.seq, '<' || m$k.l || '><' || m$k.r || '>',
+           |                       '<' || m$k.l || m$k.r || '>') AS seq, $prev.freq
+           |        FROM $prev, m$k)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to BpeMergeRounds).map { k =>
+        s"SELECT CAST($k AS INT) AS round, l AS lhs, r AS rhs, l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$k"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH w0 AS (
+         |  SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS seq, freq FROM (
+         |    SELECT tk AS word, count(*) AS freq
+         |    FROM (SELECT unnest($toks) AS tk FROM documents)
+         |    WHERE regexp_matches(tk, '^[a-z]+$$')
+         |    GROUP BY tk)),
+         |$rounds
+         |$out""".stripMargin
+    }) { (s, d) =>
+    val words0 = bpeWords(s, d).cache()
+    try {
+      var cur = words0
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      var exhausted = false
+      for (k <- 1 to BpeMergeRounds if !exhausted) {
+        val top = cur
+          .select(col("freq"), explode(bpePairs(col("seq"))).as("pr"))
+          .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+          .agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        // a corpus can run out of pairs before the round budget (every
+        // word a single symbol); the oracle's empty LIMIT-1 CTE likewise
+        // contributes no row from that round on — both engines emit the
+        // same truncated merge table
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((k, l, r, l + r, cnt))
+          cur = cur.select(
+            replace(col("seq"), lit(s"<$l><$r>"), lit(s"<$l$r>")).as("seq"),
+            col("freq"))
+        }
+      }
+      import s.implicits._
+      merges.result().toDF("round", "lhs", "rhs", "merged", "pair_count")
+    } finally words0.unpersist()
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01TokenCount, t02Quality, t03LangId, t04Fingerprint, t05BpeTokens,
       t06Mixture, t07Decontamination, t08ShardPlan, t09Repetition,
       t10MixtureSample, t11PiiScrub, t12StratifiedSample, t13TfIdf, t14Chunking,
       t15LmScore, t16PackSequences, t17SplitLeakage, t18Bm25, t19PaddingWaste,
-      t20Novelty, t21QualityClassifier, t22Blocklist, t23DsirWeights)
+      t20Novelty, t21QualityClassifier, t22Blocklist, t23DsirWeights, t24BpeTrain)
 }

@@ -67,13 +67,18 @@ class ScaleSmokeSpec extends SparkSpec {
     // violation even when a deflated base keeps the ratio green...
     assert(ScaleSmoke.absScale100Violation("d07_dedup_keeper", 120.0, 100).nonEmpty)
     assert(ScaleSmoke.absScale100Violation("d07_dedup_keeper", 60.0, 100).isEmpty)
-    // ...(b) a RATIO violation with the scale side inside the envelope is
-    // a base-side artifact and downgrades to a recorded suspect...
-    assert(ScaleSmoke.absScale100Downgrades("d03_dedup_minhash", 25.0, 100))
-    assert(!ScaleSmoke.absScale100Downgrades("d03_dedup_minhash", 40.0, 100))
+    // ...(b) a RATIO violation downgrades to a recorded suspect only when
+    // BOTH statistics say base-side spread (ADVICE r12): scale side inside
+    // its absolute envelope AND base below its quiet minimum (deflated)...
+    assert(ScaleSmoke.absScale100Downgrades("d03_dedup_minhash", 25.0, 0.7, 100))
+    assert(!ScaleSmoke.absScale100Downgrades("d03_dedup_minhash", 40.0, 0.7, 100),
+      "scale side above its envelope must not downgrade")
+    assert(!ScaleSmoke.absScale100Downgrades("d03_dedup_minhash", 25.0, 1.3, 100),
+      "a NORMAL base with an in-envelope scale side is a real <=1.5x scale " +
+        "regression and must stay fatal (ADVICE r12)")
     // ...(c) neither applies outside x100 or to unrecorded queries
     assert(ScaleSmoke.absScale100Violation("d07_dedup_keeper", 120.0, 10).isEmpty)
-    assert(!ScaleSmoke.absScale100Downgrades("q22_kernel_full", 1.0, 100))
+    assert(!ScaleSmoke.absScale100Downgrades("q22_kernel_full", 1.0, 0.1, 100))
   }
 
   test("gate retry absorbs a transient burst but cannot mask a real regression") {

@@ -406,6 +406,62 @@ class DedupSpec extends SparkSpec {
     assert(rows(Dedup.d17NearDupIndexed) == rows(Dedup.d16IncrementalNearDup))
   }
 
+  test("d17 index survives a catalog restart: re-registered from warehouse files, not rebuilt") {
+    val sf = "/root/testdata/sf0.001"
+    val d16 = Dedup.d16IncrementalNearDup.fn(spark, sf).collect().map(_.toSeq).toSet
+    // first build (or reuse of an earlier suite's)
+    Dedup.ensureNearDupIndex(spark, sf)
+    // simulate a fresh JVM: the in-memory catalog loses the tables but
+    // the EXTERNAL tables' warehouse files (and spec markers) remain —
+    // DROP TABLE on an external table deletes metadata only
+    val ndidx = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_ndidx_"))
+    assert(ndidx.length >= 2, s"expected the two index tables, saw: ${ndidx.toSeq}")
+    ndidx.foreach(t => spark.sql(s"DROP TABLE $t"))
+    val (mode, sec) = Dedup.ensureNearDupIndex(spark, sf)
+    // "reregistered" is the claim: catalog metadata re-declared over the
+    // existing files, documents.parquet NEVER rescanned (the build branch
+    // is the only path that reads it, and mode proves which branch ran)
+    assert(mode == "reregistered",
+      s"restart must reuse the persisted build, not pay history again (got $mode)")
+    assert(sec == 0.0, "re-registration must not report a build cost")
+    // and the re-registered index serves d17 byte-identically
+    assert(Dedup.d17NearDupIndexed.fn(spark, sf).collect().map(_.toSeq).toSet == d16)
+  }
+
+  test("d17 index invalidates on corpus change: stale fingerprint forces a rebuild") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_d17_fp").toString
+    def write(texts: Seq[(Long, String)]): Unit =
+      texts.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      write(Seq(1L -> ("alpha beta gamma delta " * 8), 2L -> ("omega psi chi phi " * 8)))
+      Dedup.invalidateParamCaches(dir)
+      val (m1, _) = Dedup.ensureNearDupIndex(spark, dir)
+      assert(m1 == "built")
+      // same JVM, same catalog: a second call is free
+      assert(Dedup.ensureNearDupIndex(spark, dir)._1 == "cached")
+      // corpus regenerated BETWEEN "JVMs": rewrite the parquet, drop the
+      // catalog entries (files + spec survive), re-ensure — the source
+      // fingerprint no longer matches, so serving the old files would be
+      // the stale-history bug; it must REBUILD
+      write(Seq(1L -> ("one two three four " * 8), 3L -> ("five six seven eight " * 8)))
+      Dedup.invalidateDocsCountOnly(dir)
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.contains("graft_ndidx")).filter(_.contains("graft_d17_fp"))
+        .foreach(t => spark.sql(s"DROP TABLE $t"))
+      val (m2, _) = Dedup.ensureNearDupIndex(spark, dir)
+      assert(m2 == "built",
+        s"a changed corpus fingerprint must force a rebuild, got $m2")
+    } finally {
+      Dedup.invalidateParamCaches(dir)
+      graft.operators.Reconcile.deleteRecursively(dir)
+    }
+  }
+
   test("d15 fuzzy join: near-identical prefixes pair up, distant prefixes stay apart") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_d15_fix").toString

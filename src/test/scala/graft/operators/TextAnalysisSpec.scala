@@ -122,6 +122,74 @@ class TextAnalysisSpec extends SparkSpec {
     } finally graft.operators.Reconcile.deleteRecursively(dir)
   }
 
+  test("t24 learns exactly the greedy BPE merge table (brute-force equality)") {
+    import spark.implicits._
+    // corpus chosen to exercise every semantic corner: overlapping runs
+    // ("aaaa" counts (a,a) three times but greedy-merges to TWO symbols),
+    // frequency weighting (repeated words), ties (broken by lowest (l,r)),
+    // and learned symbols winning later rounds
+    val docs = Seq(
+      (1L, "banana banana bandana aaaa"),
+      (2L, "cabana banana aaaa aaaa"),
+      (3L, "abab abab dada banana"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_t24_fix").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // independent reference implementation: greedy BPE over the weighted
+    // word histogram, symbols as vectors (no sentinel-string machinery)
+    def bruteBpe(words: Map[String, Long], rounds: Int): Seq[(Int, String, String, String, Long)] = {
+      var vocab: Map[Vector[String], Long] =
+        words.groupMapReduce { case (w, _) => w.map(_.toString).toVector }(_._2)(_ + _)
+      val out = Seq.newBuilder[(Int, String, String, String, Long)]
+      var k = 1
+      var done = false
+      while (k <= rounds && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- vocab; i <- 0 until syms.length - 1)
+          counts.updateWith((syms(i), syms(i + 1)))(c => Some(c.getOrElse(0L) + f))
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), cnt) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((k, l, r, l + r, cnt))
+          vocab = vocab.toSeq.map { case (syms, f) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) { b += l + r; i += 2 }
+              else { b += syms(i); i += 1 }
+            }
+            (b.result(), f)
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+          k += 1
+        }
+      }
+      out.result()
+    }
+    try {
+      val wordFreq = docs.flatMap(_._2.split("\\s+")).groupBy(identity)
+        .map { case (w, ws) => w -> ws.length.toLong }
+      val expected = bruteBpe(wordFreq, 8)
+      // non-vacuity: the fixture must exercise a multi-char learned symbol
+      // in a later round, or the "merged symbols participate" claim is
+      // untested
+      assert(expected.exists { case (_, l, r, _, _) => l.length > 1 || r.length > 1 },
+        s"fixture never merged a learned symbol: $expected")
+      val got = TextAnalysis.t24BpeTrain.fn(spark, dir)
+        .orderBy("round").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toSeq
+      assert(got == expected, s"\nspark: $got\nbrute: $expected")
+      // and on the real corpus: full round budget used, counts positive
+      // and non-increasing is NOT required (merges create new pairs), but
+      // every count is positive and rounds are 1..8
+      val real = TextAnalysis.t24BpeTrain.fn(spark, sf).collect()
+      assert(real.map(_.getInt(0)).sorted.toSeq == (1 to 8),
+        "real corpus must sustain all 8 merge rounds")
+      assert(real.forall(_.getLong(4) > 0))
+    } finally graft.operators.Reconcile.deleteRecursively(dir)
+  }
+
   test("t20: a verbatim re-crawl scores novelty 0, the original 1, a remix in between") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_t20_fix").toString

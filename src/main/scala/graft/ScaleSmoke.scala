@@ -212,7 +212,18 @@ object ScaleSmoke {
     // side (3.73 s) runs 33% under d16's (5.55 s), the removed history
     // rebuild.
     "d15_fuzzy_join" -> 1.485,
-    "d17_neardup_indexed" -> 3.522)
+    "d17_neardup_indexed" -> 3.522,
+    // round-13 newcomers, ratcheted from their first quiet gate run
+    // (steal/foreign 68/45 and n/a — the build is timed outside the
+    // steal window; host 13 ticks/10 s before the run): t24's per-round
+    // cost rides the vocab-sized histogram, so its ratio is nearly flat
+    // (1.565 s over a 1.464 s base — the 8 driver round-trips dominate
+    // both sides); d17's forced from-scratch index build reads 3.41 →
+    // 19.59 s — the history pipeline + bucketed write over a 10× corpus,
+    // ≈ d16's inline history cost plus the write, exactly the once-ever
+    // price the restart-reuse path amortizes.
+    "t24_bpe_train" -> 1.069,
+    "d17_index_build" -> 5.748)
 
   /** Ratcheted ×100 ratio bounds (round-10 verdict #6): until now the ×100
     * demonstration ran under the flat blanket `1.2 × copies` = 120, which

@@ -259,13 +259,15 @@ object ScaleSmoke {
     "q29_moving_agg" -> 7.442, "q40_rule_match_shuffle" -> 11.745,
     "q43_funnel" -> 7.332, "q47_rule_match_auto" -> 6.845,
     "q49_scd2_history" -> 11.33, "s02_ann_lsh" -> 6.179,
-    // s09 re-derived for the round-11 refinement-multi-probe shape (a
-    // DELIBERATE recall fix, not a regression: probes now search
-    // (bits+1)/2^bits of their label cell instead of 1/2^bits, which at
-    // ×100 bits=6 is 7× the candidate work and bought sampled recall
-    // 0.05→0.11/0.17; the old 4.601 was recorded against the
-    // single-sub-bucket shape the ivf_recall gauge rejected)
-    "s09_ivfpq_adc" -> 11.971, "t13_tfidf_topk" -> 12.46,
+    // s09 re-derived AGAIN round 13 for the radius-2 refinement
+    // multi-probe (round-12 verdict #3 — the second and final deliberate
+    // recall purchase: probes at bits ≥ 5 search (1+bits+C(bits,2))/2^bits
+    // of their label cell — 22/64 at ×100 — which bought sampled recall
+    // s05 0.108→0.178, s06 0.174→0.302 at a measured scale-side cost of
+    // 53.8→91.2 s). Quiet isolated fresh-JVM probe at HEAD: base 5.25 /
+    // scale 91.2 → 17.364 (the r11 single-flip ratchet 11.971 predates
+    // the shape).
+    "s09_ivfpq_adc" -> 17.364, "t13_tfidf_topk" -> 12.46,
     "t15_lm_score" -> 21.46, "t16_pack_sequences" -> 6.14,
     "e1_write_month" -> 2.066,
     // round-11 first quiet ×100 runs of the corpus-scaled band/cell shapes;
@@ -273,9 +275,15 @@ object ScaleSmoke {
     // the d07/c01 base-side-denominator spread, scale side stable)
     "d03_dedup_minhash" -> 21.18, "d09_dedup_minhash_stoplist" -> 8.88,
     "d13_semantic_dedup" -> 9.058,
-    // d16's first two quiet ×100 runs: 19.28 / 19.06 (scale side 18.3 /
-    // 19.4 s — the history+batch signature build is d03's cost class ×2)
-    "d16_incremental_neardup" -> 19.283,
+    // d16 TIGHTENED round 13 (round-12 verdict #6) from four quiet
+    // observations: 17.94 / 13.49 (the two r12 artifacts) and 11.34
+    // (r13 isolated probe) against a scale side stable at 14.4-19.4 s.
+    // 15.0 × 1.5 = 22.5 still passes the worst plausible quiet pairing
+    // (stable scale 19.4 over the quiet base floor 1.07 ≈ 18.1) while
+    // failing a 1.5× scale-side regression from the stable band; the
+    // absolute bound (29.2 s) + base envelope carry the two-statistic
+    // backstop.
+    "d16_incremental_neardup" -> 15.0,
     // round-13 re-derivation (round-12 verdict #1): the r12 value (34.541)
     // was the max of an artifact pair whose d14 windows carried logged
     // foreign bursts (c01/d09 at 6k/9.5k ticks — scale side read
@@ -290,7 +298,14 @@ object ScaleSmoke {
     "d14_span_dedup" -> 17.97,
     "q53_merge_apply" -> 8.378, // r11's 4g reading still the max observed
     "d15_fuzzy_join" -> 19.527,
-    "d17_neardup_indexed" -> 12.871)
+    "d17_neardup_indexed" -> 12.871,
+    // round-13 newcomers, from their first quiet isolated ×100 probe
+    // (violations [], same fresh-JVM protocol as d14): t24 is vocab-flat
+    // at ×100 exactly as at ×10 (3.84 s over a 3.08 s base); the forced
+    // index build reads 2.43 → 11.65 s (history pipeline + bucketed
+    // write, ≈ d16's scale-side cost class)
+    "t24_bpe_train" -> 1.247,
+    "d17_index_build" -> 4.799)
 
   /** Gate entries excluded from the ×100 demonstration BY DESIGN, with the
     * reason recorded in the artifact (round-10 verdict #8 — an artifact
@@ -352,12 +367,15 @@ object ScaleSmoke {
   val StreamingWaiverAbsScaleSec = 5.0
 
   /** Absolute sampled-recall floors for (s05, s06) at ANY gate scale
-    * (round-11 verdict #4): committed quiet readings are ×10 0.20/0.35
-    * and ×100 0.108/0.174, so 0.07/0.11 hold ≥1.5× margin at the worst
-    * (×100) point while still failing the single-sub-bucket probing
-    * defect the gauge caught in round 11 (s05 read 0.05). One-way like
-    * the ratio ratchets: tighten on durable headroom, never loosen. */
-  val IvfRecallFloor: Seq[Double] = Seq(0.07, 0.11)
+    * (round-11 verdict #4; RAISED round 13 with the radius-2 refinement
+    * multi-probe — round-12 verdict #3): committed quiet readings are
+    * ×10 0.20/0.35 and ×100 0.178/0.302 (was 0.108/0.174 under
+    * single-bit flips), so 0.115/0.20 hold ≥1.5× margin at the worst
+    * (×100) point while failing both the round-11 single-sub-bucket
+    * defect (s05 read 0.05) AND a silent fallback to the old single-flip
+    * level (0.108 < 0.115). One-way like the ratio ratchets: tighten on
+    * durable headroom, never loosen. */
+  val IvfRecallFloor: Seq[Double] = Seq(0.115, 0.20)
 
   /** Two-statistic rule for machinery-calibrated streaming entries: the
     * floor-subtracted denominator is ~0.3-0.6 s at sf0.1, so a host

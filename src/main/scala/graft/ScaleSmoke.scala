@@ -673,7 +673,9 @@ object ScaleSmoke {
        |  (idempotency at scale).
        |- `index_build` — `d17_index_build_{base,scale}_sec` and
        |  `d17_index_build_ratio`: d17's one-time persisted-index build,
-       |  forced from scratch per side and timed as its OWN gated entry
+       |  forced from scratch per side (min of 2 — a single-shot write
+       |  has no retry machinery, and contamination only inflates) and
+       |  timed as its OWN gated entry
        |  (round-12 verdict #2 — the warm-run approach hid build
        |  regressions). The build writes the history band/shingle tables
        |  as bucketed EXTERNAL tables with a spec file (schema DDL +
@@ -1176,8 +1178,17 @@ object ScaleSmoke {
       // index, exactly as before.
       if (name == "d17_neardup_indexed") {
         try {
-          val (mb, sb) = graft.operators.Dedup.ensureNearDupIndex(spark, base, force = true)
-          val (ms, ss) = graft.operators.Dedup.ensureNearDupIndex(spark, dir, force = true)
+          // min-of-2 forced builds per side: the build is a single-shot
+          // history pipeline + bucketed write with no retry machinery, so
+          // one foreign-load burst would inflate it unanswerably (the
+          // first committed ×100 artifact read 36.2 s in-context vs
+          // 11.65 s isolated); contamination only inflates, so the min of
+          // two from-scratch builds is the quiet observation
+          def build2(d: String): (String, Double) =
+            (1 to 2).map(_ => graft.operators.Dedup.ensureNearDupIndex(spark, d, force = true))
+              .minBy(_._2)
+          val (mb, sb) = build2(base)
+          val (ms, ss) = build2(dir)
           if (mb != "built" || ms != "built")
             violations :+= s"d17_index_build: forced build did not build (base=$mb, scale=$ms)"
           else {

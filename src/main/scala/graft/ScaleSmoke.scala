@@ -304,8 +304,17 @@ object ScaleSmoke {
     // at ×100 exactly as at ×10 (3.84 s over a 3.08 s base); the forced
     // index build reads 2.43 → 11.65 s (history pipeline + bucketed
     // write, ≈ d16's scale-side cost class)
-    "t24_bpe_train" -> 1.247,
-    "d17_index_build" -> 4.799)
+    "t24_bpe_train" -> 1.247)
+
+  /** Absolute ×100 bound (seconds) on d17's forced SCALE-side index
+    * build. At ×100 the build's ratio denominator is a 1-3 s fully-
+    * page-cached base build that swings 2.6× run-to-run (observed 1.25 /
+    * 2.43 / 3.22 at the same HEAD) while the scale side is stable
+    * (10.83 / 11.65 quiet) — the AbsoluteScale100Sec lesson applied to
+    * the one single-shot-write entry: gate the stable statistic, record
+    * the ratio for context. Worst committed quiet scale-side reading
+    * (11.65) × 1.5. One-way. */
+  val IndexBuildAbsScale100Sec = 17.5
 
   /** Gate entries excluded from the ×100 demonstration BY DESIGN, with the
     * reason recorded in the artifact (round-10 verdict #8 — an artifact
@@ -675,7 +684,11 @@ object ScaleSmoke {
        |  `d17_index_build_ratio`: d17's one-time persisted-index build,
        |  forced from scratch per side (min of 2 — a single-shot write
        |  has no retry machinery, and contamination only inflates) and
-       |  timed as its OWN gated entry
+       |  timed as its OWN gated entry: the ratio ratchet applies at ×10
+       |  (stable base); at ×100 the gate is the ABSOLUTE scale-side
+       |  bound `d17_index_build_abs_scale_bound` instead — the base is a
+       |  fully-cached 1-3 s write swinging 2.6× while the scale side is
+       |  stable, the AbsoluteScale100Sec reasoning
        |  (round-12 verdict #2 — the warm-run approach hid build
        |  regressions). The build writes the history band/shingle tables
        |  as bucketed EXTERNAL tables with a spec file (schema DDL +
@@ -1196,7 +1209,16 @@ object ScaleSmoke {
             System.err.println(f"[scale] d17 index build: base $sb%.2fs scale $ss%.2fs ratio $br%.2f")
             indexBuildRows ++= Seq("d17_index_build_base_sec" -> sb,
               "d17_index_build_scale_sec" -> ss, "d17_index_build_ratio" -> br)
-            violations ++= ratioViolation("d17_index_build", br)
+            // ×10: the base build is stable (2.1-3.4 s), so the ratio
+            // ratchet applies. ×100: the base is a fully-cached 1-3 s
+            // write swinging 2.6× while the scale side is stable — gate
+            // the absolute scale-side seconds instead (the
+            // AbsoluteScale100Sec reasoning; the ratio stays recorded).
+            if (Copies == 100) {
+              indexBuildRows :+= ("d17_index_build_abs_scale_bound" -> IndexBuildAbsScale100Sec)
+              if (ss > IndexBuildAbsScale100Sec)
+                violations :+= f"d17_index_build: scale-side build $ss%.1f s exceeds the absolute x100 bound $IndexBuildAbsScale100Sec%.1f s"
+            } else violations ++= ratioViolation("d17_index_build", br)
           }
         } catch { case e: Throwable =>
           violations :+= s"d17_index_build: ${e.getClass.getSimpleName}: ${e.getMessage}"
@@ -1476,7 +1498,7 @@ object ScaleSmoke {
         s""""t_scale_sec":${fmt(rows.map(r => r._1 -> r._3))},""" +
         s""""ratio":${fmt(rows.map(r => r._1 -> r._4))},""" +
         s""""ratio_bound":${fmt(gateSet.map(n => n -> boundFor(n)) ++
-          (if (gateSet.contains("d17_neardup_indexed"))
+          (if (gateSet.contains("d17_neardup_indexed") && Copies == 10)
             Seq("d17_index_build" -> boundFor("d17_index_build")) else Nil) :+
           ("e1_write_month" -> boundFor("e1_write_month")))},""" +
         s""""steal_ticks":${rows.map(r => "\"" + r._1 + "\":" + r._5).mkString("{", ",", "}")},""" +

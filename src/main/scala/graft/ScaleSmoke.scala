@@ -127,7 +127,15 @@ object ScaleSmoke {
     // aggs each ending in a 1-row driver fetch. The gate claim: per-round
     // cost rides the VOCAB (which the disjoint-copy data grows ×Copies),
     // and the 8-round loop adds no super-linear lineage/driver cost.
-    "t24_bpe_train")
+    "t24_bpe_train",
+    // round-13 batch 2: the tokenizer APPLY pass (t25 — t24's training
+    // rounds plus ONE map-only encode scan; the gate claim is that the
+    // literal-replace transform chain stays per-row linear with no
+    // shuffle creeping in) and hybrid RRF retrieval (s15 — two global
+    // top-N lists that must keep planning as TakeOrderedAndProject: a
+    // regression to a global sort would surface as a superlinear ratio
+    // on the corpus-wide lexical agg + single-probe vector scan)
+    "t25_bpe_encode", "s15_hybrid_rrf")
 
   /** Scale factor of the generated dataset. Default ×10; set
     * SPARK_GRAFT_SCALE_COPIES=100 for the heavyweight ×100 demonstration
@@ -223,7 +231,14 @@ object ScaleSmoke {
     // ≈ d16's inline history cost plus the write, exactly the once-ever
     // price the restart-reuse path amortizes.
     "t24_bpe_train" -> 1.069,
-    "d17_index_build" -> 5.748)
+    "d17_index_build" -> 5.748,
+    // round-13 batch 2, ratcheted from their first quiet gate run
+    // (steal/foreign 1/37 and 0/5, zero retries): t25 is vocab-flat like
+    // t24 (the 8 training rounds dominate both sides; the encode scan
+    // itself is the linear tail), s15's two top-N lists ride the corpus
+    // linearly with the bounded fusion join invisible.
+    "t25_bpe_encode" -> 0.965,
+    "s15_hybrid_rrf" -> 1.476)
 
   /** Ratcheted ×100 ratio bounds (round-10 verdict #6): until now the ×100
     * demonstration ran under the flat blanket `1.2 × copies` = 120, which

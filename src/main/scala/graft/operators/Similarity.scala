@@ -1049,9 +1049,136 @@ object Similarity {
     * every-approximate-family-has-a-recall-entry convention). */
   val s14Sq8Recall = recallDef("s14_sq8_recall", s13Sq8Search)
 
+  // ---------- s15: hybrid retrieval — lexical + vector rank fusion ----------
+
+  /** Depth of each ranked list entering the fusion (the standard "fuse the
+    * top-N of each retriever" contract — RRF is defined over ranked LISTS,
+    * not full corpora). */
+  private val RrfDepth = 100
+  /** The RRF smoothing constant from Cormack/Clarke/Buettcher (SIGIR '09);
+    * 60 is the published default every production fusion ships. */
+  private val RrfK = 60
+  private val RrfTopK = 20
+  private val RrfProbeId = 0L
+
+  /** s15 — HYBRID retrieval with reciprocal-rank fusion, the production
+    * RAG/search-serving shape next to the pure retrievers (t18 ranks
+    * lexically, s01/s02/s05 rank by embedding — nothing fused them): a
+    * lexical top-[[RrfDepth]] list (t18's all-integer BM25 surrogate over
+    * its fixed query term set) and a vector top-[[RrfDepth]] list (exact
+    * cosine against probe vector [[RrfProbeId]], the query's embedding)
+    * are joined on document id and scored by integer RRF —
+    * `1e6 div (60 + rank)` summed over the lists that ranked the doc
+    * (absent rank contributes 0, the standard convention). Ranks are
+    * exact (integer lexical scores; the cosine side reuses s01's proven
+    * bit-identical dot/norm arithmetic), so the fused score is exact
+    * int64 and the cross-engine hash is byte-stable.
+    *
+    * 100 TB shape: each list is a global top-N — `ORDER BY … LIMIT n`
+    * plans as TakeOrderedAndProject (per-partition top-N + driver merge
+    * of N·partitions rows, no global sort); the rank window and the
+    * fusion join then run over ≤2·[[RrfDepth]] rows — bounded metadata,
+    * the s03-centroid discipline. The vector list scores the corpus
+    * against the probe INLINED AS LITERALS (the s05 centroid-literal
+    * discipline — one bounded head() at plan-build time), so the scan is
+    * a pure map with no join at all (a 1-row broadcast `<>` join would
+    * plan as the BNLJ the gate forbids); the fusion stage is
+    * list-source-agnostic, so at index scale the same join takes
+    * s02/s05/s09's candidate lists instead. Lexical corpus stats (N,
+    * total tokens) are two bounded scan-agg scalars inlined as literals
+    * (t13's convention). */
+  val s15HybridRrf = QueryDef(
+    "s15_hybrid_rrf", {
+      import TextOps.Bm25Terms
+      val toks = TextOps.tokensSql("text")
+      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH e AS ($vecsSql),
+         |p AS (SELECT * FROM e WHERE vec_id = $RrfProbeId),
+         |vscored AS (
+         |  SELECT e.vec_id AS doc_id,
+         |         ${dotSql("p.embedding", "e.embedding")} / (p.nrm * e.nrm) AS cos
+         |  FROM p JOIN e ON p.vec_id <> e.vec_id),
+         |vtop AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS vec_rank
+         |  FROM vscored ORDER BY cos DESC, doc_id LIMIT $RrfDepth),
+         |docs_t AS (SELECT doc_id, $toks AS toks FROM documents),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |              CAST(sum(len(toks)) AS BIGINT) AS tt FROM docs_t),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM docs_t)
+         |  WHERE term IN ($termList) GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs_t),
+         |lscored AS (
+         |  SELECT tf.doc_id,
+         |    CAST(sum(
+         |      (((2 * st.n - 2 * df.df + 1) * 1000000) // (2 * df.df + 1)) *
+         |      ((44 * st.tt * tf.tf * 1000) //
+         |       (20 * st.tt * tf.tf + 6 * st.tt + 18 * dl.dl * st.n))
+         |    ) AS BIGINT) AS score
+         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
+         |  GROUP BY tf.doc_id),
+         |ltop AS (
+         |  SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+         |  FROM lscored ORDER BY score DESC, doc_id LIMIT $RrfDepth)
+         |SELECT coalesce(v.doc_id, l.doc_id) AS doc_id,
+         |       l.lex_rank AS lex_rank, v.vec_rank AS vec_rank,
+         |       CAST(coalesce(1000000 // ($RrfK + l.lex_rank), 0) +
+         |            coalesce(1000000 // ($RrfK + v.vec_rank), 0) AS BIGINT) AS rrf_score
+         |FROM vtop v FULL OUTER JOIN ltop l ON v.doc_id = l.doc_id
+         |ORDER BY rrf_score DESC, doc_id LIMIT $RrfTopK""".stripMargin
+    }) { (s, d) =>
+    import TextOps.Bm25Terms
+    // vector list: the probe is ONE bounded row, so it is collected at
+    // plan-build time and inlined as literals (the s05 centroid-literal
+    // discipline) — scoring is then a pure per-row map over the corpus
+    // with NO join of any kind, and the global top-N is orderBy+limit
+    val pr = vecs(s, d).filter(col("vec_id") === RrfProbeId)
+      .select(col("embedding"), col("nrm")).head()
+    val pVec = typedlit(pr.getSeq[Float](0))
+    val pNrm = lit(pr.getDouble(1))
+    val vTop = vecs(s, d).filter(col("vec_id") =!= RrfProbeId)
+      .select(col("vec_id").as("doc_id"),
+        (dotCol(pVec, col("embedding")) / (pNrm * col("nrm"))).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(RrfDepth)
+      .withColumn("vec_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "vec_rank")
+    // lexical list: t18's integer BM25 over the fixed query term set
+    val docsT = Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val st = docsT.agg(count(lit(1)), sum(size(col("toks")).cast("long"))).head()
+    val (n, tt) = (st.getLong(0), st.getLong(1))
+    val tf = docsT.select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfF = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = docsT.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val idfQ = expr(s"((${2 * n}L - 2L * df + 1L) * 1000000L) DIV (2L * df + 1L)")
+    val tfnQ = expr(s"(${44 * tt}L * tf * 1000L) DIV " +
+      s"(${20 * tt}L * tf + ${6 * tt}L + 18L * dl * ${n}L)")
+    val lTop = tf.join(broadcast(dfF), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .groupBy("doc_id").agg(sum(idfQ * tfnQ).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(RrfDepth)
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "lex_rank")
+    // fusion: ≤2·RrfDepth rows — integer RRF, absent list contributes 0
+    vTop.as("v").join(lTop.as("l"), col("v.doc_id") === col("l.doc_id"), "full_outer")
+      .select(
+        coalesce(col("v.doc_id"), col("l.doc_id")).as("doc_id"),
+        col("l.lex_rank").as("lex_rank"),
+        col("v.vec_rank").as("vec_rank"),
+        (coalesce(expr(s"1000000L DIV (${RrfK}L + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000L DIV (${RrfK}L + vec_rank)"), lit(0L))).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id")).limit(RrfTopK)
+  }
+
   val all: Seq[QueryDef] =
     Seq(s01KnnBrute, s02AnnLsh, s03Centroids, s04AnnMultiProbe, s05IvfSearch,
       s06IvfMultiProbe, s07AnnRecall, s08KmeansLloyd, s09IvfPqAdc,
       s10IvfRecall, s11IvfMultiProbeRecall, s12IvfPqRecall,
-      s13Sq8Search, s14Sq8Recall)
+      s13Sq8Search, s14Sq8Recall, s15HybridRrf)
 }

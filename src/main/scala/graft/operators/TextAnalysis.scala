@@ -691,7 +691,6 @@ object TextAnalysis {
           .as("n_docs_leaked"))
   }
 
-  private[operators] val Bm25Terms = Seq("vector", "stream", "hash", "window")
   private val Bm25TopK = 20
 
   /** t18 — BM25 document ranking for a fixed query term set, the classic
@@ -1069,35 +1068,42 @@ object TextAnalysis {
     * never corpus data) folded into the next round's plan as a literal
     * replace — no per-round corpus scan, no growing lineage on the big
     * table. The DuckDB oracle unrolls the identical 8 rounds as CTEs. */
-  val t24BpeTrain = QueryDef(
-    "t24_bpe_train", {
-      val toks = tokensSql("text")
-      val rounds = (1 to BpeMergeRounds).map { k =>
-        val prev = s"w${k - 1}"
-        s"""p$k AS (
-           |  SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS cnt FROM (
-           |    SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
-           |                 i -> [syms[i], syms[i + 1]])) AS pr
-           |    FROM (SELECT freq, string_split(regexp_replace(seq, '^<|>$$', '', 'g'), '><') AS syms
-           |          FROM $prev))
-           |  GROUP BY l, r),
-           |m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
-           |w$k AS (SELECT replace($prev.seq, '<' || m$k.l || '><' || m$k.r || '>',
-           |                       '<' || m$k.l || m$k.r || '>') AS seq, $prev.freq
-           |        FROM $prev, m$k)""".stripMargin
-      }.mkString(",\n")
-      val out = (1 to BpeMergeRounds).map { k =>
-        s"SELECT CAST($k AS INT) AS round, l AS lhs, r AS rhs, l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$k"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH w0 AS (
-         |  SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS seq, freq FROM (
-         |    SELECT tk AS word, count(*) AS freq
-         |    FROM (SELECT unnest($toks) AS tk FROM documents)
-         |    WHERE regexp_matches(tk, '^[a-z]+$$')
-         |    GROUP BY tk)),
-         |$rounds
-         |$out""".stripMargin
-    }) { (s, d) =>
+  /** The w0/p_k/m_k/w_k CTE chain both BPE oracles share: w0 = the wrapped
+    * word-frequency histogram, then per round k the pair counts (p_k), the
+    * greedy winner (m_k — 1 row, or 0 once pairs run dry), and the merged
+    * vocabulary (w_k). t24 SELECTs the m_k rows; t25 applies them. */
+  private def bpeCtes: String = {
+    val toks = tokensSql("text")
+    val rounds = (1 to BpeMergeRounds).map { k =>
+      val prev = s"w${k - 1}"
+      s"""p$k AS (
+         |  SELECT pr[1] AS l, pr[2] AS r, sum(freq) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(generate_series(1, len(syms) - 1),
+         |                 i -> [syms[i], syms[i + 1]])) AS pr
+         |    FROM (SELECT freq, string_split(regexp_replace(seq, '^<|>$$', '', 'g'), '><') AS syms
+         |          FROM $prev))
+         |  GROUP BY l, r),
+         |m$k AS (SELECT l, r, cnt FROM p$k ORDER BY cnt DESC, l, r LIMIT 1),
+         |w$k AS (SELECT replace($prev.seq, '<' || m$k.l || '><' || m$k.r || '>',
+         |                       '<' || m$k.l || m$k.r || '>') AS seq, $prev.freq
+         |        FROM $prev, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""w0 AS (
+       |  SELECT regexp_replace(word, '(.)', '<\\1>', 'g') AS seq, freq FROM (
+       |    SELECT tk AS word, count(*) AS freq
+       |    FROM (SELECT unnest($toks) AS tk FROM documents)
+       |    WHERE regexp_matches(tk, '^[a-z]+$$')
+       |    GROUP BY tk)),
+       |$rounds""".stripMargin
+  }
+
+  /** Run the greedy merge-learning loop (shared by t24 and t25): per round
+    * one vocab-sized pair agg + a 1-row driver fetch folded back into the
+    * next round's plan as a literal replace. A corpus can run out of pairs
+    * before the round budget (every word a single symbol) — the result is
+    * then the same truncated merge table the oracle's empty LIMIT-1 CTEs
+    * produce. */
+  private def bpeMerges(s: SparkSession, d: String): Seq[(Int, String, String, String, Long)] = {
     val words0 = bpeWords(s, d).cache()
     try {
       var cur = words0
@@ -1110,10 +1116,6 @@ object TextAnalysis {
           .agg(sum("freq").as("cnt"))
           .orderBy(col("cnt").desc, col("l"), col("r"))
           .limit(1).collect()
-        // a corpus can run out of pairs before the round budget (every
-        // word a single symbol); the oracle's empty LIMIT-1 CTE likewise
-        // contributes no row from that round on — both engines emit the
-        // same truncated merge table
         if (top.isEmpty) exhausted = true
         else {
           val (l, r, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
@@ -1123,9 +1125,91 @@ object TextAnalysis {
             col("freq"))
         }
       }
-      import s.implicits._
-      merges.result().toDF("round", "lhs", "rhs", "merged", "pair_count")
+      merges.result()
     } finally words0.unpersist()
+  }
+
+  val t24BpeTrain = QueryDef(
+    "t24_bpe_train", {
+      val out = (1 to BpeMergeRounds).map { k =>
+        s"SELECT CAST($k AS INT) AS round, l AS lhs, r AS rhs, l || r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM m$k"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $bpeCtes
+         |$out""".stripMargin
+    }) { (s, d) =>
+    import s.implicits._
+    bpeMerges(s, d).toDF("round", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** t25 — BPE ENCODE with the learned merges (t24 trains the merge table;
+    * this is the tokenizer APPLY step a pipeline actually runs over every
+    * document afterwards): each whitespace token that is a trainable word
+    * (`^[a-z]+$`, t24's training domain) is wrapped into the `<sym>`
+    * alphabet and the [[BpeMergeRounds]] learned merges are applied IN
+    * LEARNED ORDER as literal string replaces (left-to-right
+    * non-overlapping in both engines — greedy BPE apply semantics,
+    * identical to training's rewrite); its token cost is the surviving
+    * symbol count. Every other token (numbers, punctuation, mixed-case)
+    * costs 1 — the single-UNK fallback contract. Output per document:
+    * `n_words` (whitespace tokens), `n_base_units` (pre-merge symbol
+    * count — character-level cost), `n_bpe_tokens` (post-merge count).
+    * All exact int64 — no floats anywhere, the t13/t15 discipline.
+    *
+    * 100 TB shape: training is t24's (one corpus shuffle to the vocab
+    * histogram, then vocab-sized rounds with 1-row driver fetches); the
+    * ENCODE pass is map-only — the learned merges fold into the plan as
+    * literal replaces inside one `transform`/`aggregate` chain per row,
+    * so the corpus scan has NO shuffle, no join, no broadcast, and the
+    * whole expression stays inside whole-stage codegen. The DuckDB oracle
+    * replays the identical merge rounds as CTEs and applies them through
+    * scalar subqueries (coalesced to a never-occurring `chr(1)` pattern
+    * when a round ran dry, so a truncated merge table encodes
+    * identically). */
+  val t25BpeEncode = QueryDef(
+    "t25_bpe_encode", {
+      val toks = tokensSql("text")
+      val pats = (1 to BpeMergeRounds).map { k =>
+        s"""  coalesce((SELECT '<' || l || '><' || r || '>' FROM m$k), chr(1)) AS p$k,
+           |  coalesce((SELECT '<' || l || r || '>' FROM m$k), chr(1)) AS s$k""".stripMargin
+      }.mkString(",\n")
+      val wrapped = "regexp_replace(tk, '(.)', '<\\1>', 'g')"
+      val merged = (1 to BpeMergeRounds).foldLeft(wrapped) { (acc, k) =>
+        s"replace($acc, p$k, s$k)"
+      }
+      s"""WITH $bpeCtes,
+         |pats AS (SELECT
+         |$pats),
+         |d0 AS (SELECT doc_id, $toks AS toks,
+         |              ${(1 to BpeMergeRounds).map(k => s"p$k, s$k").mkString(", ")}
+         |       FROM documents CROSS JOIN pats)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_words,
+         |  CAST(list_sum(list_transform(toks, tk ->
+         |    CASE WHEN regexp_matches(tk, '^[a-z]+$$') THEN len(tk) ELSE 1 END)) AS BIGINT) AS n_base_units,
+         |  CAST(list_sum(list_transform(toks, tk ->
+         |    CASE WHEN regexp_matches(tk, '^[a-z]+$$')
+         |         THEN len($merged) - len(replace($merged, '<', ''))
+         |         ELSE 1 END)) AS BIGINT) AS n_bpe_tokens
+         |FROM d0""".stripMargin
+    }) { (s, d) =>
+    val ms = bpeMerges(s, d).map { case (_, l, r, _, _) => (l, r) }
+    def mergedSyms(tk: Column): Column = {
+      val wrapped = regexp_replace(tk, "(.)", "<$1>")
+      val merged = ms.foldLeft(wrapped) { case (c, (l, r)) =>
+        replace(c, lit(s"<$l><$r>"), lit(s"<$l$r>"))
+      }
+      (length(merged) - length(replace(merged, lit("<"), lit("")))).cast("long")
+    }
+    val toks = tokens(col("text"))
+    def sumOver(perTok: Column => Column): Column =
+      aggregate(transform(toks, perTok), lit(0L), (a, x) => a + x)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_words"),
+      sumOver(tk => when(tk.rlike("^[a-z]+$"), length(tk).cast("long")).otherwise(lit(1L)))
+        .as("n_base_units"),
+      sumOver(tk => when(tk.rlike("^[a-z]+$"), mergedSyms(tk)).otherwise(lit(1L)))
+        .as("n_bpe_tokens"))
   }
 
   val all: Seq[QueryDef] =
@@ -1133,5 +1217,6 @@ object TextAnalysis {
       t06Mixture, t07Decontamination, t08ShardPlan, t09Repetition,
       t10MixtureSample, t11PiiScrub, t12StratifiedSample, t13TfIdf, t14Chunking,
       t15LmScore, t16PackSequences, t17SplitLeakage, t18Bm25, t19PaddingWaste,
-      t20Novelty, t21QualityClassifier, t22Blocklist, t23DsirWeights, t24BpeTrain)
+      t20Novelty, t21QualityClassifier, t22Blocklist, t23DsirWeights, t24BpeTrain,
+      t25BpeEncode)
 }

@@ -44,4 +44,11 @@ object TextOps {
   /** Sum of a double-list; both sides fold left with a prepended 0. */
   def sumSql(listE: String): String =
     s"list_reduce(list_prepend(0.0, $listE), (sx, sy) -> sx + sy)"
+
+  /** The fixed query term set shared by t18's BM25 ranking and s15's
+    * hybrid fusion. Lives here (not in TextAnalysis) because Similarity's
+    * initializer needs it: TextAnalysis → Dedup → Similarity is the object
+    * init order, so a Similarity val reading a TextAnalysis val would
+    * observe null mid-initialization. */
+  private[operators] val Bm25Terms = Seq("vector", "stream", "hash", "window")
 }

@@ -457,6 +457,31 @@ class PlanSpec extends SparkSpec {
       s"t15 grew a nested-loop join (V must stay a literal, not a 1-row cross join):\n$plan")
   }
 
+  test("t25 encode pass is map-only: merges fold in as literals — no join, no shuffle") {
+    // t25.fn runs the training rounds as separate bounded jobs; the
+    // RETURNED plan is the corpus encode pass, which must stay a pure
+    // projection over the documents scan (the 100 TB claim: learned
+    // merges enter as literal replaces, never as a join against a
+    // merge table)
+    val plan = planOf(graft.operators.TextAnalysis.t25BpeEncode.fn(spark, sf))
+    assert(!plan.contains("Join"), s"t25 encode grew a join:\n$plan")
+    assert(!plan.contains("Exchange"), s"t25 encode grew a shuffle:\n$plan")
+  }
+
+  test("s15 hybrid fusion: both lists and the fused top-k plan as TakeOrderedAndProject") {
+    val plan = planOf(graft.operators.Similarity.s15HybridRrf.fn(spark, sf))
+    // a regression to a global Sort+Limit would read as Sort without
+    // TakeOrderedAndProject; the rank windows then run over ≤RrfDepth
+    // rows (bounded), which is the only sanctioned single-partition step
+    val topN = "TakeOrderedAndProject".r.findAllIn(plan).size
+    assert(topN >= 2, s"s15 expected ≥2 top-N operators (vector list, lexical list), got $topN:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"s15 has a cartesian join:\n$plan")
+    // the probe must enter as literals (the s05 centroid discipline) —
+    // a 1-row broadcast <> join would plan as the BNLJ the gate forbids
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"s15 grew a nested-loop join (the probe must stay a literal):\n$plan")
+  }
+
   test("q52 cube: one Expand, one shuffle — the whole 2^3 lattice in a single pass") {
     val plan = planOf(CoreQueries.q52Cube.fn(spark, sf))
     assert(!plan.contains("Join"), s"q52 grew a join:\n$plan")

@@ -87,4 +87,66 @@ class SimilaritySpec extends SparkSpec {
         "s09 is not deterministic across invocations")
     } finally out.unpersist()
   }
+
+  test("s15 fuses exactly the brute-recomputed lexical and vector rank lists") {
+    // sf0.01, not sf0.001: with only 50 vectors the top-100 vector list
+    // covers every non-probe doc, so the "lexical-only" outer-join arm
+    // could never occur and its assertion below would be meaningless
+    val sf = "/root/testdata/sf0.01"
+    // --- brute vector list: exact cosine vs probe 0, FloatVecDot's fold order
+    val embs = graft.tables.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val p = embs.find(_._1 == 0L).get._2
+    val vtop = embs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, dot(p, v) / (nrm(p) * nrm(v))) }
+      .sortBy { case (id, c) => (-c, id) }.take(100).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // --- brute lexical list: t18's integer BM25 surrogate, recomputed flat
+    val docs = graft.tables.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.toLowerCase.split("\\s+").toSeq)
+    val n = docs.length.toLong
+    val tt = docs.map(_._2.length.toLong).sum
+    val terms = Seq("vector", "stream", "hash", "window")
+    val tf = for {
+      (id, tk) <- docs.toSeq; t <- terms
+      c = tk.count(_ == t) if c > 0
+    } yield (id, t, c.toLong)
+    val df = tf.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val dl = docs.map { case (id, tk) => id -> tk.length.toLong }.toMap
+    val scores = tf.groupBy(_._1).map { case (id, xs) =>
+      id -> xs.map { case (_, t, f) =>
+        val idf = ((2 * n - 2 * df(t) + 1) * 1000000L) / (2 * df(t) + 1)
+        val tfn = (44 * tt * f * 1000L) / (20 * tt * f + 6 * tt + 18 * dl(id) * n)
+        idf * tfn
+      }.sum
+    }
+    val ltop = scores.toSeq.sortBy { case (id, s) => (-s, id) }.take(100).zipWithIndex
+      .map { case ((id, _), i) => id -> (i + 1L) }.toMap
+    // --- brute fusion
+    def rrf(r: Option[Long]): Long = r.map(x => 1000000L / (60L + x)).getOrElse(0L)
+    val expected = (vtop.keySet ++ ltop.keySet).toSeq.map { id =>
+      (id, ltop.get(id), vtop.get(id), rrf(ltop.get(id)) + rrf(vtop.get(id)))
+    }.sortBy { case (id, _, _, rr) => (-rr, id) }.take(20)
+    // non-vacuity: the fused list must mix pure-lexical, pure-vector, and
+    // both-list docs, or the outer-join/absent-rank semantics are untested
+    assert(expected.exists(e => e._2.isEmpty && e._3.nonEmpty), "no vector-only doc in top-20")
+    assert(expected.exists(e => e._2.nonEmpty && e._3.isEmpty), "no lexical-only doc in top-20")
+    assert(expected.exists(e => e._2.nonEmpty && e._3.nonEmpty), "no both-lists doc in top-20")
+    val got = Similarity.s15HybridRrf.fn(spark, sf).collect().toSeq.map { r =>
+      (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        r.getLong(3))
+    }
+    assert(got == expected, s"\nspark: $got\nbrute: $expected")
+  }
 }

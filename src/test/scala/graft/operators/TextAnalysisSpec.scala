@@ -190,6 +190,65 @@ class TextAnalysisSpec extends SparkSpec {
     } finally graft.operators.Reconcile.deleteRecursively(dir)
   }
 
+  test("t25 encodes with exactly the learned merges (brute-force equality)") {
+    import spark.implicits._
+    // t24's semantic corners plus the encode-specific ones: non-trainable
+    // tokens (digits, punctuation — must cost exactly 1) and words the
+    // training vocabulary never saw in merged form
+    val docs = Seq(
+      (1L, "banana banana bandana aaaa 42 x7!"),
+      (2L, "cabana banana aaaa aaaa"),
+      (3L, "abab abab dada banana unseenword"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_t25_fix").toString
+    docs.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      // learned merges, via t24 (itself brute-force-pinned above); apply
+      // them in an independent vector-based encoder — no sentinel strings
+      val merges = TextAnalysis.t24BpeTrain.fn(spark, dir)
+        .orderBy("round").collect().map(r => (r.getString(1), r.getString(2)))
+      def encode(word: String): Long = {
+        var syms = word.map(_.toString).toVector
+        for ((l, r) <- merges) {
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) { b += l + r; i += 2 }
+            else { b += syms(i); i += 1 }
+          }
+          syms = b.result()
+        }
+        syms.length.toLong
+      }
+      val expected = docs.map { case (id, text) =>
+        val toks = text.trim.toLowerCase.split("\\s+").toSeq
+        (id, toks.length.toLong,
+          toks.map(t => if (t.matches("[a-z]+")) t.length.toLong else 1L).sum,
+          toks.map(t => if (t.matches("[a-z]+")) encode(t) else 1L).sum)
+      }
+      // non-vacuity: at least one word must actually compress, and the
+      // non-trainable fallback must fire
+      assert(expected.exists { case (_, _, base, bpe) => bpe < base },
+        "no word compressed — the merge-apply path is untested")
+      assert(docs.exists(_._2.split("\\s+").exists(t => !t.toLowerCase.matches("[a-z]+"))),
+        "no non-trainable token in the fixture — the UNK fallback is untested")
+      val got = TextAnalysis.t25BpeEncode.fn(spark, dir)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == expected, s"\nspark: $got\nbrute: $expected")
+      // real corpus: encode bounds hold everywhere and merges actually fire
+      val real = TextAnalysis.t25BpeEncode.fn(spark, sf).cache()
+      try {
+        assert(real.count() > 0)
+        assert(real.filter(col("n_bpe_tokens") > col("n_base_units") ||
+          col("n_bpe_tokens") < col("n_words")).count() == 0,
+          "encode must sit between word count and character-unit count")
+        assert(real.filter(col("n_bpe_tokens") < col("n_base_units")).count() > 0,
+          "no document compressed on the real corpus — merges never applied")
+      } finally real.unpersist()
+    } finally graft.operators.Reconcile.deleteRecursively(dir)
+  }
+
   test("t20: a verbatim re-crawl scores novelty 0, the original 1, a remix in between") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_t20_fix").toString

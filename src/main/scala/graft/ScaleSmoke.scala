@@ -319,7 +319,14 @@ object ScaleSmoke {
     // at ×100 exactly as at ×10 (3.84 s over a 3.08 s base); the forced
     // index build reads 2.43 → 11.65 s (history pipeline + bucketed
     // write, ≈ d16's scale-side cost class)
-    "t24_bpe_train" -> 1.247)
+    "t24_bpe_train" -> 1.247,
+    // round-13 batch 2, same fresh-JVM protocol (zero retries; t25's
+    // window 67/27 steal/foreign ticks, s15's 41/556 — mildly warm, the
+    // d16 record-as-read convention): t25's training rounds ride the
+    // ×100 vocab (3.34 → 6.37 s), s15's lists ride the corpus linearly
+    // (1.46 → 6.02 s); both bounds sit at/near the 6.0 ×100 floor.
+    "t25_bpe_encode" -> 1.906,
+    "s15_hybrid_rrf" -> 4.137)
 
   /** Absolute ×100 bound (seconds) on d17's forced SCALE-side index
     * build. At ×100 the build's ratio denominator is a 1-3 s fully-

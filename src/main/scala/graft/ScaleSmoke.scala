@@ -135,7 +135,14 @@ object ScaleSmoke {
     // top-N lists that must keep planning as TakeOrderedAndProject: a
     // regression to a global sort would surface as a superlinear ratio
     // on the corpus-wide lexical agg + single-probe vector scan)
-    "t25_bpe_encode", "s15_hybrid_rrf")
+    "t25_bpe_encode", "s15_hybrid_rrf",
+    // round-14 (round-13 verdict #1): s09 served from the PERSISTED
+    // vector index — the candidate side reads the bucketed codes table
+    // and reconstructs residuals from spec-file codebook literals, so the
+    // measured cost must be probe-side + candidate-join only (the 16
+    // Lloyd jobs + corpus-wide encode run at BUILD time, timed separately
+    // as the forced `s16_index_build` entry, d17's protocol).
+    "s16_ivfpq_indexed")
 
   /** Scale factor of the generated dataset. Default ×10; set
     * SPARK_GRAFT_SCALE_COPIES=100 for the heavyweight ×100 demonstration
@@ -325,6 +332,13 @@ object ScaleSmoke {
     // d16 record-as-read convention): t25's training rounds ride the
     // ×100 vocab (3.34 → 6.37 s), s15's lists ride the corpus linearly
     // (1.46 → 6.02 s); both bounds sit at/near the 6.0 ×100 floor.
+    // INTERIM SINGLE-REGIME PROVENANCE (ADVICE r13): these two derive
+    // from 4g-regime quiet probes only — the committed 16g companion
+    // predates them (its three regeneration attempts were contamination-
+    // refused; ROUND13_NOTES logs 16g quiet-window s15 readings up to
+    // 4.49, inside the 6.21 bound). When the 16g companion regenerates
+    // with t25/s15 rows, re-derive both as the max of the two same-HEAD
+    // artifacts per this map's discipline.
     "t25_bpe_encode" -> 1.906,
     "s15_hybrid_rrf" -> 4.137)
 
@@ -337,6 +351,37 @@ object ScaleSmoke {
     * the ratio for context. Worst committed quiet scale-side reading
     * (11.65) × 1.5. One-way. */
   val IndexBuildAbsScale100Sec = 17.5
+
+  /** Absolute ×100 bound (seconds) on s16's forced SCALE-side vector-index
+    * build (train coarse+sub codebooks, encode the corpus, bucketed
+    * write) — the [[IndexBuildAbsScale100Sec]] reasoning applied to the
+    * second single-shot-write entry. PROVISIONAL until the first quiet
+    * ×100 probe records the build: derived from the ×10 build (~8 s
+    * scale side) times the Lloyd-job/encode corpus factor, generous on
+    * purpose; tighten to (worst committed quiet reading × 1.5) as soon
+    * as a quiet ×100 artifact carries `s16_index_build_scale_sec`. */
+  val PqIndexBuildAbsScale100Sec = 90.0
+
+  /** Rounds executed by the t24 merge-loop FLATNESS demonstration
+    * (round-13 verdict #4): 8× the oracle entry's [[graft.operators
+    * .TextAnalysis]] round budget and 4× its lineage-truncation period,
+    * so the run crosses four localCheckpoint boundaries — enough to
+    * expose per-round cost growing with the round index (the unbounded
+    * `replace`-chain plan-depth failure mode that production 30–50k-merge
+    * training would hit) while staying a ~10 s gate entry at ×10. */
+  val BpeFlatRounds = 64
+
+  /** Bound on the flatness statistic: mean per-round seconds over the
+    * LAST quarter of [[BpeFlatRounds]] ÷ the FIRST quarter. Growth in
+    * the round index — the thing BpeCheckpointEvery exists to prevent —
+    * inflates only the numerator; a merely-slow-everywhere (contaminated)
+    * run inflates both quarters together, so the statistic is
+    * contamination-resistant without retry machinery. The unbounded
+    * pre-fix chain grows ~linearly in round index (last quarter ≈ 7×
+    * first at 64 rounds by plan-depth alone); 2.0 fails that while
+    * holding JIT/cache drift headroom. Tighten on durable quiet
+    * headroom, never loosen. */
+  val BpeFlatnessBound = 2.0
 
   /** Gate entries excluded from the ×100 demonstration BY DESIGN, with the
     * reason recorded in the artifact (round-10 verdict #8 — an artifact
@@ -716,7 +761,24 @@ object ScaleSmoke {
        |  as bucketed EXTERNAL tables with a spec file (schema DDL +
        |  source fingerprint), so a fresh JVM RE-REGISTERS over the
        |  existing files instead of rebuilding — build-once across
-       |  processes, not per process.
+       |  processes, not per process. `s16_index_build_{base,scale}_sec`
+       |  / `_ratio` apply the same protocol to the persisted VECTOR
+       |  index (round-13 verdict #1): forced from-scratch train + encode
+       |  + bucketed codes write per side, min of 2, ratio-gated at ×10
+       |  and absolute-bounded at ×100
+       |  (`s16_index_build_abs_scale_bound`, $PqIndexBuildAbsScale100Sec s).
+       |- `bpe_rounds` — t24's merge-loop FLATNESS demonstration (×10
+       |  only): `t24_round_{firstq,lastq}_sec` are the mean per-round
+       |  seconds over the first and last quarters of a
+       |  $BpeFlatRounds-round training run on the scale-side corpus;
+       |  `t24_round_flatness` (lastQ/firstQ) must stay ≤
+       |  `t24_round_flatness_bound` ($BpeFlatnessBound). Per-round cost
+       |  growing with the ROUND INDEX — the plan-depth failure mode
+       |  production 30–50k-merge training would hit without bpeMerges'
+       |  per-${graft.operators.TextAnalysis.BpeCheckpointEvery}-round
+       |  lineage truncation — inflates only the numerator; contamination
+       |  inflates both quarters together, so the statistic needs no retry
+       |  machinery.
        |- `foreign_ticks` — CPU ticks burned by OTHER processes on the box
        |  during each query's measurements (host busy minus this process's
        |  own utime+stime; the steal counter only sees the hypervisor).
@@ -1162,6 +1224,7 @@ object ScaleSmoke {
     // d17's forced from-scratch index build per side (its own gated
     // timing entry — round-12 verdict #2), published as `index_build`
     var indexBuildRows = Vector.empty[(String, Double)]
+    var bpeRoundsRows = Vector.empty[(String, Double)]
     // foreign-load accounting per gate query (ladder investigation): CPU
     // burned by OTHER processes during this query's measurements. A
     // foreign-hot measurement is contaminated — the convoy it induces in
@@ -1246,15 +1309,90 @@ object ScaleSmoke {
           violations :+= s"d17_index_build: ${e.getClass.getSimpleName}: ${e.getMessage}"
         }
       }
+      // s16's one-time vector-index build is a GATED TIMING ENTRY —
+      // d17's protocol verbatim (round-13 verdict #1: the build must be
+      // its own measured claim, or a training/encode regression hides
+      // inside an untimed warm-up): force a from-scratch build per side
+      // (min of 2 — single-shot write, contamination only inflates),
+      // gate the ratio at ×10 and the absolute scale-side seconds at
+      // ×100. The s16 timed runs below then measure the read-back shape
+      // against the freshly built index.
+      if (name == "s16_ivfpq_indexed") {
+        try {
+          def build2(dd: String): (String, Double) =
+            (1 to 2).map(_ =>
+              graft.operators.Similarity.ensurePqIndex(spark, dd, force = true))
+              .minBy(_._2)
+          val (mb, sb) = build2(base)
+          val (ms, ss) = build2(dir)
+          if (mb != "built" || ms != "built")
+            violations :+= s"s16_index_build: forced build did not build (base=$mb, scale=$ms)"
+          else {
+            val br = ss / math.max(sb, 0.001)
+            System.err.println(
+              f"[scale] s16 index build: base $sb%.2fs scale $ss%.2fs ratio $br%.2f")
+            indexBuildRows ++= Seq("s16_index_build_base_sec" -> sb,
+              "s16_index_build_scale_sec" -> ss, "s16_index_build_ratio" -> br)
+            if (Copies == 100) {
+              indexBuildRows :+= ("s16_index_build_abs_scale_bound" -> PqIndexBuildAbsScale100Sec)
+              if (ss > PqIndexBuildAbsScale100Sec)
+                violations :+= f"s16_index_build: scale-side build $ss%.1f s exceeds the absolute x100 bound $PqIndexBuildAbsScale100Sec%.1f s"
+            } else violations ++= ratioViolation("s16_index_build", br)
+          }
+        } catch { case e: Throwable =>
+          violations :+= s"s16_index_build: ${e.getClass.getSimpleName}: ${e.getMessage}"
+        }
+      }
+      // t24's production-merge-count claim is a GATED FLATNESS ENTRY
+      // (round-13 verdict #4): the 8-round oracle entry cannot see the
+      // plan-depth failure mode 30–50k merges would hit — one `replace`
+      // projection stacked per round makes analyzer time grow with the
+      // round index. bpeMerges now truncates lineage every
+      // BpeCheckpointEvery rounds (localCheckpoint, eager); THIS entry
+      // executes the claim: BpeFlatRounds rounds over the scale-side
+      // corpus, gating last-quarter mean per-round seconds against the
+      // first quarter. ×10 only — the claim is about ROUND-index growth,
+      // which Copies does not change, and ×100 would pay 64 vocab-scale
+      // rounds for no additional evidence.
+      if (name == "t24_bpe_train" && Copies == 10) {
+        try {
+          val per = scala.collection.mutable.ArrayBuffer.empty[Double]
+          val t0 = System.nanoTime()
+          val ms = graft.operators.TextAnalysis.bpeMerges(
+            spark, dir, rounds = BpeFlatRounds, perRoundSec = Some(per))
+          val total = (System.nanoTime() - t0) / 1e9
+          if (ms.size < BpeFlatRounds)
+            violations :+= s"t24_bpe_rounds: corpus exhausted at round ${ms.size} of $BpeFlatRounds — flatness claim untestable on this data"
+          else {
+            val q = BpeFlatRounds / 4
+            val firstQ = per.take(q).sum / q
+            val lastQ = per.takeRight(q).sum / q
+            val flat = lastQ / math.max(firstQ, 1e-9)
+            System.err.println(
+              f"[scale] t24 $BpeFlatRounds-round flatness: firstQ $firstQ%.3f s/round, lastQ $lastQ%.3f, ratio $flat%.2f (total $total%.1f s)")
+            bpeRoundsRows ++= Seq(
+              "t24_rounds" -> BpeFlatRounds.toDouble,
+              "t24_rounds_total_sec" -> total,
+              "t24_round_firstq_sec" -> firstQ,
+              "t24_round_lastq_sec" -> lastQ,
+              "t24_round_flatness" -> flat,
+              "t24_round_flatness_bound" -> BpeFlatnessBound)
+            if (flat > BpeFlatnessBound)
+              violations :+= f"t24_bpe_rounds: per-round cost grows with round index (last-quarter mean $lastQ%.3f s vs first-quarter $firstQ%.3f, ratio $flat%.2f > $BpeFlatnessBound)"
+          }
+        } catch { case e: Throwable =>
+          violations :+= s"t24_bpe_rounds: ${e.getClass.getSimpleName}: ${e.getMessage}"
+        }
+      }
       // untimed warm run first: the first execution of a query absorbs its
       // codegen + scan init, which would inflate t_base and understate the
       // ratio (observed: q22 cold 16s vs warm 8s at sf0.1)
       try runNoop(fn(spark, base))
       catch { case e: Throwable => System.err.println(s"[scale] warm $name: $e") }
-      // d17 reads the index on BOTH sides — warm the scale side too, so
-      // its first timed scale run measures the read-back shape, not scan
-      // init against the just-built index
-      if (name == "d17_neardup_indexed")
+      // d17/s16 read their index on BOTH sides — warm the scale side too,
+      // so the first timed scale run measures the read-back shape, not
+      // scan init against the just-built index
+      if (name == "d17_neardup_indexed" || name == "s16_ivfpq_indexed")
         try runNoop(fn(spark, dir))
         catch { case e: Throwable => System.err.println(s"[scale] warm-scale $name: $e") }
       // a transient broadcast-build OOM under the deliberately-tight 4 GiB
@@ -1521,7 +1659,9 @@ object ScaleSmoke {
         s""""ratio":${fmt(rows.map(r => r._1 -> r._4))},""" +
         s""""ratio_bound":${fmt(gateSet.map(n => n -> boundFor(n)) ++
           (if (gateSet.contains("d17_neardup_indexed") && Copies == 10)
-            Seq("d17_index_build" -> boundFor("d17_index_build")) else Nil) :+
+            Seq("d17_index_build" -> boundFor("d17_index_build")) else Nil) ++
+          (if (gateSet.contains("s16_ivfpq_indexed") && Copies == 10)
+            Seq("s16_index_build" -> boundFor("s16_index_build")) else Nil) :+
           ("e1_write_month" -> boundFor("e1_write_month")))},""" +
         s""""steal_ticks":${rows.map(r => "\"" + r._1 + "\":" + r._5).mkString("{", ",", "}")},""" +
         s""""foreign_ticks":${gateSet.map(n => "\"" + n + "\":" + foreignByQuery.getOrElse(n, -1L)).mkString("{", ",", "}")},""" +
@@ -1534,6 +1674,7 @@ object ScaleSmoke {
         s""""streaming_floor":${fmt(streamingFloors)},""" +
         s""""ratio_suspects":${fmt(ratioSuspects)},""" +
         s""""index_build":${fmt(indexBuildRows)},""" +
+        s""""bpe_rounds":${fmt(bpeRoundsRows)},""" +
         (if (Copies > 10)
           s""""excluded_by_design":${ExcludedPast10x.toSeq.sorted
             .map { case (k, v) => "\"" + k + "\":\"" + jsonEscape(v) + "\"" }

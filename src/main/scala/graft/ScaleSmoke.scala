@@ -248,13 +248,13 @@ object ScaleSmoke {
     "s15_hybrid_rrf" -> 1.476,
     // round-14 newcomers, ratcheted from their first quiet gate run
     // (steal/foreign 15/10 in s16's window, zero retries): the read
-    // path's 6.0 ratio is DENOMINATOR-driven — base is a 0.67 s bucketed
-    // codes read + tiny probe side, while the ×10 side additionally pays
-    // the bits=6 radius-2 probe ring (22 sub-buckets/probe, the recorded
-    // recall purchase) over 10× the probes; its absolute scale side
-    // (4.0 s) runs 63% UNDER s09's (10.7 s) — the offloaded encode. The
-    // forced build is Lloyd-job-count-dominated on both sides, hence
-    // near-flat (3.46 → 4.73 s).
+    // path's 6.0 ratio is DENOMINATOR-driven — base (sf0.1, 2k vectors,
+    // bits=0) is a 0.67 s bucketed codes read + 80-probe whole-cell
+    // join, while the ×10 side (20k, bits=3) pays the 1+3 flip ring over
+    // 10× the probes; its absolute scale side (4.0 s) runs 63% UNDER
+    // s09's (10.7 s) — the offloaded encode. The forced build is
+    // Lloyd-job-count-dominated on both sides, hence near-flat
+    // (3.46 → 4.73 s).
     "s16_ivfpq_indexed" -> 6.002,
     "s16_index_build" -> 1.365)
 

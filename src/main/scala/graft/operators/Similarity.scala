@@ -735,11 +735,14 @@ object Similarity {
   private val PqK = 16 // codes per sub-codebook
 
   /** Squared L2 between two double arrays — s08's fold, shared by the
-    * per-subspace Lloyd rounds, the encoding argmin and the ADC ranking. */
+    * per-subspace Lloyd rounds, the encoding argmin and the ADC ranking.
+    * A compiled expression since round 14 (VectorFunctions.DoubleVecSqDist,
+    * bit-identical fold order): the interpreted HOF form measured ~1 µs
+    * per evaluation inside the ×100 ADC join — 57 s of a 64 s query spent
+    * in lambda/boxing machinery, the §2.9 zero-UDF-hot-path rule's exact
+    * target. */
   private def sqdCol(v: Column, c: Column): Column =
-    aggregate(
-      zip_with(v, c, (x, y) => { val dd = x - y; dd * dd }),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.sqDistD(v, c)
 
   /** The literal full-centroid vector of the row's assigned `cell`
     * (chained CASE over the ≤k cells — bounded metadata, no join). */
@@ -1155,6 +1158,14 @@ object Similarity {
       else 0.0)
   }
 
+  private[graft] def codeVecColForTest(meta: PqIndexMeta, m: Int, code: Column): Column =
+    codeVecCol(meta.cbs(m), code)
+  private[graft] def probeSideForTest(s: SparkSession, d: String, meta: PqIndexMeta): DataFrame =
+    refineMultiProbe(
+      residualFrameFrom(s, d, meta.cents, meta.bits)
+        .filter(col("vec_id") % ProbeMod === 0),
+      meta.bits)
+
   /** Reconstructed sub-vector for a stored code column: chained CASE over
     * sub-codebook `cb`'s ≤[[PqK]] literal vectors — bounded metadata, no
     * join, the decode mirror of [[pqBests]]'s encode argmin. */
@@ -1179,11 +1190,34 @@ object Similarity {
   val s16IvfPqIndexed = QueryDef(
     "s16_ivfpq_indexed", s09IvfPqAdc.oracle.get) { (s, d) =>
     val (codes, meta) = pqStoredIndex(s, d)
+    // ROUND-ROBIN spread before the broadcast-probe join: a bucketed scan
+    // plans ONE task per bucket, and this join's work rides the SQUARE of
+    // each cellr's population (pair mass = rows × ring hits, both ∝ the
+    // cell count; measured 28–1608 rows/cellr at ×100 — 26× the mean pair
+    // mass at the top), so hash-of-cellr task assignment convoys the hot
+    // cells into a few tasks (measured: 136 s vs s09's 80 on IDENTICAL
+    // pair counts — s09's candidate scan interleaves cellrs across file
+    // splits and never sees the skew). The exchange moves only the codes
+    // themselves (~10 small ints per vector, the compressed index — the
+    // cheapest possible shuffle of this corpus) and decouples pair-work
+    // parallelism from bucket count. The bucketed layout still serves the
+    // shuffle-join regime (probe sets too large to broadcast), where
+    // cellr co-location pays and per-bucket skew is the usual salting
+    // problem, not this plan's.
+    // rres is reconstructed BELOW the exchange on purpose: whole-stage
+    // codegen defers non-join-key streamed columns into the match loop,
+    // so a fully-codegen-able reconstruction fused into the join stage
+    // re-evaluates PER PAIR (measured: 62M CASE-chain+concat evaluations,
+    // 390 s) — the exchange materializes it once per candidate row and
+    // the join then reads a plain array column. The shuffle carries
+    // codes + the 64-double rres (~0.6 KB/row of THIS corpus's rows —
+    // still the cheapest stage of the query by far).
     val rres = concat(
       (0 until SubSpaces).map(m => codeVecCol(meta.cbs(m), col(s"c$m"))): _*)
     val cand = codes.select(
       Seq(col("vec_id"), col("cellr"), rres.as("rres")) ++
         (0 until SubSpaces).map(m => col(s"c$m")): _*)
+      .repartition(s.sparkContext.defaultParallelism * 4)
     val p = refineMultiProbe(
       residualFrameFrom(s, d, meta.cents, meta.bits)
         .filter(col("vec_id") % ProbeMod === 0),

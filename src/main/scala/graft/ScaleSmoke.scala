@@ -246,16 +246,17 @@ object ScaleSmoke {
     // linearly with the bounded fusion join invisible.
     "t25_bpe_encode" -> 0.965,
     "s15_hybrid_rrf" -> 1.476,
-    // round-14 newcomers, ratcheted from their first quiet gate run
-    // (steal/foreign 15/10 in s16's window, zero retries): the read
-    // path's 6.0 ratio is DENOMINATOR-driven — base (sf0.1, 2k vectors,
-    // bits=0) is a 0.67 s bucketed codes read + 80-probe whole-cell
-    // join, while the ×10 side (20k, bits=3) pays the 1+3 flip ring over
-    // 10× the probes; its absolute scale side (4.0 s) runs 63% UNDER
-    // s09's (10.7 s) — the offloaded encode. The forced build is
-    // Lloyd-job-count-dominated on both sides, hence near-flat
-    // (3.46 → 4.73 s).
-    "s16_ivfpq_indexed" -> 6.002,
+    // round-14 newcomers. s16's first ratchet (6.002, bucketed-scan
+    // shape) lasted one day: the ×100 regeneration exposed quadratic
+    // cellr skew under one-task-per-bucket scans plus an interpreted
+    // per-pair kernel (ROUND14_NOTES), so the shape changed DELIBERATELY
+    // (round-robin spread + compiled DoubleVecSqDist + rres materialized
+    // below the exchange) and the ratchet was re-derived once from the
+    // new shape's first gate run (1.53 → 2.16 s, window 80/87
+    // steal/foreign ticks, zero retries) — the s09-radius-2 precedent.
+    // The forced build is Lloyd-job-count-dominated on both sides, hence
+    // near-flat.
+    "s16_ivfpq_indexed" -> 1.405,
     "s16_index_build" -> 1.365)
 
   /** Ratcheted ×100 ratio bounds (round-10 verdict #6): until now the ×100

@@ -352,7 +352,15 @@ object ScaleSmoke {
     // with t25/s15 rows, re-derive both as the max of the two same-HEAD
     // artifacts per this map's discipline.
     "t25_bpe_encode" -> 1.906,
-    "s15_hybrid_rrf" -> 4.137)
+    "s15_hybrid_rrf" -> 4.137,
+    // round-14 newcomer, from its quiet ISOLATED fresh-JVM probe per the
+    // ratchet protocol (the full-run window was contamination-logged:
+    // 2975 foreign ticks, ratio 14.3; the isolated probe read base 1.03 /
+    // scale 12.51 at the 4 GiB driver — the roomy-driver read is ~2×
+    // faster, so the ratio is memory-pressure-shaped, not algorithmic).
+    // The ×100 side pays bits=6 radius-2 (22 sub-buckets/probe) +
+    // nprobe-2 over 100× the probes against a bits=0 base.
+    "s16_ivfpq_indexed" -> 12.299)
 
   /** Absolute ×100 bound (seconds) on d17's forced SCALE-side index
     * build. At ×100 the build's ratio denominator is a 1-3 s fully-
@@ -367,12 +375,13 @@ object ScaleSmoke {
   /** Absolute ×100 bound (seconds) on s16's forced SCALE-side vector-index
     * build (train coarse+sub codebooks, encode the corpus, bucketed
     * write) — the [[IndexBuildAbsScale100Sec]] reasoning applied to the
-    * second single-shot-write entry. PROVISIONAL until the first quiet
-    * ×100 probe records the build: derived from the ×10 build (~8 s
-    * scale side) times the Lloyd-job/encode corpus factor, generous on
-    * purpose; tighten to (worst committed quiet reading × 1.5) as soon
-    * as a quiet ×100 artifact carries `s16_index_build_scale_sec`. */
-  val PqIndexBuildAbsScale100Sec = 90.0
+    * second single-shot-write entry. Derived round 14 from three
+    * same-HEAD readings that agree (43.2 full-run, 43.8/45.3 isolated
+    * fresh-JVM min-of-2; the build's [pqidx] phase breakdown reads
+    * train ≈ 28 s + encode+write ≈ 17 s at the 4 GiB driver) × 1.5.
+    * The 19.0 s reading in the first (pre-shape-fix) ×100 artifact did
+    * not reproduce at either HEAD and is treated as anomalous. One-way. */
+  val PqIndexBuildAbsScale100Sec = 68.0
 
   /** Rounds executed by the t24 merge-loop FLATNESS demonstration
     * (round-13 verdict #4): 8× the oracle entry's [[graft.operators
@@ -454,16 +463,19 @@ object ScaleSmoke {
     * ratio says, and the waiver refuses it. */
   val StreamingWaiverAbsScaleSec = 5.0
 
-  /** Absolute sampled-recall floors for (s05, s06) at ANY gate scale
-    * (round-11 verdict #4; RAISED round 13 with the radius-2 refinement
-    * multi-probe — round-12 verdict #3): committed quiet readings are
-    * ×10 0.20/0.35 and ×100 0.178/0.302 (was 0.108/0.174 under
-    * single-bit flips), so 0.115/0.20 hold ≥1.5× margin at the worst
-    * (×100) point while failing both the round-11 single-sub-bucket
-    * defect (s05 read 0.05) AND a silent fallback to the old single-flip
-    * level (0.108 < 0.115). One-way like the ratio ratchets: tighten on
-    * durable headroom, never loosen. */
-  val IvfRecallFloor: Seq[Double] = Seq(0.115, 0.20)
+  /** Absolute sampled-recall floors for (s05, s06), SCALE-DEPENDENT
+    * since round 14 (round-13 verdict #6): at ×100 s05 probes its top-2
+    * label cells (`NProbe2MinBits`) and committed readings are
+    * 0.302/0.302, so both floors sit at 0.20 (≥1.5× margin) — a silent
+    * fallback to the nprobe-1 radius-2 level (0.178) now FAILS at ×100,
+    * as does the single-flip level (0.108) and the round-11
+    * single-sub-bucket defect (0.05). Below ×100 the nprobe widening is
+    * corpus-gated OFF (×10 scale side is bits=3), so the s05 floor pins
+    * the single-cell level instead: committed ×10 readings 0.20/0.35 →
+    * 0.133/0.20 (≥1.5× margin). One-way like the ratio ratchets within
+    * each regime: tighten on durable headroom, never loosen. */
+  val IvfRecallFloor: Seq[Double] =
+    if (Copies >= 100) Seq(0.20, 0.20) else Seq(0.133, 0.20)
 
   /** Two-statistic rule for machinery-calibrated streaming entries: the
     * floor-subtracted denominator is ~0.3-0.6 s at sf0.1, so a host
@@ -820,10 +832,13 @@ object ScaleSmoke {
        |  multi-probe variant on both sides (the declared s10–s12 gauges
        |  only run where `cellRefineBits` = 0, so this is the only
        |  measurement of cell refinement's recall cost at scale). PRIMARY
-       |  bound: the recorded ABSOLUTE floors (s05 ≥ ${IvfRecallFloor(0)},
-       |  s06 ≥ ${IvfRecallFloor(1)} — ≥1.5× margin under every committed
-       |  quiet reading, and still failing the round-11 single-sub-bucket
-       |  defect's 0.05). Secondary: scale ≥ 0.4× base (collapse check).
+       |  bound: the recorded ABSOLUTE floors, scale-dependent since
+       |  round 14 (at THIS gate scale s05 ≥ ${IvfRecallFloor(0)},
+       |  s06 ≥ ${IvfRecallFloor(1)}; at ×100 both floors are 0.20,
+       |  pinning the nprobe-2 + radius-2 level 0.302/0.302 — a silent
+       |  fallback to nprobe-1 (0.178), single-flip (0.108) or the
+       |  round-11 single-sub-bucket defect (0.05) all FAIL there).
+       |  Secondary: scale ≥ 0.4× base (collapse check).
        |- `streaming_floor` — the machinery floor (epsilon-probe drain
        |  seconds, min of 2) subtracted from BOTH sides of each streaming
        |  gate entry (q48), so its ratio reflects data-dependent work rather

@@ -1109,15 +1109,23 @@ object Similarity {
           catch { case _: Exception => () }
           val bits = cellRefineBits(s, d)
           val cr = centroidRows(s, d)
+          def mark(tag: String, since: Long): Long = {
+            val now = System.nanoTime()
+            System.err.println(f"[pqidx] $tag: ${(now - since) / 1e9}%.1f s")
+            now
+          }
+          val t1 = mark("centroids", t0)
           val rf = residualFrameFrom(s, d, cr, bits).persist()
           try {
             val cbs = trainSubCodebooks(rf)
+            val t2 = mark("train", t1)
             val bests = pqBests(cbs)
             val codes = rf.select(
               Seq(col("vec_id"), col("cell"), col("cellr")) ++
                 bests.zipWithIndex.map { case (b, m) => b.getField("cid").as(s"c$m") }: _*)
             graft.pipeline.Bucketing.writeBucketed(
               codes, codesT, Seq("cellr"), PqIdxBuckets, Some(loc))
+            mark("encode+write", t2)
             val meta = PqIndexMeta(bits, cr, cbs)
             java.nio.file.Files.writeString(
               specPath, renderPqSpec(fp, codes.schema.toDDL, meta))

@@ -344,14 +344,14 @@ object ScaleSmoke {
     // d16 record-as-read convention): t25's training rounds ride the
     // ×100 vocab (3.34 → 6.37 s), s15's lists ride the corpus linearly
     // (1.46 → 6.02 s); both bounds sit at/near the 6.0 ×100 floor.
-    // INTERIM SINGLE-REGIME PROVENANCE (ADVICE r13): these two derive
-    // from 4g-regime quiet probes only — the committed 16g companion
-    // predates them (its three regeneration attempts were contamination-
-    // refused; ROUND13_NOTES logs 16g quiet-window s15 readings up to
-    // 4.49, inside the 6.21 bound). When the 16g companion regenerates
-    // with t25/s15 rows, re-derive both as the max of the two same-HEAD
-    // artifacts per this map's discipline.
-    "t25_bpe_encode" -> 1.906,
+    // Provenance closed round 14 (ADVICE r13): both regimes' artifacts
+    // now carry these rows at the same query-code HEAD — 4g t25 1.471 /
+    // s15 4.690, 16g t25 1.406 / s15 4.298, all zero-retry. t25
+    // TIGHTENED 1.906 → 1.471 (the two-artifact max, durable headroom;
+    // bound stays the 6.0 floor either way); s15's two-artifact max
+    // (4.690) sits ABOVE the standing 4.137, so the one-way rule keeps
+    // the tighter entry — both committed readings pass its 6.21 bound.
+    "t25_bpe_encode" -> 1.471,
     "s15_hybrid_rrf" -> 4.137,
     // round-14 newcomer, from its quiet ISOLATED fresh-JVM probe per the
     // ratchet protocol (the full-run window was contamination-logged:

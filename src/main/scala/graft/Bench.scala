@@ -14,10 +14,10 @@ import org.apache.spark.sql.SparkSession
   * ~5× environment noise): every query runs `SPARK_GRAFT_BENCH_RUNS` times
   * (default 3). The archival file (`bench_full.json`) carries the per-query
   * MEDIAN map plus `queries_min` and the full per-run arrays; the stdout
-  * summary's `queries` map (the driver-read field) carries the per-query
-  * MIN — the steal-immune statistic — plus process user CPU seconds and
-  * host steal-time ticks so round-over-round comparisons can be
-  * steal-adjusted.
+  * summary carries HEADLINE SCALARS ONLY (value, value_min, counts, CPU
+  * seconds, host steal ticks) — at 125 queries even one per-query map
+  * outgrows the driver's parse window (three rounds of `"parsed": null`),
+  * so `queries` is printed empty and readers follow `full_json`.
   *
   * THE HEADLINE TO READ ROUND-OVER-ROUND IS `value_min` — the sum of
   * per-query minima, the steal-immune statistic (a steal burst can only
@@ -379,17 +379,18 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
-    // stdout gets a COMPACT summary as the LAST line (round-13 verdict #7):
-    // headline totals + the driver-contract `queries` map (per-query MIN —
-    // the steal-immune statistic README §bench says to read) + provenance
-    // scalars. The five per-run/steal/median maps live only in the file
-    // above; keeping them off stdout holds this line well under the
-    // driver's parse size limit so BENCH_r{N}.json carries a non-null
-    // `parsed` object again.
+    // stdout gets a COMPACT summary as the LAST line — HEADLINE SCALARS
+    // ONLY (round-14 verdict #2, third round of `"parsed": null`): even
+    // the per-query MIN map alone is ~5 KB at 125 entries and outgrows
+    // the driver's tail/parse window, so NO per-query map is printed at
+    // all. `queries` stays present (driver contract) but empty; counts
+    // replace the maps (n_queries / n_unstable / n_excluded); every
+    // per-query number lives in bench_full.json (`full_json`).
     val compact =
       s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec",""" +
-        s""""queries":$qMin,"runs":$runs,""" +
-        s""""queries_unstable":$qUnstable,"excluded":$qExcluded$scaleJson,""" +
+        s""""queries":{},"n_queries":${results.size},"runs":$runs,""" +
+        s""""n_unstable":${results.count(_._6)},"n_excluded":${excluded.size},""" +
+        s""""n_retried":${retriedNames.size},""" +
         s""""full_json":"${jsonEscape(out)}","cpu_user_sec":$cpuUser,""" +
         s""""host_steal_ticks":$stealDelta,"sf":"$sfDir"}"""
     println(compact)

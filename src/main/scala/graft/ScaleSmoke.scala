@@ -1383,6 +1383,11 @@ object ScaleSmoke {
       // rounds for no additional evidence.
       if (name == "t24_bpe_train" && Copies == 10) {
         try {
+          // one untimed warm round first (ADVICE r14): round 1 of a cold
+          // loop absorbs the bpeWords scan + pair-agg codegen init, which
+          // inflates firstQ and loosens the flatness gate in the LENIENT
+          // direction — the stat must measure round-index growth only
+          graft.operators.TextAnalysis.bpeMerges(spark, dir, rounds = 1)
           val per = scala.collection.mutable.ArrayBuffer.empty[Double]
           val t0 = System.nanoTime()
           val ms = graft.operators.TextAnalysis.bpeMerges(

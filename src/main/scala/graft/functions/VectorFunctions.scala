@@ -74,7 +74,18 @@ object VectorFunctions {
   /** Squared L2 distance over array<double>, left-to-right
     * (== aggregate(zip_with(a, b, (x,y) -> (x-y)*(x-y)), 0.0, +) — the
     * identical IEEE op sequence, so results are bit-identical to the
-    * higher-order-function form it replaces). Full `doGenCode`: this is
+    * higher-order-function form it replaces).
+    *
+    * PRECONDITION (ADVICE r14): both arrays must be equal-length with no
+    * null elements. On a length mismatch the HOF form returns NULL
+    * (zip_with null-pads, the lambda nulls out, aggregate propagates);
+    * this kernel instead folds over min(n) and returns a number — and a
+    * null element is read as garbage via getDouble. Every caller (s08
+    * Lloyd, s09/s13/s16 sub-vectors and codebook rows) constructs both
+    * sides from fixed-dimension slices, so the divergence is unreachable
+    * today; a future variable-length caller must guard lengths itself.
+    *
+    * Full `doGenCode`: this is
     * the PQ/k-means family's per-pair kernel (s08 Lloyd assignment, s09
     * encode + ADC, s16 ADC) — at ×100 the ADC join evaluates it 62M
     * times, and the interpreted HOF fold measured ~1 µs/pair there (57 s

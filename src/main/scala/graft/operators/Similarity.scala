@@ -432,13 +432,19 @@ object Similarity {
     // top-2 label cells (the s06 explode); below it, the pinned
     // single-cell shape. Probed cells are distinct and every corpus
     // vector lives in exactly one, so no candidate dedup is needed.
+    // The PROBED cell drives only the candidate-join key (cellr); the
+    // output `cell` column keeps its declared meaning — the probe's
+    // ASSIGNED cell — in both branches (ADVICE r14: the explode branch
+    // used to leak the probed cell into the output column).
     val pBase =
       if (bits >= NProbe2MinBits)
         e.filter(col("vec_id") % ProbeMod === 0)
           .select(col("vec_id"), col("embedding"), col("nrm"),
+            (-array_max(scoredCells).getField("negCell")).as("cell"),
             explode(transform(slice(array_sort(scoredCells), -NProbe, NProbe),
-              x => -x.getField("negCell"))).as("cell"))
-          .withColumn("cellr", refinedCellCol(col("cell"), col("embedding"), bits))
+              x => -x.getField("negCell"))).as("probed_cell"))
+          .withColumn("cellr", refinedCellCol(col("probed_cell"), col("embedding"), bits))
+          .drop("probed_cell")
       else assigned.filter(col("vec_id") % ProbeMod === 0)
     val p = refineMultiProbe(pBase, bits)
     val cos = dotCol(col("p.embedding"), col("e.embedding")) / (col("p.nrm") * col("e.nrm"))

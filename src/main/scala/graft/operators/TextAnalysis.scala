@@ -1222,11 +1222,13 @@ object TextAnalysis {
   private val HtmlBlockClose = "</(p|div|nav|footer|title|h[1-6]|li)>"
 
   /** Trimmed nonempty text lines of an HTML page: script/style blocks
-    * removed (non-greedy, RE2∩Java-safe — the t11 dialect rule), block
-    * closes become newlines, remaining tags stripped. */
+    * removed (non-greedy, RE2∩Java-safe — the t11 dialect rule; `(?s)`
+    * because real script/style bodies span lines and `.` matches no
+    * newline in either dialect — ADVICE r14), block closes become
+    * newlines, remaining tags stripped. */
   private[operators] def htmlExtractLines(html: Column): Column = {
-    val noScript = regexp_replace(html, "<script[^>]*>.*?</script>", "")
-    val noStyle = regexp_replace(noScript, "<style[^>]*>.*?</style>", "")
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", "")
     val lined = regexp_replace(noStyle, HtmlBlockClose, "\n")
     val txt = regexp_replace(lined, "<[^>]*>", "")
     filter(transform(split(txt, "\n"), y => trim(y)), y => length(y) > 0)
@@ -1303,8 +1305,8 @@ object TextAnalysis {
          |x AS (
          |  SELECT doc_id,
          |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
-         |      '<script[^>]*>.*?</script>', '', 'g'),
-         |      '<style[^>]*>.*?</style>', '', 'g'),
+         |      '(?s)<script[^>]*>.*?</script>', '', 'g'),
+         |      '(?s)<style[^>]*>.*?</style>', '', 'g'),
          |      '$HtmlBlockClose', chr(10), 'g'),
          |      '<[^>]*>', '', 'g') AS txt
          |  FROM h),

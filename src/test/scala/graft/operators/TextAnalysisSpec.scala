@@ -369,6 +369,24 @@ class TextAnalysisSpec extends SparkSpec {
       s"extraction returned: '$kept'")
   }
 
+  test("t26 strips MULTI-LINE script/style blocks (DOTALL — ADVICE r14)") {
+    import spark.implicits._
+    // '.' matches no newline in Java or RE2, so without (?s) the block
+    // patterns never span real formatted HTML — the dense JS/CSS lines
+    // below would survive tag-stripping AND the density prune
+    val page = "<html><head><script type=\"text/javascript\">\n" +
+      "windowdatalayerpush0 gtagconfig9876 measurement54321\n" +
+      "trackingidentifier98765 analyticscode1122334455 beacon77\n" +
+      "</script>\n<style>\n" +
+      "abcdefghij0123456789 abcdefghij0123456789 abcdefghij0123456789\n" +
+      "</style></head><body>\n" +
+      "<p>quick brown foxes jump over lazy dogs near river banks today</p></body></html>"
+    val kept = Seq(page).toDF("html")
+      .select(TextAnalysis.htmlExtractText(col("html")).as("t")).head.getString(0)
+    assert(kept == "quick brown foxes jump over lazy dogs near river banks today",
+      s"extraction returned: '$kept'")
+  }
+
   test("c03 html pre-stage recovers the clean token stream from synthesized pages") {
     import spark.implicits._
     // all words ≥ 4 chars, so every 10-token paragraph passes the

@@ -269,8 +269,16 @@ object Similarity {
     * in-plan variant uses so a persisted copy (s16's spec file) replays
     * bit-identical literals. ONE s03 job — residualFrame and the scored
     * cells share the collect instead of each re-running the centroid agg. */
+  /** Training-job call counters (test hooks): [[centroidRows]] runs the
+    * s03 centroid jobs, [[trainSubCodebooks]] the Lloyd jobs. The s17
+    * no-Lloyd pin snapshots both around a forced delta append — the
+    * frozen-spec encode path must move NEITHER. */
+  private[graft] val pqTrainCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[graft] val centroidJobCalls = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private[operators] def centroidRows(
-      s: SparkSession, d: String): Seq[(Int, Seq[Float], Double)] =
+      s: SparkSession, d: String): Seq[(Int, Seq[Float], Double)] = {
+    centroidJobCalls.incrementAndGet()
     s03Centroids.fn(s, d)
       .groupBy("label")
       .agg(transform(
@@ -281,6 +289,7 @@ object Similarity {
       .toIndexedSeq
       .map(r => (r.getInt(0), r.getSeq[Float](1).toSeq, r.getDouble(2)))
       .sortBy(_._1) // argmax/CASE are order-independent; the sort makes the persisted spec deterministic
+  }
 
   /** [[centroidScoredCells]]'s literal-argmax column built from
     * already-materialized centroid rows (fresh from [[centroidRows]] or
@@ -772,10 +781,20 @@ object Similarity {
     * while s09 keeps deriving both per session. */
   private def residualFrameFrom(
       s: SparkSession, d: String,
+      cr: Seq[(Int, Seq[Float], Double)], bits: Int): DataFrame =
+    residualFrameOf(vecs(s, d), cr, bits)
+
+  /** [[residualFrameFrom]] over an arbitrary (vec_id, embedding, nrm)
+    * source frame — s17's frozen-spec delta encode runs this chain over
+    * the DELTA batch (and the probe side over the unioned corpus) with
+    * centroids/bits deserialized from the index spec, so the delta path
+    * touches no training job of any kind. */
+  private def residualFrameOf(
+      src: DataFrame,
       cr: Seq[(Int, Seq[Float], Double)], bits: Int): DataFrame = {
     val cents: Seq[(Int, Seq[Float])] = cr.map { case (lab, cv, _) => (lab, cv) }
     val scoredCells = scoredCellsFrom(cr)
-    vecs(s, d)
+    src
       .select(col("vec_id"), col("embedding"),
         (-array_max(scoredCells).getField("negCell")).as("cell"))
       .withColumn("cellr", refinedCellCol(col("cell"), col("embedding"), bits))
@@ -797,6 +816,7 @@ object Similarity {
     * fewer jobs. Returns sub-codebooks indexed by subspace, each ordered
     * by cid. */
   private def trainSubCodebooks(rf: DataFrame): Seq[Seq[(Long, Seq[Double])]] = {
+    pqTrainCalls.incrementAndGet()
     val rsub = rf.select(col("vec_id"),
       explode(array((0 until SubSpaces).map(m =>
         struct(lit(m).as("sub"),
@@ -1149,6 +1169,7 @@ object Similarity {
     * regenerating embeddings) and by the gate's forced-build timing. */
   private[graft] def invalidatePqIndex(d: String): Unit = {
     pqMetaCache.remove(d)
+    invalidatePqDelta(d) // a delta segment encoded against dropped codebooks is undefined
     val t = pqCodesTable(d)
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach { s =>
       try {
@@ -1234,6 +1255,300 @@ object Similarity {
       .repartition(s.sparkContext.defaultParallelism * 4)
     val p = refineMultiProbe(
       residualFrameFrom(s, d, meta.cents, meta.bits)
+        .filter(col("vec_id") % ProbeMod === 0),
+      meta.bits)
+    val adc = sqdCol(col("p.res"), col("e.rres"))
+    val w = Window.partitionBy("probe_id").orderBy(col("adc"), col("neighbor_id"))
+    broadcast(p.as("p"))
+      .join(cand.as("e"),
+        col("p.cellr") === col("e.cellr") && col("p.vec_id") =!= col("e.vec_id"))
+      .select(Seq(col("p.vec_id").as("probe_id"), col("p.cell").as("cell"),
+        col("e.vec_id").as("neighbor_id")) ++
+        (0 until SubSpaces).map(m => col(s"e.c$m").as(s"c$m")) :+
+        adc.as("adc"): _*)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(Seq(col("probe_id"), col("cell"), col("rank"), col("neighbor_id")) ++
+        (0 until SubSpaces).map(m => col(s"c$m")) :+
+        Stable.r4(col("adc")).as("adc_sqdist"): _*)
+  }
+
+  // ---------- s17: incremental APPEND to the persisted vector index ----------
+
+  private val PqDeltaIdOffset = 1000000L
+  private val PqDeltaMod = 10
+  private val PqDeltaRes = 5
+  /** Identity of the delta batch definition, recorded in the segment's
+    * spec file so a changed delta convention invalidates the segment the
+    * same way a changed corpus does. */
+  private val PqDeltaTag = s"rev mod=$PqDeltaMod res=$PqDeltaRes off=$PqDeltaIdOffset"
+
+  /** The deterministic DELTA batch: every corpus vector with
+    * vec_id % [[PqDeltaMod]] == [[PqDeltaRes]], re-identified past
+    * [[PqDeltaIdOffset]] with its embedding REVERSED — d16's synthesized-
+    * incoming convention for the vector family. Reversal is an exact
+    * element permutation (no float arithmetic, so both engines carry
+    * bit-identical vectors), preserves the norm's summand SET while
+    * landing the vector in an unrelated cell, and the offset keeps a
+    * probe slice inside the delta (ids ≡ 25 mod 50 hit vec_id %
+    * [[ProbeMod]] == 0 after the shift) — new vectors are exercised as
+    * BOTH index rows and probes. */
+  private[operators] def deltaVecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") % PqDeltaMod === PqDeltaRes)
+      .select((col("vec_id") + PqDeltaIdOffset).as("vec_id"),
+        reverse(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), normCol(col("embedding")).as("nrm"))
+
+  private def pqDeltaTable(d: String): String =
+    s"graft_pqidx_delta_${Dedup.pathKey(d)}"
+
+  /** What the last [[pqDeltaSegment]] call did per directory ("cached" /
+    * "reregistered" / "appended") and the append seconds when "appended"
+    * — the delta twin of [[vecIndexBuildMode]], read by the gate's timed
+    * `s17_delta_append` entry and the no-Lloyd spec. */
+  private[graft] val vecDeltaMode =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val vecDeltaSec =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+
+  /** Incremental APPEND to the persisted vector index (round-14 verdict
+    * #1 — the index's one missing lifecycle step: any corpus change
+    * forced a FULL retrain + re-encode, turning a daily vector ingest
+    * into a daily 16-Lloyd-job retrain at 100 TB; d16/d17 closed exactly
+    * this for text near-dup). Standard IVF practice: NEW vectors are
+    * encoded with the FROZEN spec-file centroids/codebooks — cell argmax,
+    * residual, per-subspace code argmin, all against literals, a MAP-ONLY
+    * delta-sized projection with zero training jobs (the no-Lloyd spec
+    * pins [[pqTrainCalls]]/[[centroidJobCalls]] unmoved) — and land in a
+    * DELTA SEGMENT: a second bucketed EXTERNAL table with the same
+    * `cellr` bucketing as the base codes table, its spec file written
+    * LAST (fingerprint = base corpus fp + [[PqDeltaTag]]), so a crashed
+    * append self-heals into a re-append and the base table is never
+    * mutated in place (the LSM/Faiss-shard shape; compaction can fold
+    * segments into the base at leisure). Readers union base + segment.
+    * A changed base corpus flips the recorded fingerprint and re-encodes
+    * the delta against the REBUILT spec — frozen-codebook reuse never
+    * outlives the codebooks themselves. */
+  private[graft] def pqDeltaSegment(
+      s: SparkSession, d: String, meta: PqIndexMeta): DataFrame = {
+    val deltaT = pqDeltaTable(d)
+    val loc = s"${Dedup.warehouseDir(s)}/$deltaT"
+    val specPath = java.nio.file.Paths.get(loc, PqIdxSpecFile)
+    val fp = Dedup.sourceFingerprint(d, "embeddings.parquet") + "|" + PqDeltaTag
+    if (s.catalog.tableExists(deltaT)) {
+      vecDeltaMode.put(d, "cached")
+      graft.pipeline.Bucketing.readBucketed(s, deltaT)
+    } else {
+      val onDisk =
+        if (java.nio.file.Files.exists(specPath))
+          Some(java.nio.file.Files.readString(specPath).split("\n", 2))
+        else None
+      onDisk match {
+        case Some(Array(sfp, ddl)) if sfp == fp =>
+          s.sql(s"""CREATE TABLE $deltaT ($ddl) USING parquet
+                   |CLUSTERED BY (cellr) SORTED BY (cellr)
+                   |INTO $PqIdxBuckets BUCKETS
+                   |LOCATION '$loc'""".stripMargin)
+          vecDeltaMode.put(d, "reregistered")
+          graft.pipeline.Bucketing.readBucketed(s, deltaT)
+        case _ =>
+          val t0 = System.nanoTime()
+          s.sql(s"DROP TABLE IF EXISTS $deltaT")
+          try Reconcile.deleteRecursively(loc)
+          catch { case _: Exception => () }
+          val rf = residualFrameOf(deltaVecs(s, d), meta.cents, meta.bits)
+          val bests = pqBests(meta.cbs)
+          val codes = rf.select(
+            Seq(col("vec_id"), col("cell"), col("cellr")) ++
+              bests.zipWithIndex.map { case (b, m) => b.getField("cid").as(s"c$m") }: _*)
+          graft.pipeline.Bucketing.writeBucketed(
+            codes, deltaT, Seq("cellr"), PqIdxBuckets, Some(loc))
+          java.nio.file.Files.writeString(
+            specPath, fp + "\n" + codes.schema.toDDL)
+          vecDeltaMode.put(d, "appended")
+          vecDeltaSec.put(d, (System.nanoTime() - t0) / 1e9)
+          graft.pipeline.Bucketing.readBucketed(s, deltaT)
+      }
+    }
+  }
+
+  /** Drop only the DELTA segment for `d` (the base index survives) —
+    * the forced-append timing's invalidation hook. */
+  private[graft] def invalidatePqDelta(d: String): Unit = {
+    vecDeltaMode.remove(d)
+    val t = pqDeltaTable(d)
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach { s =>
+      try {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        try Reconcile.deleteRecursively(s"${Dedup.warehouseDir(s)}/$t")
+        catch { case _: Exception => () }
+      } catch { case _: Exception => () }
+    }
+  }
+
+  /** Force-or-ensure the delta segment, returning (mode, append seconds —
+    * 0 unless "appended"): the gate's `s17_delta_append` timing hook.
+    * The base index is ensured first (never forced here — the forced
+    * BUILD timing is [[ensurePqIndex]]'s), so the returned seconds time
+    * the DELTA-SIZED append alone. */
+  private[graft] def ensurePqDelta(
+      s: SparkSession, d: String, force: Boolean = false): (String, Double) = {
+    val (_, meta) = pqStoredIndex(s, d)
+    if (force) invalidatePqDelta(d)
+    pqDeltaSegment(s, d, meta)
+    val mode = vecDeltaMode.getOrDefault(d, "none")
+    (mode,
+      if (mode == "appended") Option(vecDeltaSec.get(d)).fold(0.0)(_.doubleValue())
+      else 0.0)
+  }
+
+  /** Test hook (append-vs-rebuild equivalence): the ONE-SHOT frozen-spec
+    * encode of the UNIONED corpus — what a from-scratch encode with the
+    * same spec would store. The append path must agree with this row-set
+    * exactly (same codes, no duplicates, nothing missing), which is what
+    * makes "append" a pure storage optimization rather than a semantics
+    * change. */
+  private[graft] def oneShotUnionCodesForTest(s: SparkSession, d: String): DataFrame = {
+    val (_, meta) = pqStoredIndex(s, d)
+    val rf = residualFrameOf(
+      vecs(s, d).unionByName(deltaVecs(s, d)), meta.cents, meta.bits)
+    val bests = pqBests(meta.cbs)
+    rf.select(
+      Seq(col("vec_id"), col("cell"), col("cellr")) ++
+        bests.zipWithIndex.map { case (b, m) => b.getField("cid").as(s"c$m") }: _*)
+  }
+
+  /** Test hook: base codes table ∪ delta segment, as s17's candidate side
+    * reads them (before reconstruction). */
+  private[graft] def storedUnionCodesForTest(s: SparkSession, d: String): DataFrame = {
+    val (base, meta) = pqStoredIndex(s, d)
+    base.unionByName(pqDeltaSegment(s, d, meta))
+  }
+
+  /** Encode-only oracle block for subspace `m` over the delta rsub CTE:
+    * the [[pqSubBlockSql]] final step against the FROZEN s{m}c2 codebook
+    * — no seed, no Lloyd rounds, exactly the frozen-spec reuse the Spark
+    * append path performs. */
+  private def pqSubEncodeSql(m: Int): String =
+    s"""d${m}enc AS (
+       |  SELECT r.vec_id, $m AS sub, c.cid AS code, c.cvec
+       |  FROM (SELECT vec_id, sv FROM drsub WHERE sub = $m) r CROSS JOIN s${m}c2 c
+       |  QUALIFY row_number() OVER (PARTITION BY r.vec_id
+       |                             ORDER BY ${sqdSql("r.sv", "c.cvec")}, c.cid) = 1)""".stripMargin
+
+  /** s17 — s16 over the index PLUS an incrementally APPENDED delta batch:
+    * the corpus is base ∪ delta ([[deltaVecs]] — reversed-embedding twins
+    * past [[PqDeltaIdOffset]]); training (coarse centroids + sub-
+    * codebooks) runs on the BASE only, the delta is encoded with those
+    * FROZEN codebooks, probes come from the union (some probes ARE new
+    * vectors), and the candidate side reads base codes table ∪ delta
+    * segment. Oracle = s09's chain verbatim for training + base encode,
+    * plus a frozen-codebook encode of the delta (QUALIFY argmin against
+    * s{m}c2 — no retraining CTEs), search over the union.
+    *
+    * 100 TB shape: the recurring cost of a daily vector ingest is the
+    * delta-sized map-only encode + one delta-segment bucketed write —
+    * never a Lloyd job, never a corpus-scale scan ([[pqDeltaSegment]]'s
+    * scaladoc; the gate times the forced append next to the forced full
+    * build). */
+  val s17IvfPqAppend = QueryDef(
+    "s17_ivfpq_append", {
+      val centroidSql = s03Centroids.oracle.get
+      s"""WITH cents0 AS (${centroidSql.replace("\n", "\n  ")}),
+         |cents AS (
+         |  SELECT label,
+         |         list_transform(list(centroid ORDER BY dim_pos), x -> CAST(x AS REAL)) AS cvec
+         |  FROM cents0 GROUP BY label),
+         |cn AS (SELECT label, cvec, ${normSql("cvec")} AS cnorm FROM cents),
+         |e AS ($vecsSql),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT e.vec_id, e.embedding, cn.label AS cell,
+         |           row_number() OVER (
+         |             PARTITION BY e.vec_id
+         |             ORDER BY ${dotSql("e.embedding", "cn.cvec")} / (e.nrm * cn.cnorm) DESC,
+         |                      cn.label) AS rn
+         |    FROM e CROSS JOIN cn) WHERE rn = 1),
+         |res AS (
+         |  SELECT a.vec_id, a.cell,
+         |         list_transform(list_zip(a.embedding, cc.cvec),
+         |                        pp -> CAST(pp[1] AS DOUBLE) - CAST(pp[2] AS DOUBLE)) AS res
+         |  FROM assigned a JOIN cents cc ON a.cell = cc.label),
+         |rsub AS (
+         |  SELECT vec_id, sub, res[sub * $SubDim + 1 : sub * $SubDim + $SubDim] AS sv
+         |  FROM res CROSS JOIN (SELECT unnest(generate_series(0, ${SubSpaces - 1})) AS sub) ss),
+         |${(0 until SubSpaces).map(pqSubBlockSql).mkString(",\n")},
+         |encoded AS (${(0 until SubSpaces).map(m => s"SELECT * FROM s${m}enc")
+           .mkString("\n  ", "\n  UNION ALL ", "")}),
+         |recon AS (
+         |  SELECT vec_id, flatten(list(cvec ORDER BY sub)) AS rres,
+         |         list(code ORDER BY sub) AS codes
+         |  FROM encoded GROUP BY vec_id),
+         |cand AS (
+         |  SELECT r.vec_id, r.cell, rc.rres, rc.codes
+         |  FROM res r JOIN recon rc USING (vec_id)),
+         |de AS (SELECT vec_id + $PqDeltaIdOffset AS vec_id, list_reverse(embedding) AS embedding
+         |       FROM embeddings WHERE vec_id % $PqDeltaMod = $PqDeltaRes),
+         |den AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM de),
+         |dassigned AS (
+         |  SELECT vec_id, embedding, cell FROM (
+         |    SELECT den.vec_id, den.embedding, cn.label AS cell,
+         |           row_number() OVER (
+         |             PARTITION BY den.vec_id
+         |             ORDER BY ${dotSql("den.embedding", "cn.cvec")} / (den.nrm * cn.cnorm) DESC,
+         |                      cn.label) AS rn
+         |    FROM den CROSS JOIN cn) WHERE rn = 1),
+         |dres AS (
+         |  SELECT a.vec_id, a.cell,
+         |         list_transform(list_zip(a.embedding, cc.cvec),
+         |                        pp -> CAST(pp[1] AS DOUBLE) - CAST(pp[2] AS DOUBLE)) AS res
+         |  FROM dassigned a JOIN cents cc ON a.cell = cc.label),
+         |drsub AS (
+         |  SELECT vec_id, sub, res[sub * $SubDim + 1 : sub * $SubDim + $SubDim] AS sv
+         |  FROM dres CROSS JOIN (SELECT unnest(generate_series(0, ${SubSpaces - 1})) AS sub) ss2),
+         |${(0 until SubSpaces).map(pqSubEncodeSql).mkString(",\n")},
+         |dencoded AS (${(0 until SubSpaces).map(m => s"SELECT * FROM d${m}enc")
+           .mkString("\n  ", "\n  UNION ALL ", "")}),
+         |drecon AS (
+         |  SELECT vec_id, flatten(list(cvec ORDER BY sub)) AS rres,
+         |         list(code ORDER BY sub) AS codes
+         |  FROM dencoded GROUP BY vec_id),
+         |dcand AS (
+         |  SELECT r.vec_id, r.cell, rc.rres, rc.codes
+         |  FROM dres r JOIN drecon rc USING (vec_id)),
+         |ares AS (SELECT vec_id, cell, res FROM res
+         |         UNION ALL SELECT vec_id, cell, res FROM dres),
+         |acand AS (SELECT * FROM cand UNION ALL SELECT * FROM dcand),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, p.cell, c.vec_id AS neighbor_id, c.codes,
+         |         ${sqdSql("p.res", "c.rres")} AS adc
+         |  FROM (SELECT * FROM ares WHERE vec_id % $ProbeMod = 0) p
+         |  JOIN acand c ON p.cell = c.cell AND p.vec_id <> c.vec_id),
+         |ranked AS (
+         |  SELECT probe_id, cell, neighbor_id, codes, adc,
+         |         row_number() OVER (PARTITION BY probe_id
+         |                            ORDER BY adc, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT probe_id, cell, rank, neighbor_id,
+         |       ${(0 until SubSpaces).map(m => s"codes[${m + 1}] AS c$m").mkString(", ")},
+         |       ${Stable.sqlR4("adc")} AS adc_sqdist
+         |FROM ranked WHERE rank <= $TopK""".stripMargin
+    }) { (s, d) =>
+    val (base, meta) = pqStoredIndex(s, d)
+    val delta = pqDeltaSegment(s, d, meta)
+    val codes = base.unionByName(delta)
+    // same read-path discipline as s16 (see its scaladoc): reconstruct
+    // rres once per candidate row BELOW the round-robin exchange, then
+    // the broadcast-probe join reads a plain array column
+    val rres = concat(
+      (0 until SubSpaces).map(m => codeVecCol(meta.cbs(m), col(s"c$m"))): _*)
+    val cand = codes.select(
+      Seq(col("vec_id"), col("cellr"), rres.as("rres")) ++
+        (0 until SubSpaces).map(m => col(s"c$m")): _*)
+      .repartition(s.sparkContext.defaultParallelism * 4)
+    val p = refineMultiProbe(
+      residualFrameOf(vecs(s, d).unionByName(deltaVecs(s, d)), meta.cents, meta.bits)
         .filter(col("vec_id") % ProbeMod === 0),
       meta.bits)
     val adc = sqdCol(col("p.res"), col("e.rres"))
@@ -1491,5 +1806,5 @@ object Similarity {
     Seq(s01KnnBrute, s02AnnLsh, s03Centroids, s04AnnMultiProbe, s05IvfSearch,
       s06IvfMultiProbe, s07AnnRecall, s08KmeansLloyd, s09IvfPqAdc,
       s10IvfRecall, s11IvfMultiProbeRecall, s12IvfPqRecall,
-      s13Sq8Search, s14Sq8Recall, s15HybridRrf, s16IvfPqIndexed)
+      s13Sq8Search, s14Sq8Recall, s15HybridRrf, s16IvfPqIndexed, s17IvfPqAppend)
 }

@@ -117,6 +117,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("s17 reads base codes + delta segment — no training and no corpus encode in the plan") {
+    import graft.operators.Similarity
+    // first call ensures the base index and appends the delta segment
+    val s17 = Similarity.s17IvfPqAppend.fn(spark, sf)
+    val plan = planOf(s17)
+    // the candidate side must be the STORED base codes UNION the stored
+    // delta segment (both reconstruction-from-literals projections)...
+    assert(plan.contains("graft_pqidx_codes"), "base codes table not scanned")
+    assert(plan.contains("graft_pqidx_delta"), "delta segment table not scanned")
+    // ...so raw embeddings are read only to derive PROBE residuals —
+    // exactly the probe union's two branches (base probes + the delta's
+    // reversed twins), never to encode candidates. A third scan would
+    // mean candidate encode crept back into the plan.
+    def embScans(p: String): Int =
+      "embeddings\\.parquet".r.findAllIn(p).length
+    assert(embScans(plan) == 2,
+      s"s17 scans embeddings.parquet ${embScans(plan)}x — expected exactly the 2 probe-union branches")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("s05 IVF assignment is a pure projection — no shuffle below the candidate join") {
     import graft.operators.Similarity
     val plan = planOf(Similarity.s05IvfSearch.fn(spark, sf))

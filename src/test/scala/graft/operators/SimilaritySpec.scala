@@ -181,6 +181,93 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.s16IvfPqIndexed.fn(spark, sf).collect().map(_.toSeq).toSet == s09)
   }
 
+  test("s17 delta append runs ZERO training jobs (frozen-spec encode only)") {
+    // base index in place (built or reused from an earlier test)
+    Similarity.ensurePqIndex(spark, sf)
+    val lloyd0 = Similarity.pqTrainCalls.get()
+    val cents0 = Similarity.centroidJobCalls.get()
+    val (mode, sec) = Similarity.ensurePqDelta(spark, sf, force = true)
+    assert(mode == "appended", s"forced delta append must append, got $mode")
+    assert(sec > 0.0, "an appended segment must report its append seconds")
+    assert(Similarity.pqTrainCalls.get() == lloyd0,
+      "the append path ran trainSubCodebooks — codebooks must stay FROZEN")
+    assert(Similarity.centroidJobCalls.get() == cents0,
+      "the append path ran the s03 centroid jobs — centroids must come from the spec")
+  }
+
+  test("s17 append agrees with a one-shot frozen-spec encode of the union") {
+    Similarity.ensurePqDelta(spark, sf)
+    val stored = Similarity.storedUnionCodesForTest(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val oneShot = Similarity.oneShotUnionCodesForTest(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    // multiset equality: same codes for every vector, no duplicate rows
+    // smuggled in by a double-append, nothing missing
+    assert(stored.size == oneShot.size,
+      s"row counts diverge: stored ${stored.size} vs one-shot ${oneShot.size}")
+    assert(stored.sortBy(_.toString()) == oneShot.sortBy(_.toString()))
+    // and the delta genuinely participates: appended rows exist
+    assert(stored.exists(r => r.head.asInstanceOf[Long] >= 1000000L),
+      "no delta rows in the stored union — the segment is empty")
+  }
+
+  test("s17 output includes DELTA probes and delta neighbors") {
+    val out = Similarity.s17IvfPqAppend.fn(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("probe_id") >= 1000000L).count() > 0,
+        "no appended vector acts as a probe — the union probe side is broken")
+      assert(out.filter(col("neighbor_id") >= 1000000L).count() > 0,
+        "no appended vector surfaces as a neighbor — the delta segment is unread")
+    } finally out.unpersist()
+  }
+
+  test("s17 delta segment survives a catalog restart: re-registered, not re-encoded") {
+    val before = Similarity.s17IvfPqAppend.fn(spark, sf).collect().map(_.toSeq).toSet
+    // simulate a fresh JVM: drop BOTH catalog tables (external — files
+    // survive) and the in-memory spec metadata
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_pqidx_"))
+      .foreach(t => spark.sql(s"DROP TABLE $t"))
+    Similarity.forgetPqMetaForTest(sf)
+    val (mode, sec) = Similarity.ensurePqDelta(spark, sf)
+    assert(mode == "reregistered",
+      s"restart must reuse the persisted delta segment, got $mode")
+    assert(sec == 0.0, "re-registration must not report an append cost")
+    assert(Similarity.s17IvfPqAppend.fn(spark, sf).collect().map(_.toSeq).toSet == before)
+  }
+
+  test("s17 delta segment invalidates with the base corpus: stale fingerprint re-encodes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_s17_fp").toString
+    def write(seed: Int): Unit =
+      spark.range(0, 60).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          i => sin((col("id") + 1) * (i + lit(seed + 1))).cast("float")).as("embedding"),
+        (col("id") % 2).cast("int").as("label"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+      write(0)
+      Similarity.invalidateParamCaches(dir)
+      assert(Similarity.ensurePqDelta(spark, dir)._1 == "appended")
+      assert(Similarity.ensurePqDelta(spark, dir)._1 == "cached")
+      // corpus regenerated "between JVMs": the delta's recorded fingerprint
+      // (base fp + delta tag) no longer matches — serving old delta codes
+      // against REBUILT codebooks would rank garbage; it must re-encode
+      write(7)
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(n => n.startsWith("graft_pqidx_") && n.contains("graft_s17_fp"))
+        .foreach(t => spark.sql(s"DROP TABLE $t"))
+      Similarity.forgetPqMetaForTest(dir)
+      val (m2, _) = Similarity.ensurePqDelta(spark, dir)
+      assert(m2 == "appended",
+        s"a changed base corpus must force a delta re-encode, got $m2")
+    } finally {
+      Similarity.invalidateParamCaches(dir)
+      graft.operators.Reconcile.deleteRecursively(dir)
+    }
+  }
+
   test("s16 index invalidates on corpus change: stale fingerprint forces a rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("graft_s16_fp").toString
     // deterministic nonzero 64-dim float vectors; seed varies the data so

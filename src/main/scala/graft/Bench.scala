@@ -155,7 +155,9 @@ object Bench {
       "q50_interval_join_stream", "q51_dedup_stream",
       // d17/q57 build the persisted near-dup index once per (JVM, dir) —
       // timed runs must measure the read-back shape, not the build
-      "d17_neardup_indexed", "q57_neardup_stream_gate")
+      "d17_neardup_indexed", "q57_neardup_stream_gate",
+      // q58 serves the persisted VECTOR index to a stream — same reason
+      "q58_ann_stream_enrich")
     (Seq("t01_token_count", "s03_centroids") ++ sideEffectWarmed.toSeq.sorted)
       .foreach { n =>
         SparkEntry.benchQueries.get(n).foreach { f =>
@@ -257,7 +259,8 @@ object Bench {
       "q50_interval_join_stream" -> graft.streaming.StreamQueries.q50MachineryProbe,
       "q51_dedup_stream" -> graft.streaming.StreamQueries.q51MachineryProbe,
       "q55_stream_static_join" -> graft.streaming.StreamQueries.q55MachineryProbe,
-      "q57_neardup_stream_gate" -> graft.streaming.StreamQueries.q57MachineryProbe)
+      "q57_neardup_stream_gate" -> graft.streaming.StreamQueries.q57MachineryProbe,
+      "q58_ann_stream_enrich" -> graft.streaming.StreamQueries.q58MachineryProbe)
     val machineryCal: Map[String, Double] = machineryProbes.flatMap { case (n, f) =>
       if (excluded.contains(n)) None
       else {

@@ -181,6 +181,25 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.s16IvfPqIndexed.fn(spark, sf).collect().map(_.toSeq).toSet == s09)
   }
 
+  test("the IVF family reads training from the persisted spec: a fresh JVM runs s05 with ZERO centroid jobs") {
+    // a completed build leaves the spec file in the warehouse
+    Similarity.ensurePqIndex(spark, sf)
+    val expected = Similarity.s05IvfSearch.fn(spark, sf).collect().map(_.toSeq).toSet
+    // simulate a fresh JVM: in-memory spec metadata and refine-bit cache
+    // gone (the warehouse files survive a restart)
+    Similarity.forgetPqMetaForTest(sf)
+    val cents0 = Similarity.centroidJobCalls.get()
+    val lloyd0 = Similarity.pqTrainCalls.get()
+    val got = Similarity.s05IvfSearch.fn(spark, sf).collect().map(_.toSeq).toSet
+    assert(Similarity.centroidJobCalls.get() == cents0,
+      "s05 ran the s03 centroid jobs although a valid persisted spec exists")
+    assert(Similarity.pqTrainCalls.get() == lloyd0,
+      "s05 ran Lloyd jobs — it should never train sub-codebooks at all")
+    // the spec literals are raw-IEEE-bit round-trips of the trained
+    // values, so the plans are literal-identical and results cannot move
+    assert(got == expected, "spec-served s05 diverged from trained s05")
+  }
+
   test("s17 delta append runs ZERO training jobs (frozen-spec encode only)") {
     // base index in place (built or reused from an earlier test)
     Similarity.ensurePqIndex(spark, sf)

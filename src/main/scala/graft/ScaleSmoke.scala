@@ -1782,7 +1782,9 @@ object ScaleSmoke {
           (if (gateSet.contains("d17_neardup_indexed") && Copies == 10)
             Seq("d17_index_build" -> boundFor("d17_index_build")) else Nil) ++
           (if (gateSet.contains("s16_ivfpq_indexed") && Copies == 10)
-            Seq("s16_index_build" -> boundFor("s16_index_build")) else Nil) :+
+            Seq("s16_index_build" -> boundFor("s16_index_build")) else Nil) ++
+          (if (gateSet.contains("s17_ivfpq_append") && Copies == 10)
+            Seq("s17_delta_append" -> boundFor("s17_delta_append")) else Nil) :+
           ("e1_write_month" -> boundFor("e1_write_month")))},""" +
         s""""steal_ticks":${rows.map(r => "\"" + r._1 + "\":" + r._5).mkString("{", ",", "}")},""" +
         s""""foreign_ticks":${gateSet.map(n => "\"" + n + "\":" + foreignByQuery.getOrElse(n, -1L)).mkString("{", ",", "}")},""" +

@@ -269,7 +269,19 @@ object ScaleSmoke {
     // The forced build is Lloyd-job-count-dominated on both sides, hence
     // near-flat.
     "s16_ivfpq_indexed" -> 1.405,
-    "s16_index_build" -> 1.365)
+    "s16_index_build" -> 1.365,
+    // round-15 newcomers, ratcheted from their first two quiet ×10 gate
+    // runs at HEAD (the new entries' own windows were quiet in both runs
+    // — steal ≤ 9, foreign ≤ 65 — even where OTHER queries' windows
+    // were contamination-logged): s17's indexed read rode 1.32/1.67
+    // (base∪delta ≈ 1.1× s16's corpus), the forced delta append
+    // 2.11/2.39 (delta encode is fixed-overhead-dominated at ×10 — the
+    // delta-sized claim is the recorded vs_build fraction 0.12/0.16),
+    // t26's map-only extraction 2.99/3.12. Max of the pair recorded,
+    // per the two-observation convention.
+    "s17_ivfpq_append" -> 1.67,
+    "s17_delta_append" -> 2.391,
+    "t26_html_extract" -> 3.12)
 
   /** Ratcheted ×100 ratio bounds (round-10 verdict #6): until now the ×100
     * demonstration ran under the flat blanket `1.2 × copies` = 120, which

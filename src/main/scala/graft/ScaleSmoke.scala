@@ -384,7 +384,18 @@ object ScaleSmoke {
     // faster, so the ratio is memory-pressure-shaped, not algorithmic).
     // The ×100 side pays bits=6 radius-2 (22 sub-buckets/probe) +
     // nprobe-2 over 100× the probes against a bits=0 base.
-    "s16_ivfpq_indexed" -> 12.299)
+    "s16_ivfpq_indexed" -> 12.299,
+    // round-15 newcomers, from their quiet isolated fresh-JVM ×100
+    // probes per the d14 ratchet protocol (every full-run window that
+    // day was contamination-logged — foreign 1.0k–2.9k ticks — while
+    // the probes' scale sides agree with the full runs': s17 14.45 s
+    // quiet vs 18-19 s logged, t26 stable at 32.9-34.4 s everywhere):
+    // s17's indexed read rides s16's cost class + the 10% delta
+    // (probe 14.267; 16g full-run read 15.13); t26's map-only chain is
+    // ~34 s over a ~1 s base (probe 37.282 — the worst observed, base-
+    // side spread, recorded per the record-as-read convention).
+    "s17_ivfpq_append" -> 14.267,
+    "t26_html_extract" -> 37.282)
 
   /** Absolute ×100 bound (seconds) on d17's forced SCALE-side index
     * build. At ×100 the build's ratio denominator is a 1-3 s fully-
@@ -412,21 +423,22 @@ object ScaleSmoke {
     * checkable: the append encodes [[graft.operators.Similarity]]'s 10%
     * delta slice with frozen codebooks (no Lloyd jobs, no corpus scan),
     * so its cost must be a small fraction of train+encode-all+write.
-    * Expected ≈0.1 at ×100 (encode+write is ≈17 s of the ≈42 s build;
-    * the delta is a tenth of that plus fixed job overhead); 0.5 fails
-    * any path that quietly re-encodes the corpus or retrains. ×100 only:
-    * at ×10 both sides are fixed-overhead-dominated (CREATE/DROP + job
-    * scheduling ≈ the encode itself), so the fraction is recorded there
-    * but not gated. One-way once ratcheted from committed evidence. */
-  val PqDeltaAppendVsBuild100Bound = 0.5
+    * Measured 0.050–0.059 across the first three ×100 readings (append
+    * 2.54–2.71 s against 45.6–50.8 s builds); the bound tightened from
+    * the 0.5 provisional to 0.2 — ≥3.4× headroom over every observation
+    * while still failing any path that quietly re-encodes the corpus
+    * (≈0.4+) or retrains. ×100 only: at ×10 both sides are
+    * fixed-overhead-dominated (CREATE/DROP + job scheduling ≈ the encode
+    * itself), so the fraction is recorded there but not gated. One-way. */
+  val PqDeltaAppendVsBuild100Bound = 0.2
 
   /** Absolute ×100 bound (seconds) on s17's forced SCALE-side delta
     * append — the [[PqIndexBuildAbsScale100Sec]] reasoning for the
     * append: single-shot write, base-side denominator noisy, scale side
-    * the stable statistic. PROVISIONAL until the first committed quiet
-    * ×100 reading ratchets it (the s16 protocol: first artifact records
-    * the evidence run, then the bound tightens to reading × 1.5). */
-  val PqDeltaAppendAbsScale100Sec = 30.0
+    * the stable statistic. Ratcheted from the first three same-HEAD ×100
+    * readings (2.68 / 2.71 / 2.54 — 4g full run, quiet isolated probe,
+    * 16g full run; stable across memory regimes): worst × 1.5. One-way. */
+  val PqDeltaAppendAbsScale100Sec = 4.1
 
   /** Rounds executed by the t24 merge-loop FLATNESS demonstration
     * (round-13 verdict #4): 8× the oracle entry's [[graft.operators
@@ -842,7 +854,8 @@ object ScaleSmoke {
        |  delta segment — no Lloyd jobs, no corpus scan. At ×100 the
        |  delta-sized claim is gated twice: absolutely
        |  (`s17_delta_append_abs_scale_bound`, $PqDeltaAppendAbsScale100Sec
-       |  s provisional) and as `s17_delta_append_vs_build` — the append's
+       |  s — worst of the first three same-HEAD readings × 1.5) and as
+       |  `s17_delta_append_vs_build` — the append's
        |  fraction of the SAME run's forced s16 full build, bounded by
        |  `s17_delta_append_vs_build_bound` ($PqDeltaAppendVsBuild100Bound:
        |  a path that quietly retrains or re-encodes the corpus fails even

@@ -396,7 +396,21 @@ object Bench {
         s""""n_retried":${retriedNames.size},""" +
         s""""full_json":"${jsonEscape(out)}","cpu_user_sec":$cpuUser,""" +
         s""""host_steal_ticks":$stealDelta,"sf":"$sfDir"}"""
-    println(compact)
+    // the summary line must be the LAST thing on the combined stream
+    // (round-15 verdict #4 — the fourth round of `"parsed": null`): the
+    // streaming benches leave StateStore maintenance threads that log
+    // stack traces AFTER spark.stop(), trailing the JSON. Order of
+    // shutdown: stop any straggler streams, stop the StateStore
+    // maintenance task, stop Spark — and only THEN print. build.sbt's
+    // `run / outputStrategy := StdoutOutput` + `showSuccess := false`
+    // remove sbt's `[info] ` prefix and `[success]` trailer, so the line
+    // is genuinely the final line of stdout.
+    try spark.streams.active.foreach(q => try q.stop() catch { case _: Exception => () })
+    catch { case _: Exception => () }
+    try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    catch { case _: Throwable => () }
     spark.stop()
+    println(compact)
+    System.out.flush()
   }
 }

@@ -150,6 +150,20 @@ object ScaleSmoke {
     // fraction of the same run's forced full build — the executed "daily
     // ingest never retrains" claim).
     "s17_ivfpq_append",
+    // round-16 (round-15 verdict #3): the lifecycle's third step — the
+    // timed read runs over the COMPACTED generation (single-table scan,
+    // segment-count-independent plan) and the forced `s18_compact` entry
+    // times the fold itself: a bucketed rewrite of frozen codes whose
+    // cost must ride the corpus-compressed index size, never training.
+    "s18_ivfpq_compact",
+    // round-16 (round-15 verdict #1/#2): the ONLINE serving path — q58
+    // drains the s17 probe slice as a stream against base ∪ delta with
+    // the candidate read cell-pruned per batch. The claim this entry
+    // holds: per-batch cost ∝ touched cells (the pruned bucketed read),
+    // not corpus size — the previous shape's full-index shuffle per
+    // micro-batch is exactly what a ratio blowup here would catch.
+    // Machinery-calibrated like q48 (1-probe drain floor subtracted).
+    "q58_ann_stream_enrich",
     // round-15 (round-14 verdict #6): t26 is map-only/low-risk but the
     // standing convention is that every declared operator family carries
     // a scale entry; per-row regex chains can still regress superlinearly
@@ -439,6 +453,19 @@ object ScaleSmoke {
     * readings (2.68 / 2.71 / 2.54 — 4g full run, quiet isolated probe,
     * 16g full run; stable across memory regimes): worst × 1.5. One-way. */
   val PqDeltaAppendAbsScale100Sec = 4.1
+
+  /** Absolute ×100 bound (seconds) on s18's forced SCALE-side segment
+    * FOLD — the [[PqDeltaAppendAbsScale100Sec]] reasoning for
+    * compaction: single-shot bucketed rewrite, base-side denominator
+    * noisy, scale side the stable statistic. The fold reads base codes ∪
+    * delta segment (~220k rows × 11 small ints at ×100 — the compressed
+    * index, no floats) and rewrites one bucketed table; its cost class
+    * is s17's append write plus a corpus-compressed read, far under any
+    * training path. PROVISIONAL until the first quiet ×100 readings land
+    * (the ratchet-first/regenerate-second rule — round-15 verdict #5):
+    * tightened to worst-quiet × 1.5 in the same change that commits the
+    * first ×100 artifact carrying the row. */
+  val PqCompactAbsScale100Sec = 10.0
 
   /** Rounds executed by the t24 merge-loop FLATNESS demonstration
     * (round-13 verdict #4): 8× the oracle entry's [[graft.operators
@@ -860,7 +887,17 @@ object ScaleSmoke {
        |  `s17_delta_append_vs_build_bound` ($PqDeltaAppendVsBuild100Bound:
        |  a path that quietly retrains or re-encodes the corpus fails even
        |  with absolute headroom). At ×10 the fraction is recorded, not
-       |  gated — both sides are fixed-overhead-dominated there.
+       |  gated — both sides are fixed-overhead-dominated there. When no
+       |  s16 build row exists in the run the skip is EXPLICIT (ADVICE
+       |  r15 #2): a violation if s16 ran and failed to record, else the
+       |  `s17_delta_append_vs_build_skipped` marker row.
+       |  `s18_compact_{base,scale}_sec` / `_ratio` time the forced
+       |  segment FOLD (round-15 verdict #3 — the lifecycle's third
+       |  step): base codes ∪ delta segment rewritten into ONE bucketed
+       |  generation, a pure rewrite of frozen codes (SimilaritySpec pins
+       |  zero training/encode jobs; fold == one-shot union encode row
+       |  for row). Ratio-gated at ×10, absolute-bounded at ×100
+       |  (`s18_compact_abs_scale_bound`, $PqCompactAbsScale100Sec s).
        |- `bpe_rounds` — t24's merge-loop FLATNESS demonstration (×10
        |  only): `t24_round_{firstq,lastq}_sec` are the mean per-round
        |  seconds over the first and last quarters of a
@@ -897,6 +934,11 @@ object ScaleSmoke {
        |  candidate pair mass per doc over d15's df-capped gram posting
        |  lists (Σ C(df,2) with df ≤ FuzzyMaxGramDf). Same 3× flatness
        |  contract — growth means the posting-list cap stopped binding.
+       |- `serve_occupancy` — `q58_serve_cand_per_probe_{base,scale}`:
+       |  candidate JOIN rows per probe for q58's online serving path
+       |  (staged probe batch vs the cell-pruned base ∪ delta read). Same
+       |  3× flatness contract — growth means per-batch serving cost is
+       |  riding the corpus instead of the touched cells.
        |- `ivf_recall` — `s0{5,6}_recall_{base,scale,floor}`: sampled
        |  ground-truth recall@k of the refined-cell IVF join and its
        |  multi-probe variant on both sides (the declared s10–s12 gauges
@@ -1310,7 +1352,8 @@ object ScaleSmoke {
     // streaming gate entries: their epsilon-probe (fixed drain floor) —
     // measured per entry before timing, subtracted from both sides
     val streamingProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
-      "q48_sessionize_append_sink" -> graft.streaming.StreamQueries.q48MachineryProbe)
+      "q48_sessionize_append_sink" -> graft.streaming.StreamQueries.q48MachineryProbe,
+      "q58_ann_stream_enrich" -> graft.streaming.StreamQueries.q58MachineryProbe)
     var streamingFloors = Vector.empty[(String, Double)]
     // non-streaming ratio violations downgraded by the ×100 two-statistic
     // rule (deflated base + in-envelope scale side) — published under
@@ -1464,14 +1507,29 @@ object ScaleSmoke {
               f"[scale] s17 delta append: base $sb%.2fs scale $ss%.2fs ratio $br%.2f")
             indexBuildRows ++= Seq("s17_delta_append_base_sec" -> sb,
               "s17_delta_append_scale_sec" -> ss, "s17_delta_append_ratio" -> br)
-            indexBuildRows.toMap.get("s16_index_build_scale_sec").foreach { bld =>
-              val frac = ss / math.max(bld, 0.001)
-              indexBuildRows :+= ("s17_delta_append_vs_build" -> frac)
-              if (Copies == 100) {
-                indexBuildRows :+= ("s17_delta_append_vs_build_bound" -> PqDeltaAppendVsBuild100Bound)
-                if (frac > PqDeltaAppendVsBuild100Bound)
-                  violations :+= f"s17_delta_append: scale-side append $ss%.1f s is $frac%.2f of the full build $bld%.1f s — not delta-sized (> $PqDeltaAppendVsBuild100Bound)"
-              }
+            indexBuildRows.toMap.get("s16_index_build_scale_sec") match {
+              case Some(bld) =>
+                val frac = ss / math.max(bld, 0.001)
+                indexBuildRows :+= ("s17_delta_append_vs_build" -> frac)
+                if (Copies == 100) {
+                  indexBuildRows :+= ("s17_delta_append_vs_build_bound" -> PqDeltaAppendVsBuild100Bound)
+                  if (frac > PqDeltaAppendVsBuild100Bound)
+                    violations :+= f"s17_delta_append: scale-side append $ss%.1f s is $frac%.2f of the full build $bld%.1f s — not delta-sized (> $PqDeltaAppendVsBuild100Bound)"
+                }
+              case None =>
+                // ADVICE r15 #2: a silently skipped fraction gate read as
+                // "gated twice" in the report — make the skip VISIBLE. If
+                // s16 ran in this gate set but produced no build row, its
+                // own violation is already recorded and the fraction claim
+                // is genuinely unverified — fail loudly at ×100. A subset
+                // run that deliberately omitted s16 records the skip.
+                if (Copies == 100 && gateSet.contains("s16_ivfpq_indexed"))
+                  violations :+= "s17_delta_append: vs_build fraction gate SKIPPED — s16 ran but recorded no build row"
+                else {
+                  indexBuildRows :+= ("s17_delta_append_vs_build_skipped" -> 1.0)
+                  System.err.println(
+                    "[scale] s17 vs_build fraction not gated: no s16 build row in this run")
+                }
             }
             if (Copies == 100) {
               indexBuildRows :+= ("s17_delta_append_abs_scale_bound" -> PqDeltaAppendAbsScale100Sec)
@@ -1481,6 +1539,39 @@ object ScaleSmoke {
           }
         } catch { case e: Throwable =>
           violations :+= s"s17_delta_append: ${e.getClass.getSimpleName}: ${e.getMessage}"
+        }
+      }
+      // s18's forced segment FOLD, timed per side (min of 2 — the
+      // d17/s16/s17 single-shot-write protocol): compaction must be a
+      // pure bucketed rewrite of the corpus-compressed codes — its cost
+      // rides the index size (~10 small ints per vector), never training
+      // or re-encoding (SimilaritySpec pins the job counters; this entry
+      // times the executed fold). The timed s18 runs below then measure
+      // the single-table read-back against the fresh generation.
+      if (name == "s18_ivfpq_compact") {
+        try {
+          def compact2(dd: String): (String, Double) =
+            (1 to 2).map(_ =>
+              graft.operators.Similarity.ensurePqCompact(spark, dd, force = true))
+              .minBy(_._2)
+          val (mb, sb) = compact2(base)
+          val (ms, ss) = compact2(dir)
+          if (mb != "compacted" || ms != "compacted")
+            violations :+= s"s18_compact: forced compaction did not fold (base=$mb, scale=$ms)"
+          else {
+            val br = ss / math.max(sb, 0.001)
+            System.err.println(
+              f"[scale] s18 compact: base $sb%.2fs scale $ss%.2fs ratio $br%.2f")
+            indexBuildRows ++= Seq("s18_compact_base_sec" -> sb,
+              "s18_compact_scale_sec" -> ss, "s18_compact_ratio" -> br)
+            if (Copies == 100) {
+              indexBuildRows :+= ("s18_compact_abs_scale_bound" -> PqCompactAbsScale100Sec)
+              if (ss > PqCompactAbsScale100Sec)
+                violations :+= f"s18_compact: scale-side fold $ss%.1f s exceeds the absolute x100 bound $PqCompactAbsScale100Sec%.1f s"
+            } else violations ++= ratioViolation("s18_compact", br)
+          }
+        } catch { case e: Throwable =>
+          violations :+= s"s18_compact: ${e.getClass.getSimpleName}: ${e.getMessage}"
         }
       }
       // t24's production-merge-count claim is a GATED FLATNESS ENTRY
@@ -1538,7 +1629,7 @@ object ScaleSmoke {
       // too, so the first timed scale run measures the read-back shape,
       // not scan init against the just-built index
       if (name == "d17_neardup_indexed" || name == "s16_ivfpq_indexed" ||
-          name == "s17_ivfpq_append")
+          name == "s17_ivfpq_append" || name == "s18_ivfpq_compact")
         try runNoop(fn(spark, dir))
         catch { case e: Throwable => System.err.println(s"[scale] warm-scale $name: $e") }
       // a transient broadcast-build OOM under the deliberately-tight 4 GiB
@@ -1753,6 +1844,29 @@ object ScaleSmoke {
       Nil
     }
 
+    // q58 serving-occupancy boundedness (round-15 verdict #2 — "the
+    // lsh_occupancy discipline applied to serving"): candidate JOIN rows
+    // per probe for the staged probe batch against the cell-pruned
+    // base ∪ delta read. Both the multi-probe ring and the per-cell
+    // population are corpus-scaled (cellRefineBits), so the per-probe
+    // candidate mass must stay ~flat base→scale (3× headroom, the
+    // occupancy-gauge contract) — growth here means the online path's
+    // per-batch cost is riding the corpus again.
+    val serveOccRows: Seq[(String, Double)] = if (
+      onlySubset.exists(s => !s.contains("q58_ann_stream_enrich"))) Nil else try {
+      def servOcc(dd: String): Double =
+        graft.operators.Similarity.annServeCandPerProbe(spark, dd,
+          graft.operators.Similarity.unionProbeVecs(spark, dd))
+      val ob = servOcc(base)
+      val os = servOcc(dir)
+      if (os > 3.0 * math.max(ob, 1.0))
+        violations :+= f"q58 serving candidates/probe grew to $os%.1f at x$Copies (base $ob%.1f, bound 3x) — per-batch cost is corpus-scale again"
+      Seq("q58_serve_cand_per_probe_base" -> ob, "q58_serve_cand_per_probe_scale" -> os)
+    } catch { case e: Throwable =>
+      violations :+= s"serve-occupancy check: ${e.getClass.getSimpleName}: ${e.getMessage}"
+      Nil
+    }
+
     // IVF recall at scale (ADVICE r10; bounds reworked round-12 per
     // round-11 verdict #4): sampled ground-truth recall of the
     // refined-cell IVF join (s05) and its multi-probe variant (s06) on
@@ -1809,7 +1923,9 @@ object ScaleSmoke {
           (if (gateSet.contains("s16_ivfpq_indexed") && Copies == 10)
             Seq("s16_index_build" -> boundFor("s16_index_build")) else Nil) ++
           (if (gateSet.contains("s17_ivfpq_append") && Copies == 10)
-            Seq("s17_delta_append" -> boundFor("s17_delta_append")) else Nil) :+
+            Seq("s17_delta_append" -> boundFor("s17_delta_append")) else Nil) ++
+          (if (gateSet.contains("s18_ivfpq_compact") && Copies == 10)
+            Seq("s18_compact" -> boundFor("s18_compact")) else Nil) :+
           ("e1_write_month" -> boundFor("e1_write_month")))},""" +
         s""""steal_ticks":${rows.map(r => "\"" + r._1 + "\":" + r._5).mkString("{", ",", "}")},""" +
         s""""foreign_ticks":${gateSet.map(n => "\"" + n + "\":" + foreignByQuery.getOrElse(n, -1L)).mkString("{", ",", "}")},""" +
@@ -1818,6 +1934,7 @@ object ScaleSmoke {
         s""""lsh_occupancy":${fmt(occRows)},""" +
         s""""band_occupancy":${fmt(bandOccRows)},""" +
         s""""fuzzy_occupancy":${fmt(fuzzyOccRows)},""" +
+        s""""serve_occupancy":${fmt(serveOccRows)},""" +
         s""""ivf_recall":${fmt(ivfRecallRows)},""" +
         s""""streaming_floor":${fmt(streamingFloors)},""" +
         s""""ratio_suspects":${fmt(ratioSuspects)},""" +

@@ -1022,6 +1022,28 @@ object Similarity {
   private val PqIdxBuckets = 32
   private val PqIdxSpecFile = "_GRAFT_PQIDX_SPEC"
 
+  /** Identity of the TRAINING PARAMETERS baked into persisted specs
+    * (ADVICE r15 #3): the spec fingerprint previously covered only
+    * embeddings.parquet, so a CODE change to any constant that shapes the
+    * persisted training — cell refinement target, refine-plane seed base,
+    * subspace count/width, codebook size — left a matching-fingerprint
+    * spec serving bits/centroids/codebooks computed by older code, with
+    * the read-through ([[specMetaIfValid]]) spreading the staleness to
+    * the whole IVF family. Folding the constants into the fingerprint
+    * invalidates persisted training on a params change exactly the way a
+    * corpus change does. Query-side-only knobs (multi-probe radius,
+    * nprobe threshold) are deliberately absent — they don't affect what
+    * the spec STORES. */
+  private val PqParamsTag =
+    s"params dims=$Dims cell=$TargetCell rpb=$RefinePlaneBase " +
+      s"M=$SubSpaces sd=$SubDim k=$PqK"
+
+  /** The persisted-index fingerprint for `d`: corpus identity
+    * (embeddings.parquet size/mtime signature) + [[PqParamsTag]]. Every
+    * spec writer records it and every reader re-checks it. */
+  private def pqSpecFingerprint(d: String): String =
+    Dedup.sourceFingerprint(d, "embeddings.parquet") + "|" + PqParamsTag
+
   /** Exact float/double serialization for the index spec file: raw IEEE
     * bits in hex, so the deserialized literals are the trained values to
     * the last bit (Float.toString would also round-trip, but raw bits
@@ -1054,6 +1076,8 @@ object Similarity {
   private[graft] def forgetPqMetaForTest(d: String): Unit = {
     pqMetaCache.remove(d)
     cellBitsCache.remove(d)
+    Seq(PqDelta1, PqDelta2).foreach(dd => pqDeltaFpCache.remove(deltaKey(d, dd)))
+    pqCompactFpCache.remove(d)
   }
 
   /** The persisted index spec's metadata when a VALID one exists for `d`:
@@ -1069,8 +1093,7 @@ object Similarity {
         s"${Dedup.warehouseDir(s)}/${pqCodesTable(d)}", PqIdxSpecFile)
       if (!java.nio.file.Files.exists(specPath)) None
       else parsePqSpec(java.nio.file.Files.readString(specPath)) match {
-        case Some((sfp, _, meta))
-            if sfp == Dedup.sourceFingerprint(d, "embeddings.parquet") =>
+        case Some((sfp, _, meta)) if sfp == pqSpecFingerprint(d) =>
           pqMetaCache.put(d, meta)
           Some(meta)
         case _ => None
@@ -1147,7 +1170,7 @@ object Similarity {
     val codesT = pqCodesTable(d)
     val loc = s"${Dedup.warehouseDir(s)}/$codesT"
     val specPath = java.nio.file.Paths.get(loc, PqIdxSpecFile)
-    val fp = Dedup.sourceFingerprint(d, "embeddings.parquet")
+    val fp = pqSpecFingerprint(d)
     val cached = Option(pqMetaCache.get(d))
     if (s.catalog.tableExists(codesT) && cached.isDefined) {
       vecIndexBuildMode.put(d, "cached")
@@ -1179,6 +1202,13 @@ object Similarity {
           // must not be read through by the training calls below
           pqMetaCache.remove(d)
           cellBitsCache.remove(d)
+          // ADVICE r15 (medium): the DERIVED layers — delta segments
+          // encoded against the codebooks this branch is about to drop,
+          // and the compacted generation that folded them — are the same
+          // vintage; with a persistent metastore they would otherwise
+          // keep serving stale codes after the base self-heals
+          invalidatePqDelta(d)
+          invalidatePqCompact(d)
           val bits = cellRefineBits(s, d)
           val cr = centroidRows(s, d)
           def mark(tag: String, since: Long): Long = {
@@ -1255,54 +1285,43 @@ object Similarity {
       case (acc, (cid, cv)) => acc.when(code === cid, typedlit(cv))
     }
 
-  /** s16 — s09 served from the PERSISTED index: the candidate side reads
-    * the bucketed codes table (vec_id, cell, cellr, c0..c7 — no floats)
-    * and reconstructs each residual from the spec file's codebook
-    * literals as a map-only projection; the probe side re-derives exact
-    * residuals for the ≈1/[[ProbeMod]] probe rows from the spec's
-    * centroid literals (map-only over the embeddings scan — the query's
-    * vectors must come from the query, only the INDEX is precomputed).
-    * No s03 job, no Lloyd jobs, no corpus-wide encode — the 16-job
-    * training pipeline runs at BUILD time once per corpus, across JVMs
-    * (round-13 verdict #1). Result-identical to s09 by construction
-    * (same oracle SQL verbatim): the stored codes/cells are s09's own
-    * encode output, the spec literals are raw-bit round-trips of the
-    * trained values, and the join/rank tail is s09's. */
-  val s16IvfPqIndexed = QueryDef(
-    "s16_ivfpq_indexed", s09IvfPqAdc.oracle.get) { (s, d) =>
-    val (codes, meta) = pqStoredIndex(s, d)
-    // ROUND-ROBIN spread before the broadcast-probe join: a bucketed scan
-    // plans ONE task per bucket, and this join's work rides the SQUARE of
-    // each cellr's population (pair mass = rows × ring hits, both ∝ the
-    // cell count; measured 28–1608 rows/cellr at ×100 — 26× the mean pair
-    // mass at the top), so hash-of-cellr task assignment convoys the hot
-    // cells into a few tasks (measured: 136 s vs s09's 80 on IDENTICAL
-    // pair counts — s09's candidate scan interleaves cellrs across file
-    // splits and never sees the skew). The exchange moves only the codes
-    // themselves (~10 small ints per vector, the compressed index — the
-    // cheapest possible shuffle of this corpus) and decouples pair-work
-    // parallelism from bucket count. The bucketed layout still serves the
-    // shuffle-join regime (probe sets too large to broadcast), where
-    // cellr co-location pays and per-bucket skew is the usual salting
-    // problem, not this plan's.
-    // rres is reconstructed BELOW the exchange on purpose: whole-stage
-    // codegen defers non-join-key streamed columns into the match loop,
-    // so a fully-codegen-able reconstruction fused into the join stage
-    // re-evaluates PER PAIR (measured: 62M CASE-chain+concat evaluations,
-    // 390 s) — the exchange materializes it once per candidate row and
-    // the join then reads a plain array column. The shuffle carries
-    // codes + the 64-double rres (~0.6 KB/row of THIS corpus's rows —
-    // still the cheapest stage of the query by far).
+  /** The stored-index ADC search tail shared by s16/s17/s18 and q58's
+    * per-batch serving path: codes (any layout — base table, base ∪
+    * segments, compacted generation) × exploded probe residuals →
+    * broadcast-probe cellr equi-join → per-probe ADC top-k.
+    *
+    * ROUND-ROBIN spread before the broadcast-probe join: a bucketed scan
+    * plans ONE task per bucket, and this join's work rides the SQUARE of
+    * each cellr's population (pair mass = rows × ring hits, both ∝ the
+    * cell count; measured 28–1608 rows/cellr at ×100 — 26× the mean pair
+    * mass at the top), so hash-of-cellr task assignment convoys the hot
+    * cells into a few tasks (measured: 136 s vs s09's 80 on IDENTICAL
+    * pair counts — s09's candidate scan interleaves cellrs across file
+    * splits and never sees the skew). The exchange moves only the codes
+    * themselves (~10 small ints per vector, the compressed index — the
+    * cheapest possible shuffle of this corpus) and decouples pair-work
+    * parallelism from bucket count. The bucketed layout still serves the
+    * shuffle-join regime (probe sets too large to broadcast), where
+    * cellr co-location pays and per-bucket skew is the usual salting
+    * problem, not this plan's.
+    *
+    * rres is reconstructed BELOW the exchange on purpose: whole-stage
+    * codegen defers non-join-key streamed columns into the match loop,
+    * so a fully-codegen-able reconstruction fused into the join stage
+    * re-evaluates PER PAIR (measured: 62M CASE-chain+concat evaluations,
+    * 390 s) — the exchange materializes it once per candidate row and
+    * the join then reads a plain array column. The shuffle carries
+    * codes + the 64-double rres (~0.6 KB/row of THIS corpus's rows —
+    * still the cheapest stage of the query by far). */
+  private def adcSearch(
+      s: SparkSession, codes: DataFrame, p: DataFrame,
+      meta: PqIndexMeta): DataFrame = {
     val rres = concat(
       (0 until SubSpaces).map(m => codeVecCol(meta.cbs(m), col(s"c$m"))): _*)
     val cand = codes.select(
       Seq(col("vec_id"), col("cellr"), rres.as("rres")) ++
         (0 until SubSpaces).map(m => col(s"c$m")): _*)
       .repartition(s.sparkContext.defaultParallelism * 4)
-    val p = refineMultiProbe(
-      residualFrameFrom(s, d, meta.cents, meta.bits)
-        .filter(col("vec_id") % ProbeMod === 0),
-      meta.bits)
     val adc = sqdCol(col("p.res"), col("e.rres"))
     val w = Window.partitionBy("probe_id").orderBy(col("adc"), col("neighbor_id"))
     broadcast(p.as("p"))
@@ -1319,35 +1338,89 @@ object Similarity {
         Stable.r4(col("adc")).as("adc_sqdist"): _*)
   }
 
+  /** s16 — s09 served from the PERSISTED index: the candidate side reads
+    * the bucketed codes table (vec_id, cell, cellr, c0..c7 — no floats)
+    * and reconstructs each residual from the spec file's codebook
+    * literals as a map-only projection; the probe side re-derives exact
+    * residuals for the ≈1/[[ProbeMod]] probe rows from the spec's
+    * centroid literals (map-only over the embeddings scan — the query's
+    * vectors must come from the query, only the INDEX is precomputed).
+    * No s03 job, no Lloyd jobs, no corpus-wide encode — the 16-job
+    * training pipeline runs at BUILD time once per corpus, across JVMs
+    * (round-13 verdict #1). Result-identical to s09 by construction
+    * (same oracle SQL verbatim): the stored codes/cells are s09's own
+    * encode output, the spec literals are raw-bit round-trips of the
+    * trained values, and the join/rank tail is s09's ([[adcSearch]]). */
+  val s16IvfPqIndexed = QueryDef(
+    "s16_ivfpq_indexed", s09IvfPqAdc.oracle.get) { (s, d) =>
+    val (codes, meta) = pqStoredIndex(s, d)
+    val p = refineMultiProbe(
+      residualFrameFrom(s, d, meta.cents, meta.bits)
+        .filter(col("vec_id") % ProbeMod === 0),
+      meta.bits)
+    adcSearch(s, codes, p, meta)
+  }
+
   // ---------- s17: incremental APPEND to the persisted vector index ----------
 
-  private val PqDeltaIdOffset = 1000000L
+  /** Delta ids = source id + segment offset. Disjointness from REAL ids
+    * (and between segments) holds ONLY while every [[PqDeltaBlockSpan]]-id
+    * block of the corpus keeps its local ids under [[PqDeltaIdOffset]]
+    * (ADVICE r15 #4 — previously an unstated assumption): the scale
+    * gate's disjoint-copy corpora space copy blocks [[PqDeltaBlockSpan]]
+    * apart, so a block's delta ids land in [off, off+1M) ⊂ the same
+    * block, colliding with nothing as long as local ids stay < 1M. The
+    * append path ASSERTS this (one vec_id-only column-pruned agg per
+    * append — never per read) instead of trusting it. */
+  private[graft] val PqDeltaIdOffset = 1000000L
+  private[graft] val PqDeltaBlockSpan = 10000000L // == the scale gate's copy-block IdShift
   private val PqDeltaMod = 10
   private val PqDeltaRes = 5
-  /** Identity of the delta batch definition, recorded in the segment's
-    * spec file so a changed delta convention invalidates the segment the
-    * same way a changed corpus does. */
-  private val PqDeltaTag = s"rev mod=$PqDeltaMod res=$PqDeltaRes off=$PqDeltaIdOffset"
+  private val PqDeltaRes2 = 7
 
-  /** The deterministic DELTA batch: every corpus vector with
-    * vec_id % [[PqDeltaMod]] == [[PqDeltaRes]], re-identified past
-    * [[PqDeltaIdOffset]] with its embedding REVERSED — d16's synthesized-
-    * incoming convention for the vector family. Reversal is an exact
-    * element permutation (no float arithmetic, so both engines carry
-    * bit-identical vectors), preserves the norm's summand SET while
-    * landing the vector in an unrelated cell, and the offset keeps a
-    * probe slice inside the delta (ids ≡ 25 mod 50 hit vec_id %
-    * [[ProbeMod]] == 0 after the shift) — new vectors are exercised as
-    * BOTH index rows and probes. */
-  private[operators] def deltaVecs(s: SparkSession, d: String): DataFrame =
+  /** A deterministic DELTA-batch definition — one "day" of synthesized
+    * vector ingest (d16's convention for the vector family): every corpus
+    * vector with vec_id % [[PqDeltaMod]] == `res`, re-identified past
+    * `offset`, its embedding passed through an EXACT element permutation
+    * (no float arithmetic, so both engines carry bit-identical vectors;
+    * the norm is computed on the permuted array in both, bit-identical).
+    * Segment 1 REVERSES (offset keeps a probe slice inside the delta:
+    * ids ≡ 25 mod 50 hit vec_id % [[ProbeMod]] == 0 after the shift);
+    * segment 2 ROTATES by half — a second independent permutation, so a
+    * second day's vectors land in unrelated cells. `tag` is the segment's
+    * identity, recorded in its spec file so a changed delta convention
+    * invalidates the segment the same way a changed corpus does. */
+  private[graft] final case class PqDeltaDef(seg: Int, res: Int, offset: Long) {
+    def tag: String =
+      s"seg=$seg xf=${if (seg == 1) "rev" else "rot"} mod=$PqDeltaMod res=$res off=$offset"
+    def xform(c: Column): Column =
+      if (seg == 1) reverse(c)
+      else concat(slice(c, Dims / 2 + 1, Dims / 2), slice(c, 1, Dims / 2))
+    /** DuckDB twin of [[xform]]. */
+    def xformSql(e: String): String =
+      if (seg == 1) s"list_reverse($e)"
+      else s"($e[${Dims / 2 + 1}:$Dims] || $e[1:${Dims / 2}])"
+  }
+  private[graft] val PqDelta1 = PqDeltaDef(1, PqDeltaRes, PqDeltaIdOffset)
+  private[graft] val PqDelta2 = PqDeltaDef(2, PqDeltaRes2, 2 * PqDeltaIdOffset)
+
+  /** The segment's synthesized incoming vectors: (vec_id, embedding, nrm). */
+  private[operators] def deltaVecs(
+      s: SparkSession, d: String, dd: PqDeltaDef = PqDelta1): DataFrame =
     Tables.embeddings(s, d)
-      .filter(col("vec_id") % PqDeltaMod === PqDeltaRes)
-      .select((col("vec_id") + PqDeltaIdOffset).as("vec_id"),
-        reverse(col("embedding")).as("embedding"))
+      .filter(col("vec_id") % PqDeltaMod === dd.res)
+      .select((col("vec_id") + dd.offset).as("vec_id"),
+        dd.xform(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("embedding"), normCol(col("embedding")).as("nrm"))
 
-  private def pqDeltaTable(d: String): String =
-    s"graft_pqidx_delta_${Dedup.pathKey(d)}"
+  private def pqDeltaTable(d: String, dd: PqDeltaDef): String =
+    if (dd.seg == 1) s"graft_pqidx_delta_${Dedup.pathKey(d)}"
+    else s"graft_pqidx_delta${dd.seg}_${Dedup.pathKey(d)}"
+
+  /** Mode/seconds map key for segment `dd` of directory `d` — segment 1
+    * keeps the bare directory key (the gate and the r15 specs read it). */
+  private def deltaKey(d: String, dd: PqDeltaDef): String =
+    if (dd.seg == 1) d else s"$d#seg${dd.seg}"
 
   /** What the last [[pqDeltaSegment]] call did per directory ("cached" /
     * "reregistered" / "appended") and the append seconds when "appended"
@@ -1369,21 +1442,29 @@ object Similarity {
     * pins [[pqTrainCalls]]/[[centroidJobCalls]] unmoved) — and land in a
     * DELTA SEGMENT: a second bucketed EXTERNAL table with the same
     * `cellr` bucketing as the base codes table, its spec file written
-    * LAST (fingerprint = base corpus fp + [[PqDeltaTag]]), so a crashed
-    * append self-heals into a re-append and the base table is never
-    * mutated in place (the LSM/Faiss-shard shape; compaction can fold
-    * segments into the base at leisure). Readers union base + segment.
-    * A changed base corpus flips the recorded fingerprint and re-encodes
-    * the delta against the REBUILT spec — frozen-codebook reuse never
-    * outlives the codebooks themselves. */
+    * LAST (fingerprint = base corpus+params fp + the segment's tag), so a
+    * crashed append self-heals into a re-append and the base table is
+    * never mutated in place (the LSM/Faiss-shard shape;
+    * [[pqCompactedIndex]] folds segments into a new base GENERATION at
+    * leisure). Readers union base + segments. A changed base corpus (or
+    * training params) flips the recorded fingerprint and re-encodes the
+    * delta against the REBUILT spec — frozen-codebook reuse never
+    * outlives the codebooks themselves. ADVICE r15 (medium): the cached
+    * path re-validates the recorded fingerprint (the in-memory
+    * [[pqDeltaFpCache]], populated only by paths that checked or wrote
+    * the on-disk spec) instead of trusting catalog existence alone — a
+    * persistent metastore can hold a table whose codes predate a base
+    * rebuild. */
   private[graft] def pqDeltaSegment(
-      s: SparkSession, d: String, meta: PqIndexMeta): DataFrame = {
-    val deltaT = pqDeltaTable(d)
+      s: SparkSession, d: String, meta: PqIndexMeta,
+      dd: PqDeltaDef = PqDelta1): DataFrame = {
+    val deltaT = pqDeltaTable(d, dd)
+    val k = deltaKey(d, dd)
     val loc = s"${Dedup.warehouseDir(s)}/$deltaT"
     val specPath = java.nio.file.Paths.get(loc, PqIdxSpecFile)
-    val fp = Dedup.sourceFingerprint(d, "embeddings.parquet") + "|" + PqDeltaTag
-    if (s.catalog.tableExists(deltaT)) {
-      vecDeltaMode.put(d, "cached")
+    val fp = pqSpecFingerprint(d) + "|" + dd.tag
+    if (s.catalog.tableExists(deltaT) && Option(pqDeltaFpCache.get(k)).contains(fp)) {
+      vecDeltaMode.put(k, "cached")
       graft.pipeline.Bucketing.readBucketed(s, deltaT)
     } else {
       val onDisk =
@@ -1392,18 +1473,31 @@ object Similarity {
         else None
       onDisk match {
         case Some(Array(sfp, ddl)) if sfp == fp =>
-          s.sql(s"""CREATE TABLE $deltaT ($ddl) USING parquet
-                   |CLUSTERED BY (cellr) SORTED BY (cellr)
-                   |INTO $PqIdxBuckets BUCKETS
-                   |LOCATION '$loc'""".stripMargin)
-          vecDeltaMode.put(d, "reregistered")
+          if (s.catalog.tableExists(deltaT)) vecDeltaMode.put(k, "cached")
+          else {
+            s.sql(s"""CREATE TABLE $deltaT ($ddl) USING parquet
+                     |CLUSTERED BY (cellr) SORTED BY (cellr)
+                     |INTO $PqIdxBuckets BUCKETS
+                     |LOCATION '$loc'""".stripMargin)
+            vecDeltaMode.put(k, "reregistered")
+          }
+          pqDeltaFpCache.put(k, fp)
           graft.pipeline.Bucketing.readBucketed(s, deltaT)
         case _ =>
           val t0 = System.nanoTime()
           s.sql(s"DROP TABLE IF EXISTS $deltaT")
           try Reconcile.deleteRecursively(loc)
           catch { case _: Exception => () }
-          val rf = residualFrameOf(deltaVecs(s, d), meta.cents, meta.bits)
+          // the <1M-local-ids disjointness assumption, asserted (see
+          // [[PqDeltaIdOffset]]) — a vec_id-only column-pruned agg, paid
+          // once per APPEND, never per read
+          val maxLocal = Tables.embeddings(s, d)
+            .agg(max(col("vec_id") % PqDeltaBlockSpan)).head.getLong(0)
+          require(maxLocal < PqDeltaIdOffset,
+            s"delta-id disjointness violated: max local vec_id $maxLocal >= " +
+              s"$PqDeltaIdOffset — delta ids would collide with real vectors " +
+              s"(raise PqDeltaIdOffset / re-space id blocks)")
+          val rf = residualFrameOf(deltaVecs(s, d, dd), meta.cents, meta.bits)
           val bests = pqBests(meta.cbs)
           val codes = rf.select(
             Seq(col("vec_id"), col("cell"), col("cellr")) ++
@@ -1412,25 +1506,40 @@ object Similarity {
             codes, deltaT, Seq("cellr"), PqIdxBuckets, Some(loc))
           java.nio.file.Files.writeString(
             specPath, fp + "\n" + codes.schema.toDDL)
-          vecDeltaMode.put(d, "appended")
-          vecDeltaSec.put(d, (System.nanoTime() - t0) / 1e9)
+          pqDeltaFpCache.put(k, fp)
+          vecDeltaMode.put(k, "appended")
+          vecDeltaSec.put(k, (System.nanoTime() - t0) / 1e9)
           graft.pipeline.Bucketing.readBucketed(s, deltaT)
       }
     }
   }
 
-  /** Drop only the DELTA segment for `d` (the base index survives) —
-    * the forced-append timing's invalidation hook. */
+  /** Recorded-and-validated spec fingerprint per delta segment — the
+    * in-memory gate on [[pqDeltaSegment]]'s cached path. Populated ONLY
+    * after the on-disk spec was read (or written) with a matching
+    * fingerprint; cleared by every invalidation. */
+  private val pqDeltaFpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drop the DELTA segments for `d` (the base index survives) — the
+    * forced-append timing's invalidation hook, and [[pqStoredIndex]]'s
+    * rebuild-branch cleanup. Folding generations are derived from the
+    * segments, so the compacted table falls with them. */
   private[graft] def invalidatePqDelta(d: String): Unit = {
-    vecDeltaMode.remove(d)
-    val t = pqDeltaTable(d)
-    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach { s =>
-      try {
-        s.sql(s"DROP TABLE IF EXISTS $t")
-        try Reconcile.deleteRecursively(s"${Dedup.warehouseDir(s)}/$t")
-        catch { case _: Exception => () }
-      } catch { case _: Exception => () }
+    Seq(PqDelta1, PqDelta2).foreach { dd =>
+      val k = deltaKey(d, dd)
+      vecDeltaMode.remove(k)
+      pqDeltaFpCache.remove(k)
+      val t = pqDeltaTable(d, dd)
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach { s =>
+        try {
+          s.sql(s"DROP TABLE IF EXISTS $t")
+          try Reconcile.deleteRecursively(s"${Dedup.warehouseDir(s)}/$t")
+          catch { case _: Exception => () }
+        } catch { case _: Exception => () }
+      }
     }
+    invalidatePqCompact(d)
   }
 
   /** Force-or-ensure the delta segment, returning (mode, append seconds —
@@ -1449,41 +1558,190 @@ object Similarity {
       else 0.0)
   }
 
+  // ---------- s18: segment COMPACTION into a new base generation ----------
+
+  private def pqCompactTable(d: String): String =
+    s"graft_pqidx_compact_${Dedup.pathKey(d)}"
+
+  /** What the last [[pqCompactedIndex]] call did per directory ("cached" /
+    * "reregistered" / "compacted") and the fold seconds when "compacted" —
+    * the compaction twin of [[vecIndexBuildMode]], read by the gate's
+    * timed `s18_compact` entry. */
+  private[graft] val vecCompactMode =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val vecCompactSec =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+  private val pqCompactFpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** COMPACTION — the LSM fold that completes the index lifecycle
+    * (round-15 verdict #3: build → append → ??? had no third step; a
+    * year of daily appends would accumulate 365 segments and every
+    * search would union them all). Folds the base codes table plus the
+    * given delta segments into ONE new bucketed table — a bucketed
+    * REWRITE of already-frozen codes: zero Lloyd jobs, zero encode work,
+    * zero float math (the no-retrain spec pins [[pqTrainCalls]]/
+    * [[centroidJobCalls]] unmoved across a forced compaction), so the
+    * result is row-identical to the union it replaces BY CONSTRUCTION —
+    * s18 declares exactly s17's oracle, verbatim. The LSM discipline:
+    * the fold writes a new GENERATION (its own external table + spec,
+    * marker-last, fingerprint = base fp + the ordered segment tags) and
+    * never mutates the base in place — s16/s17 keep serving their own
+    * layouts unchanged, readers of the compacted generation get the
+    * single-table scan (no per-query union, segment-count-independent
+    * plans), and retiring the folded segments is the operator's separate
+    * choice ([[invalidatePqDelta]]). 100 TB: compaction cost is one
+    * corpus-compressed shuffle-free bucketed rewrite (~10 small ints per
+    * vector — the cheapest possible rewrite of the index), scheduled at
+    * leisure, amortized over every search that follows. */
+  private[graft] def pqCompactedIndex(
+      s: SparkSession, d: String,
+      segs: Seq[PqDeltaDef] = Seq(PqDelta1)): (DataFrame, PqIndexMeta) = {
+    val (base, meta) = pqStoredIndex(s, d)
+    val compT = pqCompactTable(d)
+    val loc = s"${Dedup.warehouseDir(s)}/$compT"
+    val specPath = java.nio.file.Paths.get(loc, PqIdxSpecFile)
+    val fp = pqSpecFingerprint(d) +
+      segs.sortBy(_.seg).map(dd => "|" + dd.tag).mkString
+    if (s.catalog.tableExists(compT) && Option(pqCompactFpCache.get(d)).contains(fp)) {
+      vecCompactMode.put(d, "cached")
+      (graft.pipeline.Bucketing.readBucketed(s, compT), meta)
+    } else {
+      val onDisk =
+        if (java.nio.file.Files.exists(specPath))
+          Some(java.nio.file.Files.readString(specPath).split("\n", 2))
+        else None
+      onDisk match {
+        case Some(Array(sfp, ddl)) if sfp == fp =>
+          if (s.catalog.tableExists(compT)) vecCompactMode.put(d, "cached")
+          else {
+            s.sql(s"""CREATE TABLE $compT ($ddl) USING parquet
+                     |CLUSTERED BY (cellr) SORTED BY (cellr)
+                     |INTO $PqIdxBuckets BUCKETS
+                     |LOCATION '$loc'""".stripMargin)
+            vecCompactMode.put(d, "reregistered")
+          }
+          pqCompactFpCache.put(d, fp)
+          (graft.pipeline.Bucketing.readBucketed(s, compT), meta)
+        case _ =>
+          val t0 = System.nanoTime()
+          s.sql(s"DROP TABLE IF EXISTS $compT")
+          try Reconcile.deleteRecursively(loc)
+          catch { case _: Exception => () }
+          val folded = segs.sortBy(_.seg)
+            .map(dd => pqDeltaSegment(s, d, meta, dd))
+            .foldLeft(base)(_ unionByName _)
+          graft.pipeline.Bucketing.writeBucketed(
+            folded, compT, Seq("cellr"), PqIdxBuckets, Some(loc))
+          java.nio.file.Files.writeString(
+            specPath, fp + "\n" + folded.schema.toDDL)
+          pqCompactFpCache.put(d, fp)
+          vecCompactMode.put(d, "compacted")
+          vecCompactSec.put(d, (System.nanoTime() - t0) / 1e9)
+          (graft.pipeline.Bucketing.readBucketed(s, compT), meta)
+      }
+    }
+  }
+
+  /** Drop only the COMPACTED generation for `d` (base + segments
+    * survive) — the forced-compaction timing's invalidation hook, and
+    * the derived-layer cleanup called by every base/segment
+    * invalidation. */
+  private[graft] def invalidatePqCompact(d: String): Unit = {
+    vecCompactMode.remove(d)
+    pqCompactFpCache.remove(d)
+    val t = pqCompactTable(d)
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach { s =>
+      try {
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        try Reconcile.deleteRecursively(s"${Dedup.warehouseDir(s)}/$t")
+        catch { case _: Exception => () }
+      } catch { case _: Exception => () }
+    }
+  }
+
+  /** Force-or-ensure the compacted generation, returning (mode, fold
+    * seconds — 0 unless "compacted"): the gate's `s18_compact` timing
+    * hook, [[ensurePqDelta]]'s contract. Base and segments are ensured,
+    * never forced, so the returned seconds time the FOLD alone. */
+  private[graft] def ensurePqCompact(
+      s: SparkSession, d: String, force: Boolean = false): (String, Double) = {
+    if (force) invalidatePqCompact(d)
+    pqCompactedIndex(s, d)
+    val mode = vecCompactMode.getOrDefault(d, "none")
+    (mode,
+      if (mode == "compacted") Option(vecCompactSec.get(d)).fold(0.0)(_.doubleValue())
+      else 0.0)
+  }
+
   /** Per-micro-batch ANN enrichment against the PERSISTED index — q58's
     * foreachBatch body: every arriving row is a PROBE (exact residual
     * derived map-only from the spec's centroid literals), ranked by ADC
-    * against the stored codes. s16's read path verbatim minus the
-    * ProbeMod filter — the stream decides which vectors arrive. The
-    * index side is static (reloaded from the catalog per batch plan, the
-    * q55 stream-static contract); there is ZERO stream state, so stream
-    * length never grows anything. */
+    * against the stored codes. Two serving disciplines close the
+    * round-15 verdict's two q58 findings:
+    *
+    *  - **The candidate read is CELL-PRUNED per batch.** The batch's
+    *    distinct probe `cellr`s — a bounded driver collect, ≤ |batch| ×
+    *    (1 + bits + C(bits,2)) longs — become an `isin` filter on the
+    *    bucketed codes read BEFORE reconstruction and the round-robin
+    *    exchange, so bucket pruning (BucketingSpec) reduces the scan to
+    *    the touched buckets and the shuffle moves only touched-cell
+    *    codes. The prune is a semantic no-op (the join key equality
+    *    implies every surviving candidate's cellr ∈ the probe set); what
+    *    it removes is the previous shape's per-batch FULL-INDEX scan +
+    *    repartition — a corpus-compressed shuffle per micro-batch at
+    *    100 TB. Per-batch cost is now ∝ touched cells, which is what an
+    *    online serving path must be.
+    *  - **The index side is base ∪ delta segment** ([[pqDeltaSegment]]) —
+    *    vectors appended since the last full build are visible online,
+    *    the s17 lifecycle served rather than contradicted.
+    *
+    * The index side is static (reloaded from the catalog per batch plan,
+    * the q55 stream-static contract); there is ZERO stream state, so
+    * stream length never grows anything. */
   private[graft] def annEnrichBatch(
       s: SparkSession, d: String, batch: DataFrame): DataFrame = {
-    val (codes, meta) = pqStoredIndex(s, d)
-    val rres = concat(
-      (0 until SubSpaces).map(m => codeVecCol(meta.cbs(m), col(s"c$m"))): _*)
-    val cand = codes.select(
-      Seq(col("vec_id"), col("cellr"), rres.as("rres")) ++
-        (0 until SubSpaces).map(m => col(s"c$m")): _*)
-      .repartition(s.sparkContext.defaultParallelism * 4)
+    val (base, meta) = pqStoredIndex(s, d)
+    val codes = base.unionByName(pqDeltaSegment(s, d, meta))
     val src = batch.select(col("vec_id"), col("embedding"),
       normCol(col("embedding")).as("nrm"))
     val p = refineMultiProbe(
       residualFrameOf(src, meta.cents, meta.bits), meta.bits)
-    val adc = sqdCol(col("p.res"), col("e.rres"))
-    val w = Window.partitionBy("probe_id").orderBy(col("adc"), col("neighbor_id"))
-    broadcast(p.as("p"))
-      .join(cand.as("e"),
+    val touched = p.select(col("cellr")).distinct()
+      .collect().map(_.get(0)).toSeq
+    adcSearch(s, codes.filter(col("cellr").isin(touched: _*)), p, meta)
+  }
+
+  /** q58's staged-stream source: the probe slice of base ∪ delta — the
+    * same probe population as s17's, so q58 declares s17's oracle
+    * verbatim, and some probes ARE appended vectors: the online path's
+    * visibility of the delta segment is oracle-exercised, not asserted. */
+  private[graft] def unionProbeVecs(s: SparkSession, d: String): DataFrame =
+    vecs(s, d).unionByName(deltaVecs(s, d))
+      .filter(col("vec_id") % ProbeMod === 0)
+      .select(col("vec_id"), col("embedding"))
+
+  /** Serving-occupancy gauge for the gate (the lsh_occupancy discipline
+    * applied to q58's online path): candidate JOIN rows per probe for
+    * `batch` — the per-batch work driver, which must stay ~flat as the
+    * corpus grows because both the ring size and the per-cell population
+    * are corpus-scaled ([[cellRefineBits]]). */
+  private[graft] def annServeCandPerProbe(
+      s: SparkSession, d: String, batch: DataFrame): Double = {
+    val (base, meta) = pqStoredIndex(s, d)
+    val codes = base.unionByName(pqDeltaSegment(s, d, meta))
+    val src = batch.select(col("vec_id"), col("embedding"),
+      normCol(col("embedding")).as("nrm"))
+    val p = refineMultiProbe(
+      residualFrameOf(src, meta.cents, meta.bits), meta.bits)
+    val touched = p.select(col("cellr")).distinct()
+      .collect().map(_.get(0)).toSeq
+    val probes = math.max(1L, batch.select(col("vec_id")).distinct().count())
+    val pairs = broadcast(p.as("p"))
+      .join(codes.filter(col("cellr").isin(touched: _*)).as("e"),
         col("p.cellr") === col("e.cellr") && col("p.vec_id") =!= col("e.vec_id"))
-      .select(Seq(col("p.vec_id").as("probe_id"), col("p.cell").as("cell"),
-        col("e.vec_id").as("neighbor_id")) ++
-        (0 until SubSpaces).map(m => col(s"e.c$m").as(s"c$m")) :+
-        adc.as("adc"): _*)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(Seq(col("probe_id"), col("cell"), col("rank"), col("neighbor_id")) ++
-        (0 until SubSpaces).map(m => col(s"c$m")) :+
-        Stable.r4(col("adc")).as("adc_sqdist"): _*)
+      .count()
+    pairs.toDouble / probes
   }
 
   /** Test hook (append-vs-rebuild equivalence): the ONE-SHOT frozen-spec
@@ -1492,10 +1750,13 @@ object Similarity {
     * exactly (same codes, no duplicates, nothing missing), which is what
     * makes "append" a pure storage optimization rather than a semantics
     * change. */
-  private[graft] def oneShotUnionCodesForTest(s: SparkSession, d: String): DataFrame = {
+  private[graft] def oneShotUnionCodesForTest(
+      s: SparkSession, d: String,
+      segs: Seq[PqDeltaDef] = Seq(PqDelta1)): DataFrame = {
     val (_, meta) = pqStoredIndex(s, d)
     val rf = residualFrameOf(
-      vecs(s, d).unionByName(deltaVecs(s, d)), meta.cents, meta.bits)
+      segs.map(deltaVecs(s, d, _)).foldLeft(vecs(s, d))(_ unionByName _),
+      meta.cents, meta.bits)
     val bests = pqBests(meta.cbs)
     rf.select(
       Seq(col("vec_id"), col("cell"), col("cellr")) ++
@@ -1619,35 +1880,37 @@ object Similarity {
          |FROM ranked WHERE rank <= $TopK""".stripMargin
     }) { (s, d) =>
     val (base, meta) = pqStoredIndex(s, d)
-    val delta = pqDeltaSegment(s, d, meta)
-    val codes = base.unionByName(delta)
-    // same read-path discipline as s16 (see its scaladoc): reconstruct
-    // rres once per candidate row BELOW the round-robin exchange, then
-    // the broadcast-probe join reads a plain array column
-    val rres = concat(
-      (0 until SubSpaces).map(m => codeVecCol(meta.cbs(m), col(s"c$m"))): _*)
-    val cand = codes.select(
-      Seq(col("vec_id"), col("cellr"), rres.as("rres")) ++
-        (0 until SubSpaces).map(m => col(s"c$m")): _*)
-      .repartition(s.sparkContext.defaultParallelism * 4)
+    val codes = base.unionByName(pqDeltaSegment(s, d, meta))
+    // same read-path discipline as s16 ([[adcSearch]]): reconstruct rres
+    // once per candidate row BELOW the round-robin exchange, then the
+    // broadcast-probe join reads a plain array column
     val p = refineMultiProbe(
       residualFrameOf(vecs(s, d).unionByName(deltaVecs(s, d)), meta.cents, meta.bits)
         .filter(col("vec_id") % ProbeMod === 0),
       meta.bits)
-    val adc = sqdCol(col("p.res"), col("e.rres"))
-    val w = Window.partitionBy("probe_id").orderBy(col("adc"), col("neighbor_id"))
-    broadcast(p.as("p"))
-      .join(cand.as("e"),
-        col("p.cellr") === col("e.cellr") && col("p.vec_id") =!= col("e.vec_id"))
-      .select(Seq(col("p.vec_id").as("probe_id"), col("p.cell").as("cell"),
-        col("e.vec_id").as("neighbor_id")) ++
-        (0 until SubSpaces).map(m => col(s"e.c$m").as(s"c$m")) :+
-        adc.as("adc"): _*)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .select(Seq(col("probe_id"), col("cell"), col("rank"), col("neighbor_id")) ++
-        (0 until SubSpaces).map(m => col(s"c$m")) :+
-        Stable.r4(col("adc")).as("adc_sqdist"): _*)
+    adcSearch(s, codes, p, meta)
+  }
+
+  /** s18 — s17's search served from the COMPACTED generation
+    * ([[pqCompactedIndex]]: base + delta segment folded into ONE bucketed
+    * table — the LSM lifecycle's third step, closing build → append →
+    * compact). The candidate side is a single-table scan: no per-query
+    * union, plan shape independent of how many segments have ever been
+    * appended. Result-identical to s17 BY CONSTRUCTION — the fold is a
+    * bucketed rewrite of the very rows s17 unions, with zero training
+    * and zero re-encoding (spec-pinned) — so the oracle is s17's
+    * verbatim. 100 TB: a year of daily appends stays one table + the
+    * not-yet-folded tail instead of 365 unioned segments; the fold
+    * itself is a corpus-compressed rewrite (~10 small ints per vector),
+    * timed and gated like s16's build. */
+  val s18IvfPqCompact = QueryDef(
+    "s18_ivfpq_compact", s17IvfPqAppend.oracle.get) { (s, d) =>
+    val (codes, meta) = pqCompactedIndex(s, d)
+    val p = refineMultiProbe(
+      residualFrameOf(vecs(s, d).unionByName(deltaVecs(s, d)), meta.cents, meta.bits)
+        .filter(col("vec_id") % ProbeMod === 0),
+      meta.bits)
+    adcSearch(s, codes, p, meta)
   }
 
   // ---------- s13: scalar-quantized (SQ8) in-cell search ----------
@@ -1889,5 +2152,6 @@ object Similarity {
     Seq(s01KnnBrute, s02AnnLsh, s03Centroids, s04AnnMultiProbe, s05IvfSearch,
       s06IvfMultiProbe, s07AnnRecall, s08KmeansLloyd, s09IvfPqAdc,
       s10IvfRecall, s11IvfMultiProbeRecall, s12IvfPqRecall,
-      s13Sq8Search, s14Sq8Recall, s15HybridRrf, s16IvfPqIndexed, s17IvfPqAppend)
+      s13Sq8Search, s14Sq8Recall, s15HybridRrf, s16IvfPqIndexed, s17IvfPqAppend,
+      s18IvfPqCompact)
 }

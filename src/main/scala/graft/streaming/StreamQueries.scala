@@ -622,13 +622,16 @@ object StreamQueries {
         graft.operators.Dedup.nearDupPipeline(hist, bp), bp)
     }
 
-  /** Staged probe stream for q58: exactly s09/s16's probe slice
-    * (vec_id % ProbeMod == 0) with a synthesized arrival time. One file,
-    * one micro-batch. */
+  /** Staged probe stream for q58: exactly s17's probe slice — base ∪
+    * appended delta vectors with vec_id % ProbeMod == 0 — with a
+    * synthesized arrival time. One file, one micro-batch. The delta
+    * probes are the round-15 verdict's "serve what you appended" claim
+    * made oracle-checkable: an online path still reading the base-only
+    * index ranks them against a corpus that excludes their own segment
+    * and hash-mismatches s17's oracle. */
   private def ensureStagedProbeVecs(s: SparkSession, d: String): String =
-    ensureStaged(s"$d#vecprobes", p =>
-      graft.tables.Tables.embeddings(s, d)
-        .filter(col("vec_id") % graft.operators.Similarity.ProbeMod === 0)
+    ensureStaged(s"$d#vecprobes-union", p =>
+      graft.operators.Similarity.unionProbeVecs(s, d)
         .select(col("vec_id"), col("embedding"),
           timestamp_seconds(lit(1704067200L) + col("vec_id")).as("ts"))
         .coalesce(1).write.mode("overwrite").parquet(p))
@@ -663,18 +666,22 @@ object StreamQueries {
 
   /** q58 — streaming ANN enrichment against the persisted vector index,
     * drained and read back: the vector twin of q57 (q55's stream-static
-    * shape with s16's candidate join). Each arriving vector is ranked
-    * against the stored PQ codes; per-probe top-k depends only on the
-    * probe vs the static index — never on batch boundaries or arrival
-    * order — so the emitted set is deterministic and the oracle is s09's
-    * verbatim (the staged stream IS s09's probe slice). 100 TB: the
-    * index is built once (s16) and served online; per-batch cost is the
-    * batch's map-only residual projection plus a cellr equi-join into
-    * ≈1/cells of the codes — zero stream state, zero training, zero
-    * corpus scans. */
+    * shape with the stored-index candidate join). Each arriving vector
+    * is ranked against the stored PQ codes of base ∪ delta segment —
+    * the index s17 maintains, served online — with the candidate read
+    * CELL-PRUNED to the batch's touched cellrs before any shuffle
+    * ([[graft.operators.Similarity.annEnrichBatch]]). Per-probe top-k
+    * depends only on the probe vs the static index — never on batch
+    * boundaries or arrival order — so the emitted set is deterministic
+    * and the oracle is s17's verbatim (the staged stream IS s17's probe
+    * slice, appended vectors included). 100 TB: the index is built once
+    * (s16), appended daily (s17), and served online; per-batch cost is
+    * the batch's map-only residual projection plus a bucket-pruned cellr
+    * equi-join ∝ touched cells — zero stream state, zero training, zero
+    * corpus scans per batch. */
   val q58AnnStreamEnrich = QueryDef(
     "q58_ann_stream_enrich",
-    graft.operators.Similarity.s09IvfPqAdc.oracle.get) { (s, d) =>
+    graft.operators.Similarity.s17IvfPqAppend.oracle.get) { (s, d) =>
     drainAnnEnrich(s, d, ensureStagedProbeVecs(s, d))
   }
 

@@ -137,6 +137,48 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("s18 reads ONE compacted table — no per-query union, no base/segment scan") {
+    import graft.operators.Similarity
+    // first call ensures base + segment and folds them (idempotent per dir)
+    val plan = planOf(Similarity.s18IvfPqCompact.fn(spark, sf))
+    assert(plan.contains("graft_pqidx_compact"), "compacted generation not scanned")
+    // the whole point of compaction: the candidate side is a SINGLE table
+    // scan whose plan shape is independent of how many segments were
+    // folded — neither the base codes table nor any delta segment appears
+    assert(!plan.contains("graft_pqidx_codes"),
+      "base codes table still scanned — the fold did not replace the union")
+    assert(!plan.contains("graft_pqidx_delta"),
+      "delta segment still scanned — the fold did not replace the union")
+    def embScans(p: String): Int = "embeddings\\.parquet".r.findAllIn(p).length
+    assert(embScans(plan) == 2,
+      s"s18 scans embeddings.parquet ${embScans(plan)}x — expected exactly the 2 probe-union branches")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q58's per-batch candidate read is BUCKET-PRUNED to the batch's cells") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    // a small batch touches few cellr rings; the serving plan must read
+    // only those buckets of base + delta — the round-15 verdict's one
+    // scale-killer was this exact scan reading (and repartitioning) the
+    // ENTIRE index every micro-batch
+    val batch = Similarity.unionProbeVecs(spark, sf).limit(5)
+    val plan = planOf(Similarity.annEnrichBatch(spark, sf, batch))
+    assert(plan.contains("graft_pqidx_codes") && plan.contains("graft_pqidx_delta"),
+      "serving must read base codes + delta segment")
+    assert(plan.contains("In(cellr"),
+      "the touched-cellr filter is not pushed to the index scans")
+    val selected = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(plan).toSeq
+    assert(selected.size >= 2,
+      s"expected bucket pruning on both index scans, plan shows ${selected.size}:\n$plan")
+    selected.foreach { m =>
+      assert(m.group(1).toInt < m.group(2).toInt,
+        s"index scan reads all ${m.group(2)} buckets — pruning lost, per-batch cost is corpus-scale")
+    }
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("s05 IVF assignment is a pure projection — no shuffle below the candidate join") {
     import graft.operators.Similarity
     val plan = planOf(Similarity.s05IvfSearch.fn(spark, sf))

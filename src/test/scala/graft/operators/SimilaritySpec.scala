@@ -322,4 +322,122 @@ class SimilaritySpec extends SparkSpec {
       graft.operators.Reconcile.deleteRecursively(dir)
     }
   }
+
+  test("s18 compaction folds with ZERO training/encode jobs and equals s17 exactly") {
+    Similarity.ensurePqDelta(spark, sf)
+    val lloyd0 = Similarity.pqTrainCalls.get()
+    val cents0 = Similarity.centroidJobCalls.get()
+    val (mode, sec) = Similarity.ensurePqCompact(spark, sf, force = true)
+    assert(mode == "compacted", s"forced compaction must compact, got $mode")
+    assert(sec > 0.0, "a fold must report its seconds")
+    assert(Similarity.pqTrainCalls.get() == lloyd0 &&
+      Similarity.centroidJobCalls.get() == cents0,
+      "compaction ran a training job — it must be a pure bucketed rewrite of frozen codes")
+    // the folded table is ROW-IDENTICAL to the union it replaces (multiset)
+    val folded = Similarity.pqCompactedIndex(spark, sf)._1
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString())
+    val union = Similarity.storedUnionCodesForTest(spark, sf)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString())
+    assert(folded == union, "compacted generation diverges from base ∪ segment")
+    // ...so the search over it equals s17's output exactly
+    val s18 = Similarity.s18IvfPqCompact.fn(spark, sf).collect().map(_.toSeq).toSet
+    val s17 = Similarity.s17IvfPqAppend.fn(spark, sf).collect().map(_.toSeq).toSet
+    assert(s18 == s17, "s18 (compacted) ranks differently from s17 (union) — fold corrupted codes")
+    // and the generation is reused, not re-folded
+    assert(Similarity.ensurePqCompact(spark, sf)._1 == "cached")
+  }
+
+  test("a SECOND segment appends and folds: compact == one-shot frozen-spec union encode") {
+    val (_, meta) = Similarity.pqStoredIndex(spark, sf)
+    // day 2's ingest (rotation permutation, ids past 2M) — frozen-spec
+    // encode, no training (covered for seg 1 above; the counters pin it
+    // here for the generalized path too)
+    val lloyd0 = Similarity.pqTrainCalls.get()
+    Similarity.pqDeltaSegment(spark, sf, meta, Similarity.PqDelta2)
+    assert(Similarity.pqTrainCalls.get() == lloyd0)
+    // fold base + BOTH segments into a new generation (the fp records the
+    // ordered tags, so the seg1-only generation from the previous test is
+    // correctly treated as stale and replaced)
+    val (codes, _) = Similarity.pqCompactedIndex(
+      spark, sf, Seq(Similarity.PqDelta1, Similarity.PqDelta2))
+    val folded = codes.collect().map(_.toSeq).toSeq.sortBy(_.toString())
+    val oneShot = Similarity.oneShotUnionCodesForTest(
+      spark, sf, Seq(Similarity.PqDelta1, Similarity.PqDelta2))
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString())
+    assert(folded.size == oneShot.size,
+      s"row counts diverge: folded ${folded.size} vs one-shot ${oneShot.size}")
+    assert(folded == oneShot,
+      "multi-segment fold diverges from a from-scratch frozen-spec encode of the union")
+    // both segments' id ranges are present and disjoint by construction
+    val ids = folded.map(_.head.asInstanceOf[Long])
+    assert(ids.exists(i => i >= 1000000L && i < 2000000L), "segment 1 missing from the fold")
+    assert(ids.exists(_ >= 2000000L), "segment 2 missing from the fold")
+    assert(ids.distinct.size == ids.size, "delta id collision — the offset discipline failed")
+    // restore the declared seg1-only generation for any later reader
+    Similarity.ensurePqCompact(spark, sf, force = true)
+  }
+
+  test("a base REBUILD invalidates delta segments and the compacted generation") {
+    // ADVICE r15 (medium): with a persistent metastore, a corpus change
+    // self-heals the BASE index but — before this round — kept serving
+    // delta/compact codes encoded against the dropped codebooks. The
+    // fresh-JVM-with-persistent-catalog scenario: tables exist in the
+    // catalog, in-memory caches are empty, base fingerprint is stale.
+    val dir = java.nio.file.Files.createTempDirectory("graft_s18_fp").toString
+    def write(seed: Int): Unit =
+      spark.range(0, 60).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          i => sin((col("id") + 1) * (i + lit(seed + 1))).cast("float")).as("embedding"),
+        (col("id") % 2).cast("int").as("label"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    try {
+      write(0)
+      Similarity.invalidateParamCaches(dir)
+      assert(Similarity.ensurePqDelta(spark, dir)._1 == "appended")
+      assert(Similarity.ensurePqCompact(spark, dir)._1 == "compacted")
+      // corpus regenerated; simulate ONLY a JVM restart — catalog tables
+      // deliberately NOT dropped (the persistent-metastore case)
+      write(7)
+      Similarity.forgetPqMetaForTest(dir)
+      val (bm, _) = Similarity.ensurePqIndex(spark, dir)
+      assert(bm == "built", s"stale base must rebuild, got $bm")
+      // the derived layers must re-derive against the NEW codebooks —
+      // serving the old segment would rank stale ADC silently
+      val (dm, _) = Similarity.ensurePqDelta(spark, dir)
+      assert(dm == "appended",
+        s"delta must re-encode after a base rebuild, got $dm")
+      val (cm, _) = Similarity.ensurePqCompact(spark, dir)
+      assert(cm == "compacted",
+        s"compacted generation must re-fold after a base rebuild, got $cm")
+    } finally {
+      Similarity.invalidateParamCaches(dir)
+      graft.operators.Reconcile.deleteRecursively(dir)
+    }
+  }
+
+  test("q58 serving: base∪delta visible, candidate read cell-pruned, occupancy bounded") {
+    Similarity.ensurePqDelta(spark, sf)
+    val batch = Similarity.unionProbeVecs(spark, sf)
+    val out = Similarity.annEnrichBatch(spark, sf, batch).cache()
+    try {
+      assert(out.count() > 0)
+      // appended vectors are probes AND neighbors — the online path sees
+      // what s17 appended (the round-15 verdict's "serve a stale index")
+      assert(out.filter(col("probe_id") >= 1000000L).count() > 0,
+        "no appended vector probes the online path")
+      assert(out.filter(col("neighbor_id") >= 1000000L).count() > 0,
+        "appended vectors invisible to the online path — it serves the stale base")
+      // and the batch path agrees with s17's batch query row-for-row
+      // (same probes, same index, same ranking)
+      val s17 = Similarity.s17IvfPqAppend.fn(spark, sf)
+      assert(out.exceptAll(s17).isEmpty && s17.exceptAll(out).isEmpty,
+        "online serving diverges from the declared s17 ranking")
+    } finally out.unpersist()
+    // serving occupancy (the gate's gauge, exercised here so a fixture
+    // regression is caught before a scale run): candidates/probe is
+    // bounded — a corpus-scale blowup here is the full-scan regression
+    val occ = Similarity.annServeCandPerProbe(spark, sf, batch.limit(5))
+    assert(occ > 0.0 && occ < 10000.0, f"serving occupancy $occ%.1f out of range")
+  }
 }

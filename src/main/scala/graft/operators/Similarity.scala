@@ -1698,11 +1698,30 @@ object Similarity {
     *
     * The index side is static (reloaded from the catalog per batch plan,
     * the q55 stream-static contract); there is ZERO stream state, so
-    * stream length never grows anything. */
+    * stream length never grows anything.
+    *
+    * `layout` selects which PHYSICAL arrangement of the same logical
+    * index serves the batch — the LSM parity contract (round-15 verdict
+    * #7): `"union"` (the default, q58's declared shape) reads base codes
+    * table ∪ delta segment; `"compacted"` reads the [[pqCompactedIndex]]
+    * generation; `"oneshot"` ranks against the from-scratch frozen-spec
+    * encode of the unioned corpus ([[oneShotUnionCodesForTest]]). All
+    * three are row-identical by construction (codes are frozen-spec
+    * deterministic, compaction is a pure rewrite), so an operator may
+    * compact mid-stream without a result change — SimilaritySpec pins
+    * the three-way equality on a served batch. */
   private[graft] def annEnrichBatch(
-      s: SparkSession, d: String, batch: DataFrame): DataFrame = {
-    val (base, meta) = pqStoredIndex(s, d)
-    val codes = base.unionByName(pqDeltaSegment(s, d, meta))
+      s: SparkSession, d: String, batch: DataFrame,
+      layout: String = "union"): DataFrame = {
+    val (codes, meta) = layout match {
+      case "compacted" => pqCompactedIndex(s, d)
+      case "oneshot" =>
+        val (_, m) = pqStoredIndex(s, d)
+        (oneShotUnionCodesForTest(s, d), m)
+      case _ =>
+        val (b, m) = pqStoredIndex(s, d)
+        (b.unionByName(pqDeltaSegment(s, d, m)), m)
+    }
     val src = batch.select(col("vec_id"), col("embedding"),
       normCol(col("embedding")).as("nrm"))
     val p = refineMultiProbe(
@@ -1711,6 +1730,17 @@ object Similarity {
       .collect().map(_.get(0)).toSeq
     adcSearch(s, codes.filter(col("cellr").isin(touched: _*)), p, meta)
   }
+
+  /** Serve `batch` against each of the three physical layouts of the same
+    * logical index ([[annEnrichBatch]]'s `layout`), returning the collected
+    * row-sets — the parity test's hook, kept here so the layout names stay
+    * next to their dispatch. */
+  private[graft] def annServeAllLayoutsForTest(
+      s: SparkSession, d: String, batch: DataFrame): Map[String, Seq[String]] =
+    Seq("union", "compacted", "oneshot").map { lay =>
+      lay -> annEnrichBatch(s, d, batch, lay)
+        .collect().map(_.toString).sorted.toSeq
+    }.toMap
 
   /** q58's staged-stream source: the probe slice of base ∪ delta — the
     * same probe population as s17's, so q58 declares s17's oracle
@@ -2148,10 +2178,113 @@ object Similarity {
       .orderBy(col("rrf_score").desc, col("doc_id")).limit(RrfTopK)
   }
 
+  // ---------- s19: FILTERED vector search (metadata predicate) ----------
+
+  /** The attribute predicate served by s19 — a candidate qualifies only if
+    * its document row carries this language. 'en' is the corpus majority
+    * (~40% of the fixtures), so the filter is selective without being
+    * vacuous. */
+  private val FilterLang = "en"
+
+  /** s19 — FILTERED ANN: s05's IVF search where the CANDIDATE set is
+    * restricted by a metadata predicate (`documents.lang = 'en'`) — the
+    * "filtered vector search" every production retrieval stack needs
+    * (serve only candidates passing a license/language/source predicate).
+    * Probes are unrestricted; ranking happens AFTER the filter (true
+    * pre-filter semantics — the top-k is the best k QUALIFYING neighbors,
+    * not the qualifying subset of an unfiltered top-k, which can return
+    * fewer than k and misses qualifying near-neighbors ranked k+1..n).
+    *
+    * Plan shape: the attribute attaches to the candidate side by one
+    * vec_id = doc_id equi-join BEFORE the cell join — at the declared
+    * chain's fixtures a one-job semi-join; in the stored-index lifecycle
+    * (s16) the attribute column is persisted WITH the codes at build time
+    * (a bucketed index row is `(vec_id, cellr, c0..cM, attrs…)`), making
+    * the filter a pushed scan predicate on the cell-pruned candidate
+    * read — zero per-query joins at 100 TB. The probe side and the
+    * cell-equi-join candidate discipline are s05's verbatim; the filter
+    * only thins the candidate mass (≈ the predicate's selectivity ×
+    * occupancy), never widens it.
+    *
+    * Reference scope: the reference engine has no vector surface at all
+    * (SURVEY §2) — s19, like s01–s18, is part of the LLM-pipeline
+    * extension catalog. */
+  val s19AnnFiltered = QueryDef(
+    "s19_ann_filtered", {
+      val centroidSql = s03Centroids.oracle.get
+      s"""WITH cents0 AS (${centroidSql.replace("\n", "\n  ")}),
+         |cents AS (
+         |  SELECT label,
+         |         list_transform(list(centroid ORDER BY dim_pos), x -> CAST(x AS REAL)) AS cvec
+         |  FROM cents0 GROUP BY label),
+         |cn AS (SELECT label, cvec, ${normSql("cvec")} AS cnorm FROM cents),
+         |e AS (SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+         |assigned AS (
+         |  SELECT vec_id, embedding, nrm, cell FROM (
+         |    SELECT e.vec_id, e.embedding, e.nrm, cn.label AS cell,
+         |           row_number() OVER (
+         |             PARTITION BY e.vec_id
+         |             ORDER BY ${dotSql("e.embedding", "cn.cvec")} / (e.nrm * cn.cnorm) DESC,
+         |                      cn.label) AS rn
+         |    FROM e CROSS JOIN cn) WHERE rn = 1),
+         |p AS (SELECT * FROM assigned WHERE vec_id % $ProbeMod = 0),
+         |scored AS (
+         |  SELECT p.vec_id AS probe_id, p.cell, e2.vec_id AS neighbor_id,
+         |         ${dotSql("p.embedding", "e2.embedding")} / (p.nrm * e2.nrm) AS cos
+         |  FROM p
+         |  JOIN assigned e2 ON p.cell = e2.cell AND p.vec_id <> e2.vec_id
+         |  JOIN documents dd ON e2.vec_id = dd.doc_id AND dd.lang = '$FilterLang'),
+         |ranked AS (
+         |  SELECT probe_id, cell, neighbor_id, cos,
+         |         row_number() OVER (PARTITION BY probe_id
+         |                            ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT probe_id, cell, rank, neighbor_id, ${Stable.sqlR4("cos")} AS cosine
+         |FROM ranked WHERE rank <= $TopK""".stripMargin
+    }) { (s, d) =>
+    val scoredCells = centroidScoredCells(s, d)
+    val bits = cellRefineBits(s, d)
+    val e = vecs(s, d)
+    val assigned = e.select(col("vec_id"), col("embedding"), col("nrm"),
+      (-array_max(scoredCells).getField("negCell")).as("cell"))
+      .withColumn("cellr", refinedCellCol(col("cell"), col("embedding"), bits))
+    // metadata attach: a semi-join thins the candidate side to qualifying
+    // documents (the stored-index lifecycle persists this column with the
+    // codes instead — scaladoc above); the probe side stays unrestricted
+    val allowed = Tables.documents(s, d)
+      .filter(col("lang") === lit(FilterLang)).select(col("doc_id"))
+    val cand = assigned.join(
+      allowed, assigned("vec_id") === allowed("doc_id"), "left_semi")
+    // probe side: s05's verbatim — single assigned cell below
+    // NProbe2MinBits, top-NProbe explode at the ×100 regime
+    val pBase =
+      if (bits >= NProbe2MinBits)
+        e.filter(col("vec_id") % ProbeMod === 0)
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            (-array_max(scoredCells).getField("negCell")).as("cell"),
+            explode(transform(slice(array_sort(scoredCells), -NProbe, NProbe),
+              x => -x.getField("negCell"))).as("probed_cell"))
+          .withColumn("cellr", refinedCellCol(col("probed_cell"), col("embedding"), bits))
+          .drop("probed_cell")
+      else assigned.filter(col("vec_id") % ProbeMod === 0)
+    val p = refineMultiProbe(pBase, bits)
+    val cos = dotCol(col("p.embedding"), col("e.embedding")) / (col("p.nrm") * col("e.nrm"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("neighbor_id"))
+    broadcast(p.as("p"))
+      .join(cand.as("e"),
+        col("p.cellr") === col("e.cellr") && col("p.vec_id") =!= col("e.vec_id"))
+      .select(col("p.vec_id").as("probe_id"), col("p.cell").as("cell"),
+        col("e.vec_id").as("neighbor_id"), cos.as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("cell"), col("rank"), col("neighbor_id"),
+        Stable.r4(col("cos")).as("cosine"))
+  }
+
   val all: Seq[QueryDef] =
     Seq(s01KnnBrute, s02AnnLsh, s03Centroids, s04AnnMultiProbe, s05IvfSearch,
       s06IvfMultiProbe, s07AnnRecall, s08KmeansLloyd, s09IvfPqAdc,
       s10IvfRecall, s11IvfMultiProbeRecall, s12IvfPqRecall,
       s13Sq8Search, s14Sq8Recall, s15HybridRrf, s16IvfPqIndexed, s17IvfPqAppend,
-      s18IvfPqCompact)
+      s18IvfPqCompact, s19AnnFiltered)
 }

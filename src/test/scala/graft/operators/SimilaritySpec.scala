@@ -440,4 +440,46 @@ class SimilaritySpec extends SparkSpec {
     val occ = Similarity.annServeCandPerProbe(spark, sf, batch.limit(5))
     assert(occ > 0.0 && occ < 10000.0, f"serving occupancy $occ%.1f out of range")
   }
+
+  test("serving parity across index layouts: append → serve → compact → serve is result-identical") {
+    // the LSM lifecycle's user-facing guarantee (round-15 verdict #7):
+    // an operator may compact mid-stream and the online path's output
+    // must not move — union (base + delta segment), the compacted
+    // generation, and a from-scratch frozen-spec encode of the unioned
+    // corpus are three PHYSICAL layouts of one logical index
+    Similarity.ensurePqDelta(spark, sf)
+    val batch = Similarity.unionProbeVecs(spark, sf).limit(8)
+    val (mode, _) = Similarity.ensurePqCompact(spark, sf, force = true)
+    assert(mode == "compacted", s"forced compaction did not fold (mode=$mode)")
+    val served = Similarity.annServeAllLayoutsForTest(spark, sf, batch)
+    assert(served("union").nonEmpty, "parity is vacuous: served batch is empty")
+    assert(served("union") == served("compacted"),
+      "compaction changed the served ranking — the fold is not a pure rewrite")
+    assert(served("union") == served("oneshot"),
+      "segmented serving diverges from the one-shot union encode")
+  }
+
+  test("s19 filtered ANN: every neighbor qualifies, and pre-filter semantics beat post-filtering") {
+    import org.apache.spark.sql.functions.{col => c}
+    val out = Similarity.s19AnnFiltered.fn(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      // every served neighbor passes the predicate — the filter is
+      // enforced, not advisory
+      val docs = graft.tables.Tables.documents(spark, sf)
+        .select(c("doc_id"), c("lang"))
+      val offLang = out.join(docs, out("neighbor_id") === docs("doc_id"))
+        .filter(c("lang") =!= "en").count()
+      assert(offLang == 0, s"$offLang neighbors violate the lang='en' predicate")
+      // non-vacuous pre-filter: some served neighbor is NOT in the
+      // unfiltered s05 top-k for its probe — post-filtering an unfiltered
+      // top-k would have missed it (the classic filtered-ANN failure)
+      val unfiltered = Similarity.s05IvfSearch.fn(spark, sf)
+        .select(c("probe_id"), c("neighbor_id"))
+      val beyond = out.select(c("probe_id"), c("neighbor_id"))
+        .exceptAll(unfiltered).count()
+      assert(beyond > 0,
+        "filter never reached past the unfiltered top-k — pre-filter semantics unexercised")
+    } finally out.unpersist()
+  }
 }

@@ -156,8 +156,10 @@ object Bench {
       // d17/q57 build the persisted near-dup index once per (JVM, dir) —
       // timed runs must measure the read-back shape, not the build
       "d17_neardup_indexed", "q57_neardup_stream_gate",
-      // q58 serves the persisted VECTOR index to a stream — same reason
-      "q58_ann_stream_enrich")
+      // q58/q59 serve the persisted VECTOR index to a stream — same reason
+      "q58_ann_stream_enrich", "q59_ann_stream_filtered",
+      // s20 filters the same persisted index — build once before timing
+      "s20_ann_filtered_indexed")
     (Seq("t01_token_count", "s03_centroids") ++ sideEffectWarmed.toSeq.sorted)
       .foreach { n =>
         SparkEntry.benchQueries.get(n).foreach { f =>
@@ -260,7 +262,8 @@ object Bench {
       "q51_dedup_stream" -> graft.streaming.StreamQueries.q51MachineryProbe,
       "q55_stream_static_join" -> graft.streaming.StreamQueries.q55MachineryProbe,
       "q57_neardup_stream_gate" -> graft.streaming.StreamQueries.q57MachineryProbe,
-      "q58_ann_stream_enrich" -> graft.streaming.StreamQueries.q58MachineryProbe)
+      "q58_ann_stream_enrich" -> graft.streaming.StreamQueries.q58MachineryProbe,
+      "q59_ann_stream_filtered" -> graft.streaming.StreamQueries.q59MachineryProbe)
     val machineryCal: Map[String, Double] = machineryProbes.flatMap { case (n, f) =>
       if (excluded.contains(n)) None
       else {
@@ -409,7 +412,10 @@ object Bench {
     catch { case _: Exception => () }
     try org.apache.spark.sql.execution.streaming.state.StateStore.stop()
     catch { case _: Throwable => () }
-    spark.stop()
+    // ADVICE r16: spark.stop() was the one unguarded call between the
+    // shutdowns and the println — if it throws, the summary line never
+    // prints and the driver parse regresses to `"parsed": null`.
+    try spark.stop() catch { case _: Throwable => () }
     println(compact)
     System.out.flush()
   }

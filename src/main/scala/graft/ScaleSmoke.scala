@@ -168,14 +168,24 @@ object ScaleSmoke {
     // standing convention is that every declared operator family carries
     // a scale entry; per-row regex chains can still regress superlinearly
     // through pathological backtracking or codegen fallback.
-    "t26_html_extract")
+    "t26_html_extract",
+    // round-17 (round-16 verdict #6/#7): filtered retrieval — s20 serves
+    // the metadata predicate from the PERSISTED lang column (a pushed
+    // scan predicate on the cell-pruned candidate read; the claim: the
+    // filter THINS candidate mass, so the scaled ratio must track s16's,
+    // never exceed it structurally), and q59 is the same predicate on the
+    // ONLINE path (q58's drain; per-batch cost still ∝ touched cells).
+    "s20_ann_filtered_indexed", "q59_ann_stream_filtered")
 
   /** Scale factor of the generated dataset. Default ×10; set
     * SPARK_GRAFT_SCALE_COPIES=100 for the heavyweight ×100 demonstration
     * (60M lineitem rows / 500k docs / 1M events — ~20 min end-to-end).
     * Bench always uses the default. */
   val Copies: Int = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
-  private val IdShift = 10000000L
+  // ADVICE r16: one shared constant — the copy-block spacing IS the span
+  // Similarity's delta-append disjointness assertion validates against;
+  // referencing it (not a twin literal) makes drift impossible.
+  private val IdShift = graft.operators.Similarity.PqDeltaBlockSpan
   /** ≲linear fallback: 20% superlinear headroom over perfect ×Copies
     * scaling — used only where no ratcheted history exists. */
   val LinearBound: Double = 1.2 * Copies
@@ -1353,7 +1363,8 @@ object ScaleSmoke {
     // measured per entry before timing, subtracted from both sides
     val streamingProbes: Map[String, (SparkSession, String) => DataFrame] = Map(
       "q48_sessionize_append_sink" -> graft.streaming.StreamQueries.q48MachineryProbe,
-      "q58_ann_stream_enrich" -> graft.streaming.StreamQueries.q58MachineryProbe)
+      "q58_ann_stream_enrich" -> graft.streaming.StreamQueries.q58MachineryProbe,
+      "q59_ann_stream_filtered" -> graft.streaming.StreamQueries.q59MachineryProbe)
     var streamingFloors = Vector.empty[(String, Double)]
     // non-streaming ratio violations downgraded by the ×100 two-statistic
     // rule (deflated base + in-envelope scale side) — published under

@@ -1454,6 +1454,14 @@ object Dedup {
   private[operators] def sourceFingerprint(
       d: String, table: String = "documents.parquet"): String = {
     val root = java.nio.file.Paths.get(d, table)
+    // a table may be a Spark-written DIRECTORY of part files or a single
+    // parquet FILE (the driver's testdata) — both must fingerprint, else
+    // a single-file corpus change never invalidates a persisted index
+    if (java.nio.file.Files.isRegularFile(root))
+      return java.lang.Long.toHexString(
+        (s"${root.getFileName}:${java.nio.file.Files.size(root)}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(root).toMillis}")
+          .hashCode.toLong & 0xffffffffL)
     if (!java.nio.file.Files.isDirectory(root)) return "absent"
     val ls = java.nio.file.Files.list(root)
     val entries = try {

@@ -935,8 +935,12 @@ object Similarity {
     * lookup table instead of reconstructing — same candidate set, same
     * ranking; this declaration pins both, and the emitted codes make the
     * quantization itself oracle-checked, not just the ranking. */
-  val s09IvfPqAdc = QueryDef(
-    "s09_ivfpq_adc", {
+  /** s09's oracle chain, parameterized by an optional candidate-side
+    * language restriction (s20: filter BEFORE rank — the joined predicate
+    * thins `scored`, so the window ranks qualifying candidates only). */
+  private def ivfPqAdcOracleSql(langFilter: Option[String]): String = {
+      val langJoin = langFilter.fold("")(l =>
+        s"\n  JOIN documents dd ON c.vec_id = dd.doc_id AND dd.lang = '$l'")
       val centroidSql = s03Centroids.oracle.get
       s"""WITH cents0 AS (${centroidSql.replace("\n", "\n  ")}),
          |cents AS (
@@ -975,7 +979,7 @@ object Similarity {
          |  SELECT p.vec_id AS probe_id, p.cell, c.vec_id AS neighbor_id, c.codes,
          |         ${sqdSql("p.res", "c.rres")} AS adc
          |  FROM (SELECT * FROM res WHERE vec_id % $ProbeMod = 0) p
-         |  JOIN cand c ON p.cell = c.cell AND p.vec_id <> c.vec_id),
+         |  JOIN cand c ON p.cell = c.cell AND p.vec_id <> c.vec_id$langJoin),
          |ranked AS (
          |  SELECT probe_id, cell, neighbor_id, codes, adc,
          |         row_number() OVER (PARTITION BY probe_id
@@ -985,7 +989,10 @@ object Similarity {
          |       ${(0 until SubSpaces).map(m => s"codes[${m + 1}] AS c$m").mkString(", ")},
          |       ${Stable.sqlR4("adc")} AS adc_sqdist
          |FROM ranked WHERE rank <= $TopK""".stripMargin
-    }) { (s, d) =>
+  }
+
+  val s09IvfPqAdc = QueryDef(
+    "s09_ivfpq_adc", ivfPqAdcOracleSql(None)) { (s, d) =>
     val rf = residualFrame(s, d)
     // persist for the duration of training only (seeds + 2 Lloyd rounds
     // would otherwise each re-run the s03-centroid + assignment pipeline);
@@ -1036,13 +1043,46 @@ object Similarity {
     * the spec STORES. */
   private val PqParamsTag =
     s"params dims=$Dims cell=$TargetCell rpb=$RefinePlaneBase " +
-      s"M=$SubSpaces sd=$SubDim k=$PqK"
+      s"M=$SubSpaces sd=$SubDim k=$PqK attrs=lang"
 
   /** The persisted-index fingerprint for `d`: corpus identity
-    * (embeddings.parquet size/mtime signature) + [[PqParamsTag]]. Every
-    * spec writer records it and every reader re-checks it. */
+    * (embeddings.parquet size/mtime signature) + the attribute source
+    * (documents.parquet — the stored `lang` column is INDEX CONTENT, so a
+    * regenerated documents table must invalidate the codes exactly like a
+    * regenerated embeddings table; "absent" for attribute-less corpora) +
+    * [[PqParamsTag]]. Every spec writer records it and every reader
+    * re-checks it. */
   private def pqSpecFingerprint(d: String): String =
-    Dedup.sourceFingerprint(d, "embeddings.parquet") + "|" + PqParamsTag
+    Dedup.sourceFingerprint(d, "embeddings.parquet") + "|" +
+      Dedup.sourceFingerprint(d, "documents.parquet") + "|" + PqParamsTag
+
+  /** Attach the document attribute (`lang`) to a code frame — the
+    * filtered-search column persisted WITH the codes (s20's scaladoc:
+    * a bucketed index row is `(vec_id, cell, cellr, c0..cM, attrs…)`, so
+    * a metadata predicate is a pushed scan predicate on the cell-pruned
+    * candidate read, zero per-query joins). Paid once per build/append/
+    * fold, never per query. A DELTA vector inherits its SOURCE document's
+    * attribute: source id = vec_id stripped of the segment offset — local
+    * ids sit in [seg·[[PqDeltaIdOffset]], (seg+1)·[[PqDeltaIdOffset]])
+    * within their [[PqDeltaBlockSpan]] block (the disjointness invariant
+    * [[pqDeltaSegment]] asserts), so one integer expression serves base
+    * rows (offset 0) and every segment alike. Corpora without a
+    * documents table (attribute-less vector fixtures) store a null
+    * attribute — filters simply match nothing, and the fingerprint
+    * records "absent" so adding the table later rebuilds. */
+  private def withSourceLang(s: SparkSession, d: String, codes: DataFrame): DataFrame =
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(d, "documents.parquet")))
+      codes.withColumn("lang", lit(null).cast("string"))
+    else {
+      val srcId = (col("vec_id") -
+        lit(PqDeltaIdOffset) * ((col("vec_id") % PqDeltaBlockSpan) / PqDeltaIdOffset)
+          .cast("long")).as("__src_id")
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      codes.withColumn("__src_id", srcId)
+        .join(docs, col("__src_id") === col("doc_id"), "left")
+        .drop("__src_id", "doc_id")
+    }
 
   /** Exact float/double serialization for the index spec file: raw IEEE
     * bits in hex, so the deserialized literals are the trained values to
@@ -1222,9 +1262,9 @@ object Similarity {
             val cbs = trainSubCodebooks(rf)
             val t2 = mark("train", t1)
             val bests = pqBests(cbs)
-            val codes = rf.select(
+            val codes = withSourceLang(s, d, rf.select(
               Seq(col("vec_id"), col("cell"), col("cellr")) ++
-                bests.zipWithIndex.map { case (b, m) => b.getField("cid").as(s"c$m") }: _*)
+                bests.zipWithIndex.map { case (b, m) => b.getField("cid").as(s"c$m") }: _*))
             graft.pipeline.Bucketing.writeBucketed(
               codes, codesT, Seq("cellr"), PqIdxBuckets, Some(loc))
             mark("encode+write", t2)
@@ -1373,7 +1413,9 @@ object Similarity {
     * append path ASSERTS this (one vec_id-only column-pruned agg per
     * append — never per read) instead of trusting it. */
   private[graft] val PqDeltaIdOffset = 1000000L
-  private[graft] val PqDeltaBlockSpan = 10000000L // == the scale gate's copy-block IdShift
+  // the scale gate's copy-block IdShift references THIS constant
+  // (ADVICE r16: one shared value, no twin literal to drift)
+  private[graft] val PqDeltaBlockSpan = 10000000L
   private val PqDeltaMod = 10
   private val PqDeltaRes = 5
   private val PqDeltaRes2 = 7
@@ -1499,9 +1541,9 @@ object Similarity {
               s"(raise PqDeltaIdOffset / re-space id blocks)")
           val rf = residualFrameOf(deltaVecs(s, d, dd), meta.cents, meta.bits)
           val bests = pqBests(meta.cbs)
-          val codes = rf.select(
+          val codes = withSourceLang(s, d, rf.select(
             Seq(col("vec_id"), col("cell"), col("cellr")) ++
-              bests.zipWithIndex.map { case (b, m) => b.getField("cid").as(s"c$m") }: _*)
+              bests.zipWithIndex.map { case (b, m) => b.getField("cid").as(s"c$m") }: _*))
           graft.pipeline.Bucketing.writeBucketed(
             codes, deltaT, Seq("cellr"), PqIdxBuckets, Some(loc))
           java.nio.file.Files.writeString(
@@ -1710,10 +1752,17 @@ object Similarity {
     * deterministic, compaction is a pure rewrite), so an operator may
     * compact mid-stream without a result change — SimilaritySpec pins
     * the three-way equality on a served batch. */
+  /** `langFilter`: q58 × s19 — FILTERED online serving (verdict r16 #7,
+    * the composition a production retrieval stack actually runs). The
+    * predicate lands on the persisted `lang` column of the CELL-PRUNED
+    * candidate read — conjoined with the `isin` prune it is one more
+    * pushed scan predicate on the bucketed codes (PlanSpec pins
+    * PushedFilters), never a per-batch join; semantics are s19's true
+    * pre-filter (top-k = best k QUALIFYING neighbors). */
   private[graft] def annEnrichBatch(
       s: SparkSession, d: String, batch: DataFrame,
-      layout: String = "union"): DataFrame = {
-    val (codes, meta) = layout match {
+      layout: String = "union", langFilter: Option[String] = None): DataFrame = {
+    val (codes0, meta) = layout match {
       case "compacted" => pqCompactedIndex(s, d)
       case "oneshot" =>
         val (_, m) = pqStoredIndex(s, d)
@@ -1722,6 +1771,7 @@ object Similarity {
         val (b, m) = pqStoredIndex(s, d)
         (b.unionByName(pqDeltaSegment(s, d, m)), m)
     }
+    val codes = langFilter.fold(codes0)(l => codes0.filter(col("lang") === lit(l)))
     val src = batch.select(col("vec_id"), col("embedding"),
       normCol(col("embedding")).as("nrm"))
     val p = refineMultiProbe(
@@ -1736,9 +1786,10 @@ object Similarity {
     * row-sets — the parity test's hook, kept here so the layout names stay
     * next to their dispatch. */
   private[graft] def annServeAllLayoutsForTest(
-      s: SparkSession, d: String, batch: DataFrame): Map[String, Seq[String]] =
+      s: SparkSession, d: String, batch: DataFrame,
+      langFilter: Option[String] = None): Map[String, Seq[String]] =
     Seq("union", "compacted", "oneshot").map { lay =>
-      lay -> annEnrichBatch(s, d, batch, lay)
+      lay -> annEnrichBatch(s, d, batch, lay, langFilter)
         .collect().map(_.toString).sorted.toSeq
     }.toMap
 
@@ -1788,9 +1839,9 @@ object Similarity {
       segs.map(deltaVecs(s, d, _)).foldLeft(vecs(s, d))(_ unionByName _),
       meta.cents, meta.bits)
     val bests = pqBests(meta.cbs)
-    rf.select(
+    withSourceLang(s, d, rf.select(
       Seq(col("vec_id"), col("cell"), col("cellr")) ++
-        bests.zipWithIndex.map { case (b, m) => b.getField("cid").as(s"c$m") }: _*)
+        bests.zipWithIndex.map { case (b, m) => b.getField("cid").as(s"c$m") }: _*))
   }
 
   /** Test hook: base codes table ∪ delta segment, as s17's candidate side
@@ -1826,8 +1877,25 @@ object Similarity {
     * never a Lloyd job, never a corpus-scale scan ([[pqDeltaSegment]]'s
     * scaladoc; the gate times the forced append next to the forced full
     * build). */
-  val s17IvfPqAppend = QueryDef(
-    "s17_ivfpq_append", {
+  /** s17's oracle chain (train on base, frozen-encode the delta, search
+    * the union), parameterized by an optional candidate-side language
+    * restriction (q59's filtered online serving). A DELTA candidate's
+    * attribute is its SOURCE document's — the filtered variant threads
+    * `src` (vec_id stripped of the segment offset) through `acand` and
+    * joins documents on it, the oracle-side mirror of
+    * [[withSourceLang]]'s persisted column. */
+  private[graft] def ivfPqAppendOracleSql(langFilter: Option[String]): String = {
+      val acandSql = langFilter match {
+        case None => "acand AS (SELECT * FROM cand UNION ALL SELECT * FROM dcand)"
+        case Some(_) =>
+          s"""acand AS (
+             |  SELECT vec_id, cell, rres, codes, vec_id AS src FROM cand
+             |  UNION ALL
+             |  SELECT vec_id, cell, rres, codes, vec_id - $PqDeltaIdOffset AS src FROM dcand)"""
+            .stripMargin
+      }
+      val langJoin = langFilter.fold("")(l =>
+        s"\n  JOIN documents dd ON c.src = dd.doc_id AND dd.lang = '$l'")
       val centroidSql = s03Centroids.oracle.get
       s"""WITH cents0 AS (${centroidSql.replace("\n", "\n  ")}),
          |cents AS (
@@ -1893,12 +1961,12 @@ object Similarity {
          |  FROM dres r JOIN drecon rc USING (vec_id)),
          |ares AS (SELECT vec_id, cell, res FROM res
          |         UNION ALL SELECT vec_id, cell, res FROM dres),
-         |acand AS (SELECT * FROM cand UNION ALL SELECT * FROM dcand),
+         |$acandSql,
          |scored AS (
          |  SELECT p.vec_id AS probe_id, p.cell, c.vec_id AS neighbor_id, c.codes,
          |         ${sqdSql("p.res", "c.rres")} AS adc
          |  FROM (SELECT * FROM ares WHERE vec_id % $ProbeMod = 0) p
-         |  JOIN acand c ON p.cell = c.cell AND p.vec_id <> c.vec_id),
+         |  JOIN acand c ON p.cell = c.cell AND p.vec_id <> c.vec_id$langJoin),
          |ranked AS (
          |  SELECT probe_id, cell, neighbor_id, codes, adc,
          |         row_number() OVER (PARTITION BY probe_id
@@ -1908,7 +1976,10 @@ object Similarity {
          |       ${(0 until SubSpaces).map(m => s"codes[${m + 1}] AS c$m").mkString(", ")},
          |       ${Stable.sqlR4("adc")} AS adc_sqdist
          |FROM ranked WHERE rank <= $TopK""".stripMargin
-    }) { (s, d) =>
+  }
+
+  val s17IvfPqAppend = QueryDef(
+    "s17_ivfpq_append", ivfPqAppendOracleSql(None)) { (s, d) =>
     val (base, meta) = pqStoredIndex(s, d)
     val codes = base.unionByName(pqDeltaSegment(s, d, meta))
     // same read-path discipline as s16 ([[adcSearch]]): reconstruct rres
@@ -2184,7 +2255,7 @@ object Similarity {
     * its document row carries this language. 'en' is the corpus majority
     * (~40% of the fixtures), so the filter is selective without being
     * vacuous. */
-  private val FilterLang = "en"
+  private[graft] val FilterLang = "en"
 
   /** s19 — FILTERED ANN: s05's IVF search where the CANDIDATE set is
     * restricted by a metadata predicate (`documents.lang = 'en'`) — the
@@ -2281,10 +2352,38 @@ object Similarity {
         Stable.r4(col("cos")).as("cosine"))
   }
 
+  // ---------- s20: FILTERED search on the PERSISTED index ----------
+
+  /** s20 — s19's metadata predicate served from the STORED index (verdict
+    * r16 #6): the attribute (`lang`) is persisted WITH the codes at
+    * build/append time ([[withSourceLang]] — a bucketed index row is
+    * `(vec_id, cell, cellr, c0..cM, lang)`), so the filter is a PUSHED
+    * SCAN PREDICATE on the candidate read — PlanSpec pins
+    * `PushedFilters: [EqualTo(lang,…)]` and NO join anywhere on the
+    * candidate side. Search tail is s16's ([[adcSearch]] — ADC over the
+    * stored codes); semantics are s19's true pre-filter: the filter thins
+    * the candidate set BEFORE the per-probe window, so top-k is the best
+    * k QUALIFYING neighbors. Oracle = s09's chain + the candidate-side
+    * documents join ([[ivfPqAdcOracleSql]]) — an independent DuckDB
+    * formulation that attaches the attribute by join, checking the
+    * persisted column against the source of truth row-for-row. 100 TB:
+    * zero per-query joins for attribute filtering — the predicate rides
+    * the same cell-pruned bucketed scan every unfiltered search uses,
+    * paid for once per index build. */
+  val s20AnnFilteredIndexed = QueryDef(
+    "s20_ann_filtered_indexed", ivfPqAdcOracleSql(Some(FilterLang))) { (s, d) =>
+    val (codes, meta) = pqStoredIndex(s, d)
+    val p = refineMultiProbe(
+      residualFrameFrom(s, d, meta.cents, meta.bits)
+        .filter(col("vec_id") % ProbeMod === 0),
+      meta.bits)
+    adcSearch(s, codes.filter(col("lang") === lit(FilterLang)), p, meta)
+  }
+
   val all: Seq[QueryDef] =
     Seq(s01KnnBrute, s02AnnLsh, s03Centroids, s04AnnMultiProbe, s05IvfSearch,
       s06IvfMultiProbe, s07AnnRecall, s08KmeansLloyd, s09IvfPqAdc,
       s10IvfRecall, s11IvfMultiProbeRecall, s12IvfPqRecall,
       s13Sq8Search, s14Sq8Recall, s15HybridRrf, s16IvfPqIndexed, s17IvfPqAppend,
-      s18IvfPqCompact, s19AnnFiltered)
+      s18IvfPqCompact, s19AnnFiltered, s20AnnFilteredIndexed)
 }

@@ -642,21 +642,25 @@ object StreamQueries {
     * derived map-only from the spec literals, ADC rank against the stored
     * codes) and the top-k rows append to the sink. The index side is
     * static and prebuilt; there is no watermark state. */
-  private def drainAnnEnrich(s: SparkSession, d: String, stagedPath: String): DataFrame = {
-    val run = runDir("graft_q58_run")
-    requireSingleBatchStaging(stagedPath, "q58")
+  private def drainAnnEnrich(
+      s: SparkSession, d: String, stagedPath: String,
+      langFilter: Option[String] = None): DataFrame = {
+    val tag = if (langFilter.isEmpty) "q58" else "q59"
+    val run = runDir(s"graft_${tag}_run")
+    requireSingleBatchStaging(stagedPath, tag)
     val schema = s.read.parquet(stagedPath).schema
     val stream = s.readStream.schema(schema).parquet(stagedPath)
     val q = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.Similarity
-          .annEnrichBatch(s, d, batch.select(col("vec_id"), col("embedding")))
+          .annEnrichBatch(s, d, batch.select(col("vec_id"), col("embedding")),
+            langFilter = langFilter)
           .write.mode("append").parquet(s"$run/out")
       }
       .option("checkpointLocation", s"$run/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
-    try require(q.awaitTermination(600000), "q58: streaming drain did not finish within 600s")
+    try require(q.awaitTermination(600000), s"$tag: streaming drain did not finish within 600s")
     finally {
       try graft.operators.Reconcile.deleteRecursively(s"$run/ckpt")
       catch { case _: Exception => () }
@@ -685,22 +689,55 @@ object StreamQueries {
     drainAnnEnrich(s, d, ensureStagedProbeVecs(s, d))
   }
 
+  /** q59 — q58's online serving × s20's metadata predicate: each arriving
+    * vector is ranked against the QUALIFYING (`lang = 'en'`) stored codes
+    * of base ∪ delta segment — the filtered-retrieval composition a
+    * production stack actually runs (serve only candidates passing a
+    * license/language/source predicate, online). The predicate rides the
+    * persisted `lang` column of the cell-pruned candidate read
+    * ([[graft.operators.Similarity.annEnrichBatch]]'s `langFilter` — one
+    * more pushed scan predicate, never a per-batch join); semantics are
+    * true pre-filter (top-k = best k qualifying neighbors, batch-
+    * boundary-independent like q58's). A delta candidate qualifies by its
+    * SOURCE document's attribute. Oracle: s17's chain with the
+    * candidate-side documents join
+    * ([[graft.operators.Similarity.ivfPqAppendOracleSql]]) — attribute
+    * attached by join against the source of truth, checking the persisted
+    * column row-for-row, delta offset mapping included. */
+  val q59AnnStreamFiltered = QueryDef(
+    "q59_ann_stream_filtered",
+    graft.operators.Similarity.ivfPqAppendOracleSql(
+      Some(graft.operators.Similarity.FilterLang))) { (s, d) =>
+    drainAnnEnrich(s, d, ensureStagedProbeVecs(s, d),
+      Some(graft.operators.Similarity.FilterLang))
+  }
+
   /** Bench-only machinery calibration for q58: the identical enrichment
     * drain over a staged 1-row probe (vec_id 0's slot, deterministic
     * nonzero vector) against the same prebuilt index — one probe touches
     * one cellr ring, so the measured floor is drain machinery, not
     * candidate work. */
   val q58MachineryProbe: (SparkSession, String) => DataFrame =
-    (s, d) => drainAnnEnrich(s, d,
-      ensureStaged(s"$d#vecprobes-probe", p =>
-        s.range(1).select(
-          lit(0L).as("vec_id"),
-          transform(sequence(lit(1), lit(64)),
-            i => (i.cast("double") / lit(64.0)).cast("float")).as("embedding"),
-          lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"))
-          .coalesce(1).write.mode("overwrite").parquet(p)))
+    (s, d) => drainAnnEnrich(s, d, ensureStagedOneProbe(s, d))
+
+  /** q59's twin probe: the identical 1-row drain WITH the predicate —
+    * same machinery floor, so the calibrated q59 reading isolates the
+    * filtered candidate work exactly like q58's isolates the unfiltered. */
+  val q59MachineryProbe: (SparkSession, String) => DataFrame =
+    (s, d) => drainAnnEnrich(s, d, ensureStagedOneProbe(s, d),
+      Some(graft.operators.Similarity.FilterLang))
+
+  private def ensureStagedOneProbe(s: SparkSession, d: String): String =
+    ensureStaged(s"$d#vecprobes-probe", p =>
+      s.range(1).select(
+        lit(0L).as("vec_id"),
+        transform(sequence(lit(1), lit(64)),
+          i => (i.cast("double") / lit(64.0)).cast("float")).as("embedding"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"))
+        .coalesce(1).write.mode("overwrite").parquet(p))
 
   val all: Seq[QueryDef] = Seq(q44WindowedStreaming, q46WindowedAppendSink,
     q48SessionizeAppendSink, q50IntervalJoinStream, q51DedupStream,
-    q55StreamStaticJoin, q57NearDupStreamGate, q58AnnStreamEnrich)
+    q55StreamStaticJoin, q57NearDupStreamGate, q58AnnStreamEnrich,
+    q59AnnStreamFiltered)
 }

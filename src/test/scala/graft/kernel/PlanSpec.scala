@@ -179,6 +179,46 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("s20's lang predicate is PUSHED to the stored-codes scan — no per-query attribute join") {
+    import graft.operators.Similarity
+    // the whole point of persisting the attribute WITH the codes: the
+    // metadata filter is a scan predicate on the candidate read, not a
+    // join — s19 (declared-chain fixtures) attaches by semi-join, s20
+    // (stored index) must not
+    val plan = planOf(Similarity.s20AnnFilteredIndexed.fn(spark, sf))
+    assert(plan.contains("graft_pqidx_codes"), "codes index table not scanned")
+    assert(plan.contains("EqualTo(lang,en)"),
+      s"lang predicate not pushed to the codes scan:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      "attribute attached by a per-query documents join — the persisted column is unused")
+    assert(!plan.contains("LeftSemi"), "semi-join crept into the stored-index filtered path")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q59's filtered serving read is bucket-pruned AND lang-pushed — no join, no full scan") {
+    import graft.operators.Similarity
+    val batch = Similarity.unionProbeVecs(spark, sf).limit(5)
+    val plan = planOf(Similarity.annEnrichBatch(spark, sf, batch,
+      langFilter = Some(Similarity.FilterLang)))
+    assert(plan.contains("graft_pqidx_codes") && plan.contains("graft_pqidx_delta"),
+      "filtered serving must read base codes + delta segment")
+    assert(plan.contains("In(cellr"),
+      "the touched-cellr filter is not pushed to the index scans")
+    assert(plan.contains("EqualTo(lang,en)"),
+      s"lang predicate not pushed to the serving scans:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      "filtered serving joins documents per batch — the persisted column is unused")
+    val selected = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findAllMatchIn(plan).toSeq
+    assert(selected.size >= 2,
+      s"expected bucket pruning on both index scans, plan shows ${selected.size}")
+    selected.foreach { m =>
+      assert(m.group(1).toInt < m.group(2).toInt,
+        s"index scan reads all ${m.group(2)} buckets — pruning lost under the filter")
+    }
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("s05 IVF assignment is a pure projection — no shuffle below the candidate join") {
     import graft.operators.Similarity
     val plan = planOf(Similarity.s05IvfSearch.fn(spark, sf))

@@ -482,4 +482,69 @@ class SimilaritySpec extends SparkSpec {
         "filter never reached past the unfiltered top-k — pre-filter semantics unexercised")
     } finally out.unpersist()
   }
+
+  test("s20 stored-index filtered search: qualifying-only, pre-filter past the unfiltered top-k") {
+    val out = Similarity.s20AnnFilteredIndexed.fn(spark, sf).cache()
+    try {
+      assert(out.count() > 0)
+      // the PERSISTED lang column must agree with the source of truth:
+      // every served neighbor passes the predicate per documents.parquet
+      val docs = graft.tables.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("lang"))
+      val offLang = out.join(docs, out("neighbor_id") === docs("doc_id"))
+        .filter(col("lang") =!= Similarity.FilterLang).count()
+      assert(offLang == 0, s"$offLang neighbors violate the persisted-lang predicate")
+      // true pre-filter on the stored index: some qualifying neighbor sits
+      // past the UNFILTERED s16 top-k — post-filtering would miss it
+      val unfiltered = Similarity.s16IvfPqIndexed.fn(spark, sf)
+        .select(col("probe_id"), col("neighbor_id"))
+      val beyond = out.select(col("probe_id"), col("neighbor_id"))
+        .exceptAll(unfiltered).count()
+      assert(beyond > 0,
+        "s20 never reached past s16's unfiltered top-k — pre-filter semantics unexercised")
+    } finally out.unpersist()
+  }
+
+  test("q59 filtered serving: layout parity, source-of-truth qualify (delta included), pre-filter") {
+    Similarity.ensurePqDelta(spark, sf)
+    Similarity.ensurePqCompact(spark, sf)
+    val batch = Similarity.unionProbeVecs(spark, sf).limit(8)
+    // the three physical layouts must serve the FILTERED batch identically
+    // (the q58 parity contract composed with the predicate — an operator
+    // may compact mid-stream under filtered serving too)
+    val served = Similarity.annServeAllLayoutsForTest(
+      spark, sf, batch, Some(Similarity.FilterLang))
+    assert(served("union").nonEmpty, "filtered parity is vacuous: served batch is empty")
+    assert(served("union") == served("compacted"),
+      "compaction changed the FILTERED served ranking")
+    assert(served("union") == served("oneshot"),
+      "filtered segmented serving diverges from the one-shot union encode")
+    val out = Similarity.annEnrichBatch(
+      spark, sf, batch, langFilter = Some(Similarity.FilterLang)).cache()
+    try {
+      // every neighbor — appended delta vectors included — qualifies by
+      // its SOURCE document's lang (the offset-stripped id, the invariant
+      // withSourceLang persists and q59's oracle checks cross-engine)
+      val srcId = (col("neighbor_id") -
+        lit(1000000L) * ((col("neighbor_id") % 10000000L) / 1000000L).cast("long"))
+      val docs = graft.tables.Tables.documents(spark, sf)
+        .select(col("doc_id"), col("lang"))
+      val offLang = out.withColumn("__src", srcId)
+        .join(docs, col("__src") === col("doc_id"))
+        .filter(col("lang") =!= Similarity.FilterLang).count()
+      assert(offLang == 0, s"$offLang served neighbors violate the predicate at the source")
+      // delta candidates participate in filtered serving (non-vacuous
+      // union: the predicate must not silently exclude the segment)
+      assert(out.filter(col("neighbor_id") >= 1000000L).count() > 0,
+        "no appended vector qualifies — filtered serving excludes the delta segment")
+      // pre-filter on the serving path: some qualifying neighbor is absent
+      // from the UNFILTERED serve of the same batch
+      val unfiltered = Similarity.annEnrichBatch(spark, sf, batch)
+        .select(col("probe_id"), col("neighbor_id"))
+      val beyond = out.select(col("probe_id"), col("neighbor_id"))
+        .exceptAll(unfiltered).count()
+      assert(beyond > 0,
+        "filtered serving never reached past the unfiltered top-k — post-filter in disguise")
+    } finally out.unpersist()
+  }
 }

@@ -66,28 +66,44 @@ object RuleMatch {
       "invoice_month",
       concat(substring(col("month"), 1, 4), substring(col("month"), 6, 2)))
 
-  /** Family `i`'s deduplicated rule rows with PLAIN payload names:
-    * presence-filtered, then deterministic first-match dedup (nulls first
-    * in the payload sort). Shared by both join strategies. */
-  private def familyDeduped(dim: DataFrame, i: Int): DataFrame = {
-    val (p, s, k) = Presence(i)
-    def pred(c: String, present: Boolean): Column =
-      if (present) col(c).isNotNull else col(c).isNull
-    val keys = keysFor(i)
-    val filtered = dim
-      .filter(
-        pred("project_id", p) && pred("service_description", s) && pred("sku_id", k))
-      .select((keys ++ PayloadCols).map(col): _*)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(PayloadCols.map(col): _*)
-    filtered
+  /** ALL families' deduplicated rule rows in ONE window pass (optimization
+    * round 17; guide §2.4 "remove shuffles outright"). Every dim row
+    * belongs to exactly one family — its own null pattern — so `__fam` is
+    * a per-row expression (1 + project + 2·service + 4·sku, matching
+    * [[Presence]]'s encoding) and the 8 per-family `row_number` windows
+    * collapse into a single window over the five [[MatchKeys]]: within a
+    * family the absent specializers are null on every row, so partitioning
+    * by all five keys partitions each family by exactly its present keys
+    * (same groups), and rows from different families can never share a
+    * 5-key tuple (their null patterns differ). Same deterministic
+    * first-match winner per group (identical payload sort, nulls first).
+    *
+    * Before this change each of the 8 broadcast subtrees (and each of
+    * q40's 8 union branches) ran its OWN filter+window+shuffle over the
+    * dim — 8 small window jobs per kernel query (~1.4 s of the ~4.7 s
+    * q22 wall at sf0.1). Callers materialize this frame once (the ladder
+    * caches it; the tall fallback consumes it directly — the union-of-8
+    * disappears entirely because the families partition the dim). */
+  private[kernel] def allFamiliesDeduped(dim: DataFrame): DataFrame = {
+    val fam = lit(1) +
+      when(col("project_id").isNotNull, 1).otherwise(0) +
+      when(col("service_description").isNotNull, 2).otherwise(0) +
+      when(col("sku_id").isNotNull, 4).otherwise(0)
+    val w = Window.partitionBy(MatchKeys.map(col): _*).orderBy(PayloadCols.map(col): _*)
+    dim.select((MatchKeys ++ PayloadCols).map(col): _*)
+      .withColumn("__fam", fam)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
 
-  private def family(dim: DataFrame, i: Int): DataFrame = {
+  /** Family `i`'s rows off the shared deduped frame, reshaped for the
+    * ladder join: present keys + renamed payload. `deduped` must come from
+    * [[allFamiliesDeduped]] (callers cache it so the one window pass is
+    * paid once, not 8×). */
+  private def family(deduped: DataFrame, i: Int): DataFrame = {
     val keys = keysFor(i)
-    familyDeduped(dim, i)
+    deduped.filter(col("__fam") === i)
       .select(keys.map(col) ++ PayloadCols.map(c => col(c).as(s"${c}_r$i")): _*)
   }
 
@@ -191,27 +207,43 @@ object RuleMatch {
 
   private def addRuleTagBroadcast(fact: DataFrame, dimRaw: DataFrame): DataFrame = {
     val dim = withInvoiceMonth(dimRaw)
+    // cache the one shared window pass: the 8 broadcast builds below each
+    // materialize their subtree independently, so without this the dedup
+    // would still run 8× (the contract-metadata dim is tiny by
+    // construction, so the cached frame is bounded; the harness clears
+    // caches between measurements, and repeated calls — e.g. streaming
+    // micro-batches over a static dim — re-resolve to the same cache
+    // entry by plan canonicalization instead of accumulating copies).
+    // The count() MATERIALIZES the cache before the ladder consumes it:
+    // the 8 broadcast stages launch concurrently, and concurrent readers
+    // of a cold cache entry each recompute the subtree (measured: q22
+    // intermittently paid the window 8× anyway, 4.9–8.2 s vs q24's 2.5 s
+    // in the same probe run) — one tiny eager dim-only job removes the
+    // race. The dim is bounded metadata, so this is NOT a driver-side
+    // data job (same class as the Auto strategy's dim-only estimate).
+    val deduped = allFamiliesDeduped(dim).cache()
+    deduped.count()
     val joined = (1 to 8).foldLeft(fact) { (acc, i) =>
-      acc.join(broadcast(family(dim, i)), keysFor(i), "left")
+      acc.join(broadcast(family(deduped, i)), keysFor(i), "left")
     }
     PayloadCols.foldLeft(joined) { (acc, c) =>
       acc.withColumn(c, coalesce(Precedence.map(i => col(s"${c}_r$i")): _*))
     }.drop((for (i <- 1 to 8; c <- PayloadCols) yield s"${c}_r$i"): _*)
   }
 
-  /** Family `i` reshaped for the stacked-dim join: the five [[MatchKeys]]
-    * (absent specializers as TYPED nulls = wildcards) + `__spec` + plain
-    * payload. */
-  private def tallFamily(dim: DataFrame, i: Int): DataFrame = {
-    val (p, s, k) = Presence(i)
-    val present = Map(
-      "project_id" -> p, "service_description" -> s, "sku_id" -> k)
-    val withAll = SpecializerCols.foldLeft(familyDeduped(dim, i)) { (df, c) =>
-      if (present(c)) df
-      else df.withColumn(c, lit(null).cast(dim.schema(c).dataType))
+  /** The stacked dim for the shuffle fallback: the five [[MatchKeys]]
+    * (absent specializers are null on the row itself = wildcards) +
+    * `__spec` + plain payload. The old per-family reshape + union-of-8 is
+    * gone (optimization round 17): the families PARTITION the dim, so the
+    * union of the 8 reshaped family frames is exactly
+    * [[allFamiliesDeduped]] with `__spec` derived per row from `__fam` —
+    * one window pass instead of 8 filter+window subtrees. */
+  private def tallAllFamilies(dim: DataFrame): DataFrame = {
+    val spec = (2 to 8).foldLeft(when(col("__fam") === 1, specRank(1))) {
+      (acc, i) => acc.when(col("__fam") === i, specRank(i))
     }
-    withAll.select(
-      (MatchKeys.map(col) :+ lit(specRank(i)).as("__spec")) ++ PayloadCols.map(col): _*)
+    allFamiliesDeduped(dim).select(
+      (MatchKeys.map(col) :+ spec.as("__spec")) ++ PayloadCols.map(col): _*)
   }
 
   /** The non-broadcast fallback (SURVEY §2.3): semantically IDENTICAL to
@@ -249,7 +281,7 @@ object RuleMatch {
     * only and carries just the key columns. */
   def addRuleTagShuffle(fact: DataFrame, dimRaw: DataFrame): DataFrame = {
     val dim = withInvoiceMonth(dimRaw)
-    val tall = (1 to 8).map(tallFamily(dim, _)).reduce(_ unionAll _)
+    val tall = tallAllFamilies(dim)
     val t = SpecializerCols.foldLeft(tall)((df, c) =>
       df.withColumn(s"__m_$c", struct(col(c).as("v"))).drop(c))
     val fkeys = fact.select(MatchKeys.map(col): _*).distinct()

@@ -367,7 +367,14 @@ object Dedup {
         src.select(col("doc_id"),
           simHashWide(col("th"), 2 * bb, 0).as("simhash"),
           simHashWide(col("th"), 2 * bb, 1).as("simhash2"))
-    val sig = if (cache) sig0.cache() else sig0
+    // eager materialization: the NumBlocks block scans below (×2 sides of
+    // the candidate self-join) launch as concurrent stages, and concurrent
+    // readers of a COLD cache entry each recompute the subtree — measured
+    // on m04 at sf0.1 as 8 parallel jobs of 6.8 s task time each (the
+    // whole signature build, 8×). One eager count pays the build exactly
+    // once; the count job is over the (bounded) signature frame, not the
+    // payloads.
+    val sig = if (cache) { val c = sig0.cache(); c.count(); c } else sig0
     def blkCol(k: Int): Column = {
       val (w, off) =
         if (NumBlocks * bb <= 56) (col("simhash"), k * bb)
@@ -1390,15 +1397,32 @@ object Dedup {
     val keep = ex.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= FuzzyMaxGramDf).select("g")
     val kept = ex.join(keep, Seq("g"))
+    // the verify stage is CPU-bound (Levenshtein DP per pair), but AQE's
+    // partition coalescing sizes post-shuffle reads by BYTES — measured at
+    // sf0.1 it packed the candidate set into 10 tasks of 5.4 s CPU each
+    // (54 s task time, 8.5 s wall on 32 idle cores). Candidate rows are a
+    // few dozen bytes, so byte-targeting is blind to the per-row DP cost;
+    // pin the verify parallelism to the session's shuffle-partition count
+    // (scale-adaptive via conf, not a local constant — an explicit
+    // numPartitions repartition is exempt from AQE coalescing by design).
+    // Guide §2.5/§7.4 "stage fast at small scale, starved at large".
     val cand = kept.as("a")
       .join(kept.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val dist = levenshtein(col("pa.p"), col("pb.p"))
+      .repartition(
+        pfx.sparkSession.sessionState.conf.numShufflePartitions, col("id_a"))
+    // bounded edit distance (guide §4 per-task work): the verify only ever
+    // consumes distances ≤ FuzzyMaxDist, and levenshtein's threshold form
+    // runs a banded O(len·k) DP with early exit instead of the full
+    // O(len²) table, returning -1 past the bound — result-identical on
+    // every kept row (exact distance ≤ bound), and far cheaper on the
+    // rejected majority.
+    val dist = levenshtein(col("pa.p"), col("pb.p"), FuzzyMaxDist)
     cand
       .join(pfx.as("pa"), col("pa.doc_id") === col("id_a"))
       .join(pfx.as("pb"), col("pb.doc_id") === col("id_b"))
-      .filter(dist <= FuzzyMaxDist)
+      .filter(dist >= 0)
       .select(col("id_a"), col("id_b"), dist.cast("long").as("dist"))
   }
 

@@ -214,9 +214,18 @@ object Multimodal {
         TextOps.polyHash(col("hx").substr((i * 2 - 1).cast("int"), lit(GramBytes * 2)))))
       .otherwise(expr("array()").cast("array<bigint>"))
     val bb = Dedup.blockBitsFor(Dedup.corpusDocsFor(s, d))
+    // the signature build is the heavy per-row step (one rolling gram hash
+    // per payload byte), but it inherits the SOURCE file layout — at sf0.1
+    // the documents parquet splits into 2 scan tasks, so the build ran on
+    // 2 of 32 cores (measured 3.4 s/task). One narrow shuffle restores
+    // full-width compute; skipped when the scan is already wide (the
+    // 100 TB corpus arrives as thousands of splits — same conditional
+    // widen discipline as StreamJobs' micro-batch repartition).
+    val parts = s.sessionState.conf.numShufflePartitions
+    val cw = if (c.rdd.getNumPartitions * 2 >= parts) c else c.repartition(parts)
     // the shared d04 machinery: signature (corpus-scaled width, two words
     // past 56 bits), 4-block pigeonhole join, hamming verify
-    Dedup.simhashBlockPairs(c.select(col("doc_id"), th.as("th")), bb, PHashMaxHamming)
+    Dedup.simhashBlockPairs(cw.select(col("doc_id"), th.as("th")), bb, PHashMaxHamming)
   }
 
   val all: Seq[QueryDef] = Seq(m01BinaryMeta, m02FrameSample, m03Featurize,

@@ -119,10 +119,95 @@ object BillingDemo {
        |GROUP BY ${grain13.mkString(", ")}""".stripMargin
   }
 
+  /** The four NARROW columns that determine the 13-key grain bijectively:
+    * every grain-13 column is a deterministic injective function of
+    * (usage_day, l_suppkey % 20, l_partkey % 60, l_returnflag) —
+    * `invoice_month` = yyyyMM of usage_day, `billing_account_id` ↔ %20,
+    * (project %3, service %4, sku %5) ↔ %60 by CRT (3·4·5 = 60), the
+    * pricing-unit/currency columns are constants, `cost_type` IS
+    * l_returnflag — and conversely the narrow tuple is recoverable from
+    * the grain columns, so the two groupings induce IDENTICAL equivalence
+    * classes and identical per-group sums.
+    *
+    * Optimization round 17 (guide §2.3: narrower types, project before the
+    * exchange): aggregating on the narrow tuple instead of the 13 derived
+    * strings removes ~10 per-ROW string concats from the scan projection
+    * and hashes 4 narrow keys instead of 13 strings in the partial
+    * aggregate — the kernel queries' dominant map stage (measured 2.6 s of
+    * q22's 4.7 s at sf0.1, 3 scan tasks) — and the exchange carries the
+    * narrow keys. The grain strings are derived per GROUP after the final
+    * aggregate ([[grainFromNarrow]]). Results are identical (same groups,
+    * same summed values; the DuckDB oracle is unchanged and hash-checks
+    * it). */
+  private def narrowRaw(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("l_discount"); val p = col("l_extendedprice")
+    Tables.lineitem(spark, dir).select(
+      col("l_shipdate").cast("date").as("usage_day"),
+      (col("l_suppkey") % 20).as("__acct"),
+      (col("l_partkey") % 60).as("__part"),
+      col("l_returnflag").as("cost_type"),
+      col("l_quantity").as("usage_amount_in_pricing_units"),
+      (p * (lit(1) - d)).as("cost"),
+      p.as("cost_at_list"),
+      (p * d * 0.4).as("c_cud"),
+      lit(0.0).as("c_cud_db"),
+      (p * d * 0.3).as("c_discount"),
+      lit(0.0).as("c_free_tier"),
+      (p * d * 0.2).as("c_promotion"),
+      (p * d * 0.1).as("c_rm"),
+      lit(0.0).as("c_sub_benefit"),
+      lit(0.0).as("c_sud"),
+      (p * d * 0.4 + p * d * 0.3 + p * d * 0.2 + p * d * 0.1).as("internal_credits_cost"),
+      (p * d * 0.4 + p * d * 0.3 + p * d * 0.2).as("internal_credits_consumption"),
+      array(
+        lit("COMMITTED_USAGE_DISCOUNT"), lit("DISCOUNT"), lit("PROMOTION"),
+        lit("RESELLER_MARGIN"), lit("MYSTERY_TYPE")).as("credits_type"),
+      array(p * d * 0.4, p * d * 0.3, p * d * 0.2, p * d * 0.1, col("l_tax"))
+        .as("credits_amount"))
+  }
+
+  /** q23's narrow twin: the narrow keys + raw measures + credit ARRAYS
+    * (the precomputed c_* columns dropped — the caller re-derives them
+    * from the arrays, exactly like `rawFact.drop(c_*)`). */
+  private[queries] def narrowRawForArrays(spark: SparkSession, dir: String): DataFrame = {
+    val derived = Seq("c_cud", "c_cud_db", "c_discount", "c_free_tier",
+      "c_promotion", "c_rm", "c_sub_benefit", "c_sud",
+      "internal_credits_cost", "internal_credits_consumption")
+    narrowRaw(spark, dir).drop(derived: _*)
+  }
+
+  /** grain-13 string columns derived per GROUP after a narrow-key
+    * aggregation — the twin of [[rawFact]]'s per-row derivations (same
+    * expressions over the narrow keys, so the strings are identical). */
+  private[queries] def grainFromNarrow(agged: DataFrame): DataFrame =
+    agged.select(
+      (Seq(
+        date_format(col("usage_day"), "yyyyMM").as("invoice_month"),
+        concat(lit("A"), lpad(col("__acct").cast("string"), 3, "0"))
+          .as("billing_account_id"),
+        col("usage_day"),
+        concat(lit("p"), (col("__part") % 3).cast("string")).as("project_id"),
+        concat(lit("proj "), (col("__part") % 3).cast("string")).as("project_name"),
+        concat(lit("svc"), (col("__part") % 4).cast("string")).as("service_id"),
+        concat(lit("service "), (col("__part") % 4).cast("string")).as("service_description"),
+        concat(lit("sku"), (col("__part") % 5).cast("string")).as("sku_id"),
+        concat(lit("sku desc "), (col("__part") % 5).cast("string")).as("sku_description"),
+        lit("unit").as("usage_pricing_unit"),
+        lit("USD").as("currency"),
+        lit(1.0).as("currency_conversion_rate"),
+        col("cost_type")) ++ measures.map(col)): _*)
+
+  /** The four narrow grouping keys (see [[narrowRaw]]). */
+  private[queries] val narrowKeys: Seq[String] =
+    Seq("usage_day", "__acct", "__part", "cost_type")
+
   def fact(spark: SparkSession, dir: String): DataFrame =
-    rawFact(spark, dir)
-      .groupBy(grain13.map(col): _*)
-      .agg(measures.map(m => sum(m).as(m)).head, measures.tail.map(m => sum(m).as(m)): _*)
+    grainFromNarrow(
+      narrowRaw(spark, dir)
+        .drop("credits_type", "credits_amount")
+        .groupBy(narrowKeys.map(col): _*)
+        .agg(measures.map(m => sum(m).as(m)).head,
+          measures.tail.map(m => sum(m).as(m)): _*))
 
   // ---------- synthetic dim: 41 rules × every fact month ----------
   // rid=40 deliberately duplicates rid=0's family-1 keys (A000, wildcard

@@ -244,13 +244,17 @@ object KernelQueries {
   val q23KernelFromArrays = QueryDef(
     "q23_kernel_from_arrays",
     taggedSqlFor(factFromArraysSql) + kernelSuffixSql()) { (s, d) =>
-    val raw = BillingDemo.rawFact(s, d)
-      .drop(CreditColumns :+ "internal_credits_cost" :+ "internal_credits_consumption": _*)
-    val fact = Credits.deriveCredits(raw)
-      .groupBy(BillingDemo.grain13.map(col): _*)
-      .agg(
-        sum(BillingDemo.measures.head).as(BillingDemo.measures.head),
-        BillingDemo.measures.tail.map(m => sum(m).as(m)): _*)
+    // narrow-key aggregation (optimization round 17, same argument as
+    // BillingDemo.fact): pivot the arrays per raw row exactly as before,
+    // but group on the 4 narrow keys and derive the grain strings per
+    // group — identical groups and sums, ~10 string concats fewer per row
+    val raw = BillingDemo.narrowRawForArrays(s, d)
+    val fact = BillingDemo.grainFromNarrow(
+      Credits.deriveCredits(raw)
+        .groupBy(BillingDemo.narrowKeys.map(col): _*)
+        .agg(
+          sum(BillingDemo.measures.head).as(BillingDemo.measures.head),
+          BillingDemo.measures.tail.map(m => sum(m).as(m)): _*))
     val out = Calculate.calculateWithCredits(
       fact, BillingDemo.dim(s, d), BillingDemo.demoExtraDiscount)
     roundDoubles(

@@ -55,15 +55,48 @@ object Dedup {
 
   // ---------- mutated corpus shared by d02/d03/d04 ----------
 
+  /** cache + EAGER one-pass materialization (optimization round 17): AQE
+    * launches independent stages of one query concurrently, and concurrent
+    * readers of a COLD cache entry each recompute its subtree — measured
+    * as 8–16 parallel jobs re-running the shingle/signature build in
+    * d03/d07/m04. A shared frame must be materialized before its fan-out
+    * consumers reference it; the count() is one cheap pass over the
+    * already-cached frame (all these frames are corpus-bounded metadata,
+    * never payload blow-ups). */
+  private[operators] def materialized(df: DataFrame): DataFrame = {
+    df.cache()
+    df.count()
+    df
+  }
+
   /** Each doc plus a twin (doc_id+100000) with the first 14 chars cut —
-    * high-but-not-perfect shingle overlap. */
+    * high-but-not-perfect shingle overlap.
+    *
+    * The per-doc work downstream (shingling, gram/minhash/simhash
+    * compute) inherits the SOURCE file layout, and the sf0.1 documents
+    * parquet splits into 2 scan tasks — so every dedup operator's heavy
+    * per-row stage ran on 2 of 32 cores (measured: d02's shingle build
+    * 3.7 s task time on 2 tasks). One narrow (doc_id, t) shuffle restores
+    * full-width compute; skipped when the scan is already wide (a 100 TB
+    * corpus arrives as thousands of splits — the StreamJobs conditional
+    * widen discipline). Row-level results are unaffected: every consumer
+    * is per-row compute + equi-joins/aggregates on exact values. */
   def corpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), lower(trim(col("text"))).as("t"))
-    docs.unionAll(docs.select(
+    val c = docs.unionAll(docs.select(
       (col("doc_id") + 100000).as("doc_id"),
       col("t").substr(lit(15), length(col("t"))).as("t")))
+    val parts = s.sessionState.conf.numShufflePartitions
+    // the decision needs a physical plan (.rdd) — one per directory, not
+    // one per corpus() call (invalidated with the other per-path caches)
+    val widen = widenCache.computeIfAbsent(d,
+      _ => Boolean.box(c.rdd.getNumPartitions * 2 < parts))
+    if (widen) c.repartition(parts, col("doc_id")) else c
   }
+
+  private val widenCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   val corpusSql: String =
     """SELECT doc_id, lower(trim(text)) AS t FROM documents
@@ -102,10 +135,9 @@ object Dedup {
          |JOIN cnt cb ON cb.doc_id = id_b
          |WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= $JaccardThreshold""".stripMargin
     }) { (s, d) =>
-    val sh = shingled(s, d)
+    val sh = materialized(shingled(s, d)
       .select(col("doc_id"),
-        array_distinct(transform(col("sh"), sg => polyHash(sg))).as("hh"))
-      .cache()
+        array_distinct(transform(col("sh"), sg => polyHash(sg))).as("hh")))
     val cnt = sh.select(col("doc_id"), size(col("hh")).cast("long").as("n"))
     val ex = sh.select(col("doc_id"), explode(col("hh")).as("s"))
     val a = ex.as("a"); val b = ex.as("b")
@@ -166,6 +198,7 @@ object Dedup {
     * ANY previous JVM (restart-reuse means files outlive catalogs). */
   private[graft] def invalidateParamCaches(d: String): Unit = {
     docsCache.remove(d)
+    widenCache.remove(d)
     val dkey = pathKey(d)
     val prefixes = Seq(s"graft_ndidx_bands_${dkey}_", s"graft_ndidx_sh_${dkey}_")
     SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession).foreach { s =>
@@ -275,12 +308,13 @@ object Dedup {
       .select(col("doc_id"), transform(col("sh"), sg => polyHash(sg)).as("hh"))
       .select(col("doc_id"),
         graft.functions.VectorFunctions.minHashSig(col("hh"), bp.numHashes).as("sig"))
-      // cache: the band branches × 2 join sides reference this frame 2b× —
-      // without it each reference recomputes the full signature
-      // from the cached shingles (same fix as d04's sig cache)
-      .cache()
+    // cache: the band branches × 2 join sides reference this frame 2b×;
+    // a cold-cache race can duplicate the build, but post-widen the
+    // subtree is wide/cheap and the duplicates overlap — an eager count
+    // measured net-negative here (sequentializes a ~0.1 s subtree)
+    val sigM = sig.cache()
     val bands = (0 until bp.nBands).map { k =>
-      sig.select(col("doc_id"), bandKeyCol(col("sig"), k, bp.bandSize).as("band"))
+      sigM.select(col("doc_id"), bandKeyCol(col("sig"), k, bp.bandSize).as("band"))
     }.reduce(_ unionAll _)
     val cand = bands.as("a")
       .join(bands.as("b"),
@@ -1393,7 +1427,7 @@ object Dedup {
     // Levenshtein verify over the candidate set dominates d15's cost,
     // which is the intended shape — exact verification IS the expensive
     // honest step, and it is already candidate-bounded.
-    val ex = fuzzyGramRows(pfx).cache()
+    val ex = materialized(fuzzyGramRows(pfx))
     val keep = ex.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= FuzzyMaxGramDf).select("g")
     val kept = ex.join(keep, Seq("g"))

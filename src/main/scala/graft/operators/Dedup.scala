@@ -853,10 +853,25 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().persist()
+    // materialize the edge cache BEFORE the pinned-RDD snapshot
+    // (optimization round 17): its backing RDD otherwise registers inside
+    // whichever ROUND's job first touches it, lands in that round's
+    // pinned set, and gets released one round later — after which every
+    // remaining round silently recomputes the entire upstream pair
+    // subtree (measured as a second full d03 verify join inside d07)
+    edges.count()
     val beforeInit = sc.getPersistentRDDs.keySet.toSet
-    var labels = nodes
-      .select(col("doc_id").cast("long").as("node"),
-        col("doc_id").cast("long").as("cluster"))
+    // Propagate over EDGE-TOUCHED nodes only (optimization round 17): a
+    // node with no edge can never adopt a neighbor's label — it is its own
+    // keeper by construction — so carrying the (mostly-singleton) corpus
+    // through every round's join+aggregate is pure waste; on a real corpus
+    // near-dups are a small fraction, so the loop's working set drops from
+    // |corpus| to 2|pairs| rows per round. Singletons re-enter once, in
+    // the final left-join (coalesce(label, own id)). The edge set is
+    // symmetric, so DISTINCT src covers every touched node.
+    var labels = edges
+      .select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("cluster"))
       .localCheckpoint()
     var pinned = pinnedSince(sc, beforeInit)
     var iter = 0
@@ -885,7 +900,13 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels
+    // singletons (no edges) re-enter here with their own id as cluster —
+    // identical output to looping over the full corpus, one join cheaper
+    // per ROUND. The propagated side is bounded by the touched-node set,
+    // typically far under the broadcast threshold; stats pick the join.
+    nodes.select(col("doc_id").cast("long").as("node"))
+      .join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("cluster"), col("node")).as("cluster"))
   }
 
   /** Connected components by alternating large-star/small-star — the

@@ -810,7 +810,21 @@ object Similarity {
       cr: Seq[(Int, Seq[Float], Double)], bits: Int): DataFrame = {
     val cents: Seq[(Int, Seq[Float])] = cr.map { case (lab, cv, _) => (lab, cv) }
     val scoredCells = scoredCellsFrom(cr)
-    src
+    // conditional widen (optimization round 17, the Dedup.corpus
+    // discipline): the per-row work below — k full-dimension dots for the
+    // cell argmax, the refine projections, the residual zip — inherits the
+    // SOURCE layout, and the sf0.1 embeddings parquet is ONE split, so the
+    // whole encode chain (and s09's two Lloyd training rounds over it) ran
+    // on 1 of 32 cores. One narrow (vec_id-hashed) exchange restores full
+    // width; skipped when the scan is already wide (a 100 TB corpus
+    // arrives as thousands of splits). Per-row results are unaffected.
+    val s = src.sparkSession
+    val parts = s.sessionState.conf.numShufflePartitions
+    val wide =
+      if (src.rdd.getNumPartitions * 2 < parts)
+        src.repartition(parts, col("vec_id"))
+      else src
+    wide
       .select(col("vec_id"), col("embedding"),
         (-array_max(scoredCells).getField("negCell")).as("cell"))
       .withColumn("cellr", refinedCellCol(col("cell"), col("embedding"), bits))
@@ -994,13 +1008,22 @@ object Similarity {
   val s09IvfPqAdc = QueryDef(
     "s09_ivfpq_adc", ivfPqAdcOracleSql(None)) { (s, d) =>
     val rf = residualFrame(s, d)
-    // persist for the duration of training only (seeds + 2 Lloyd rounds
-    // would otherwise each re-run the s03-centroid + assignment pipeline);
-    // unpersisted before return, so the final plan owns its own rf cost
-    rf.persist()
+    // train over a LINEAGE-TRUNCATED copy (optimization round 17): persist
+    // alone stops recompute but every training round (seeds + 2 Lloyd
+    // collects) still re-ANALYZES the full residual pipeline — the
+    // literal-centroid argmax + refine + zip expression tree — under its
+    // own explode/argmin/aggregate; localCheckpoint makes the rounds plan
+    // against a leaf. Blocks are pinned (the d07 lesson), so they are
+    // released explicitly once training is done; the final plan below
+    // derives rf fresh, so the declared query still owns its own encode
+    // cost (and PlanSpec still sees both embeddings scans).
+    val sc = s.sparkContext
+    val beforeCp = sc.getPersistentRDDs.keySet.toSet
+    val rfT = rf.localCheckpoint()
     val cbs =
-      try trainSubCodebooks(rf)
-      finally rf.unpersist(blocking = false)
+      try trainSubCodebooks(rfT)
+      finally (sc.getPersistentRDDs.keySet.toSet -- beforeCp)
+        .foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
     val bests = pqBests(cbs)
     val cand = rf.select(Seq(
       col("vec_id"), col("cell"), col("cellr"), col("res"),
@@ -1808,7 +1831,7 @@ object Similarity {
     * corpus grows because both the ring size and the per-cell population
     * are corpus-scaled ([[cellRefineBits]]). */
   private[graft] def annServeCandPerProbe(
-      s: SparkSession, d: String, batch: DataFrame): Double = {
+      s: SparkSession, d: String, batch: DataFrame): (Double, Double) = {
     val (base, meta) = pqStoredIndex(s, d)
     val codes = base.unionByName(pqDeltaSegment(s, d, meta))
     val src = batch.select(col("vec_id"), col("embedding"),
@@ -1818,11 +1841,21 @@ object Similarity {
     val touched = p.select(col("cellr")).distinct()
       .collect().map(_.get(0)).toSeq
     val probes = math.max(1L, batch.select(col("vec_id")).distinct().count())
+    // ring rows = probes × (1 + bits [+ C(bits,2) past TwoBitFlipMinBits])
+    // — the DELIBERATE log-factor recall remedy (refineMultiProbe). The
+    // flatness claim the index design actually makes is per-RING-ROW
+    // occupancy ≈ the corpus-scaled refined-cell population (TargetCell):
+    // dividing by probes alone folds the ring factor into the gauge and
+    // reads the designed log growth as corpus-scale growth (the first
+    // ever ×10 reading: 225 → 1152/probe, which is 4-ring × a FLAT ~280
+    // per ring row). Returns (perProbe, perRingRow): the former recorded
+    // raw, the latter carries the 3× flatness bound.
+    val ringRows = math.max(1L, p.count())
     val pairs = broadcast(p.as("p"))
       .join(codes.filter(col("cellr").isin(touched: _*)).as("e"),
         col("p.cellr") === col("e.cellr") && col("p.vec_id") =!= col("e.vec_id"))
       .count()
-    pairs.toDouble / probes
+    (pairs.toDouble / probes, pairs.toDouble / ringRows)
   }
 
   /** Test hook (append-vs-rebuild equivalence): the ONE-SHOT frozen-spec

@@ -15,6 +15,27 @@ object TextAnalysis {
 
   import TextOps._
 
+  /** Conditionally widened documents read (optimization round 17, the
+    * Dedup.corpus discipline) for the SHUFFLE-bearing text operators whose
+    * heavy per-row stage (tokenize + explode) otherwise inherits the
+    * source file layout — the sf0.1 documents parquet is 2 splits, so
+    * bigram/vocab builds ran on 2 of 32 cores. One narrow (doc_id) hash
+    * exchange restores full width; skipped when the scan is already wide
+    * (a 100 TB corpus arrives as thousands of splits). NOT used by the
+    * map-only operators (t01–t05, c02, t25's encode pass): their zero-
+    * shuffle shape is the point (and PlanSpec pins it) — at scale the
+    * scan is wide and map-only is optimal. */
+  private def widenedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val parts = s.sessionState.conf.numShufflePartitions
+    val widen = docsWidenCache.computeIfAbsent(d,
+      _ => Boolean.box(docs.rdd.getNumPartitions * 2 < parts))
+    if (widen) docs.repartition(parts, col("doc_id")) else docs
+  }
+
+  private val docsWidenCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   /** t01 — token/char counting (whitespace tokenization). */
   val t01TokenCount = QueryDef(
     "t01_token_count",
@@ -439,10 +460,13 @@ object TextAnalysis {
        |FROM ranked WHERE rank <= $TfIdfTopK""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    val tf = docs
+    // widened + materialized (optimization round 17): tf feeds BOTH the
+    // df aggregation and the scoring join — un-cached, the tokenize +
+    // explode + (doc, term) count ran twice, on the 2-split scan layout
+    val tf = Dedup.materialized(widenedDocs(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.count() // bounded scalar: parquet footer row counts
     val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
@@ -541,7 +565,7 @@ object TextAnalysis {
          |FROM doc_tf JOIN scored USING (prev, cur)
          |GROUP BY doc_id""".stripMargin
     }) { (s, d) =>
-    val base = Tables.documents(s, d)
+    val base = widenedDocs(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
     val bg = base
       .select(col("doc_id"),
@@ -550,7 +574,12 @@ object TextAnalysis {
           slice(col("toks"), lit(2), size(col("toks")) - 1),
           (a, b) => struct(a.as("prev"), b.as("cur")))).as("b"))
       .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
-    val docTf = bg.groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("tf"))
+    // materialized: docTf feeds BOTH the model side (bgc → ctx → scored)
+    // and the final scoring join — un-cached, the whole tokenize + bigram
+    // explode + per-doc aggregate ran twice (and a cold .cache() raced
+    // under AQE's concurrent stages, the batch-2 lesson)
+    val docTf = Dedup.materialized(
+      bg.groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("tf")))
     val bgc = docTf.groupBy("prev", "cur").agg(sum("tf").as("c"))
     val ctx = bgc.groupBy("prev").agg(sum("c").as("cp"))
     val v = base.select(explode(col("toks")).as("term"))
@@ -803,9 +832,14 @@ object TextAnalysis {
          |FROM ex JOIN firsts f USING (s)
          |GROUP BY ex.doc_id""".stripMargin
     }) { (s, d) =>
-    val sh = Tables.documents(s, d).select(col("doc_id"),
-      array_distinct(transform(shingles(lower(trim(col("text")))), sg => polyHash(sg)))
-        .as("hh"))
+    // widened + materialized (optimization round 17): the shingle+hash
+    // build is the heavy per-row stage and `ex` feeds BOTH the first-seen
+    // aggregate and the join probe — un-cached it ran twice, on the
+    // 2-split scan layout
+    val sh = Dedup.materialized(
+      widenedDocs(s, d).select(col("doc_id"),
+        array_distinct(transform(shingles(lower(trim(col("text")))), sg => polyHash(sg)))
+          .as("hh")))
     val ex = sh.select(col("doc_id"), explode(col("hh")).as("s"))
     val firsts = ex.groupBy("s").agg(min(col("doc_id")).as("first_doc"))
     val novel = sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -999,7 +1033,7 @@ object TextAnalysis {
     * BOTH engines — exactly greedy BPE merge semantics (a run `aaa` under
     * merge (a,a) yields `(aa)a`, never overlapping pairs). */
   private def bpeWords(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    widenedDocs(s, d)
       .select(explode(tokens(col("text"))).as("tk"))
       .filter(col("tk").rlike("^[a-z]+$"))
       .groupBy("tk").agg(count(lit(1)).as("freq"))

@@ -99,8 +99,11 @@ object TextOps {
     * builder mirrors the oracle's graceful empty-CTE semantics instead of
     * NPEing at plan-build time (ADVICE r13 #4). */
   private[operators] def bm25Scored(s: SparkSession, d: String): DataFrame = {
-    val docsT = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    // materialized tokenized frame (optimization round 17): docsT feeds
+    // the corpus-stats scalar, the tf branch AND the doc-length branch —
+    // un-cached, the tokenize pass ran three times per invocation
+    val docsT = Dedup.materialized(Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks")))
     val st = docsT.agg(count(lit(1)), sum(size(col("toks")).cast("long"))).head()
     val n = st.getLong(0)
     val tt = if (st.isNullAt(1)) 0L else st.getLong(1)

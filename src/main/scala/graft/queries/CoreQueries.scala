@@ -47,14 +47,24 @@ object CoreQueries {
       |       count(*)                           AS n_rows
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus, l_suppkey, strftime(l_shipdate, '%Y%m')""".stripMargin) { (s, d) =>
+    // group on the INT year-month and derive the string per GROUP
+    // (optimization round 17, the batch-1 kernel-agg trick): yyyyMM for a
+    // 4-digit year is exactly `year*100 + month` rendered as decimal, so
+    // the bijection holds and the 600k-row partial aggregate hashes an
+    // int instead of running a per-row DateTimeFormatter + hashing a
+    // string; the format lands on the 34k GROUPS after the exchange.
     Tables.lineitem(s, d)
       .groupBy(
         col("l_returnflag"), col("l_linestatus"), col("l_suppkey"),
-        date_format(col("l_shipdate"), "yyyyMM").as("ship_month"))
+        (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).as("ship_ym"))
       .agg(
         r4(sum("l_quantity")).as("sum_qty"),
         r4(sum("l_extendedprice")).as("sum_base"),
         count(lit(1)).as("n_rows"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"), col("l_suppkey"),
+        col("ship_ym").cast("string").as("ship_month"),
+        col("sum_qty"), col("sum_base"), col("n_rows"))
   }
 
   /** A3 (billing_calculation_service.py:96-106): global min/max of the date
@@ -267,12 +277,19 @@ object CoreQueries {
       |  floor((quantile_cont(l_extendedprice, 0.95)) * 10000.0 + 0.5) / 10000.0 AS p95_price,
       |  floor((quantile_cont(l_quantity, 0.5)) * 10000.0 + 0.5) / 10000.0       AS median_qty
       |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+    // both price percentiles from ONE buffer (optimization round 17):
+    // `percentile(c, array(...))` evaluates every fraction against the
+    // same per-group value histogram a single-fraction call builds, so two
+    // separate aggregates were buffering (and shuffling) l_extendedprice
+    // twice for bit-identical results — guide §2.3, shuffle fewer bytes
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(
-        r4(expr("percentile(l_extendedprice, 0.5)")).as("median_price"),
-        r4(expr("percentile(l_extendedprice, 0.95)")).as("p95_price"),
+      .agg(expr("percentile(l_extendedprice, array(0.5, 0.95))").as("pp"),
         r4(expr("percentile(l_quantity, 0.5)")).as("median_qty"))
+      .select(col("l_returnflag"),
+        r4(element_at(col("pp"), 1)).as("median_price"),
+        r4(element_at(col("pp"), 2)).as("p95_price"),
+        col("median_qty"))
   }
 
   /** q19's raw frame: exact AND sketch quantiles side by side, unrounded —
@@ -282,15 +299,25 @@ object CoreQueries {
     * same grouped stream it would see alone. */
   private[queries] def quantileSketchRaw(
       s: org.apache.spark.sql.SparkSession, d: String) =
+    // the two price fractions share one exact buffer and one sketch
+    // (optimization round 17, same move as q16): `percentile`/
+    // `approx_percentile` with an array of fractions query the identical
+    // histogram/sketch a single-fraction call builds — half the
+    // l_extendedprice buffer bytes through the exchange, same values
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("ex_median_price"),
-        expr("percentile(l_extendedprice, 0.95)").as("ex_p95_price"),
+        expr("percentile(l_extendedprice, array(0.5, 0.95))").as("ex_price"),
         expr("percentile(l_quantity, 0.5)").as("ex_median_qty"),
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").cast("double").as("ap_median_price"),
-        expr("approx_percentile(l_extendedprice, 0.95, 10000)").cast("double").as("ap_p95_price"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").as("ap_price"),
         expr("approx_percentile(l_quantity, 0.5, 10000)").cast("double").as("ap_median_qty"))
+      .select(col("l_returnflag"),
+        element_at(col("ex_price"), 1).as("ex_median_price"),
+        element_at(col("ex_price"), 2).as("ex_p95_price"),
+        col("ex_median_qty"),
+        element_at(col("ap_price"), 1).cast("double").as("ap_median_price"),
+        element_at(col("ap_price"), 2).cast("double").as("ap_p95_price"),
+        col("ap_median_qty"))
 
   /** q19 — the 100 TB companion to q16: `approx_percentile` is a one-pass
     * MERGEABLE fixed-size sketch (map-side partials combine), where exact
@@ -522,10 +549,23 @@ object CoreQueries {
     * QuantilesSketchSpec (tighter 2% pin). */
   private[queries] def distinctSketchRaw(
       s: org.apache.spark.sql.SparkSession, d: String) =
+    // DEDUP FIRST, sketch second (optimization round 17): the single-agg
+    // form made the distinct rewrite evaluate the HLL partial at the
+    // (type, user) grain — one 2^14-register sketch PER DISTINCT PAIR
+    // (flattened to ~1,640 buffer columns per row) — before merging them
+    // per type. HLL insertion is idempotent, so building the sketch over
+    // the already-distinct pairs gives BIT-IDENTICAL registers (hence the
+    // identical estimate) with |types| sketches instead of |pairs|; the
+    // exact count is the deduped rows per type. Same two exchanges
+    // (PlanSpec-pinned ≤2), same values, a fraction of the aggregate
+    // state. (A widen-before-aggregate was also tried and REVERTED: it
+    // fused three 1,640-column HashAggregates into one stage and
+    // measured 3× SLOWER.)
     Tables.events(s, d)
+      .select(col("event_type"), col("user_id")).distinct()
       .groupBy("event_type")
       .agg(
-        countDistinct(col("user_id")).as("n_users_exact"),
+        count(lit(1)).as("n_users_exact"),
         approx_count_distinct(col("user_id"), rsd = 0.01).as("n_users_approx"))
 
   /** q30 — approximate distinct count (HyperLogLog++): distinct users per
@@ -879,12 +919,17 @@ object CoreQueries {
     * single-aggregation plan is PlanSpec-pinned. */
   val q19sQuantilesSketchOnly: QueryDef =
     QueryDef.noOracle("q19s_quantiles_sketch_only") { (s, d) =>
+      // both price fractions from ONE sketch (optimization round 17, the
+      // q16/q19 move): identical estimates, half the price-sketch bytes
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          expr("approx_percentile(l_extendedprice, 0.5, 10000)").cast("double").as("median_price"),
-          expr("approx_percentile(l_extendedprice, 0.95, 10000)").cast("double").as("p95_price"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 10000)").as("pp"),
           expr("approx_percentile(l_quantity, 0.5, 10000)").cast("double").as("median_qty"))
+        .select(col("l_returnflag"),
+          element_at(col("pp"), 1).cast("double").as("median_price"),
+          element_at(col("pp"), 2).cast("double").as("p95_price"),
+          col("median_qty"))
     }
 
   /** q30s — q30's SKETCH-ONLY shape: `approx_count_distinct` alone (HLL++

@@ -437,8 +437,14 @@ class SimilaritySpec extends SparkSpec {
     // serving occupancy (the gate's gauge, exercised here so a fixture
     // regression is caught before a scale run): candidates/probe is
     // bounded — a corpus-scale blowup here is the full-scan regression
-    val occ = Similarity.annServeCandPerProbe(spark, sf, batch.limit(5))
-    assert(occ > 0.0 && occ < 10000.0, f"serving occupancy $occ%.1f out of range")
+    val (occProbe, occRing) = Similarity.annServeCandPerProbe(spark, sf, batch.limit(5))
+    assert(occProbe > 0.0 && occProbe < 10000.0,
+      f"serving occupancy $occProbe%.1f/probe out of range")
+    // at fixture scale bits = 0, so the ring is 1 row/probe and the two
+    // gauges coincide — the per-ring-row number is the one the gate's 3×
+    // flatness bound rides (the probe ring is a deliberate log factor)
+    assert(occRing > 0.0 && occRing <= occProbe + 1e-9,
+      f"per-ring-row occupancy $occRing%.1f inconsistent with $occProbe%.1f/probe")
   }
 
   test("serving parity across index layouts: append → serve → compact → serve is result-identical") {
